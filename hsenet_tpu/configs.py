@@ -1,0 +1,363 @@
+"""Typed configuration for every hsenet-tpu component.
+
+The reference spreads configuration over per-entry-point HF dataclasses
+(`/root/reference/Preprint/LaMed/src/train/train_VLM.py:59-174`) and
+`PretrainedConfig` subclasses (`model/CLIP_stage1.py:14-54`). Here the whole
+framework shares one typed config module; everything is a frozen dataclass so
+configs can be closed over by jitted functions and hashed as static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+def _tuple3(x) -> Tuple[int, int, int]:
+    t = tuple(int(v) for v in x)
+    assert len(t) == 3
+    return t  # type: ignore[return-value]
+
+
+# ---------------------------------------------------------------------------
+# Vision encoders
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ViT3DConfig:
+    """3D ViT encoder (reference `ViT_stage1`, vit.py:360-469).
+
+    Defaults mirror the reference production setting: (32,256,256) volumes,
+    (4,16,16) patches -> 2048 tokens, hidden 768, 12 layers x 12 heads
+    (`train_CLIP_stage1.py:58-70`).
+    """
+
+    in_channels: int = 1
+    image_size: Tuple[int, int, int] = (32, 256, 256)
+    patch_size: Tuple[int, int, int] = (4, 16, 16)
+    hidden_size: int = 768
+    mlp_dim: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    dropout_rate: float = 0.0
+    qkv_bias: bool = False  # MONAI SABlock default (vit.py:90 qkv_bias=False)
+    classification: bool = True  # adds a CLS token (vit.py:455-460)
+    # 2E3 (stage-2) extras — reference `ViT_stage2` (vit.py:222-357)
+    slice_guided: bool = False  # slice-guided cross-attn + patch scoring
+    num_slices: int = 32  # rows of the (32, 768) BiomedCLIP feature matrix
+    slice_feature_dim: int = 768
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        return tuple(i // p for i, p in zip(self.image_size, self.patch_size))  # type: ignore[return-value]
+
+    @property
+    def num_patches(self) -> int:
+        d, h, w = self.grid
+        return d * h * w
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + (1 if self.classification else 0)
+
+    @property
+    def patch_dim(self) -> int:
+        p0, p1, p2 = self.patch_size
+        return p0 * p1 * p2 * self.in_channels
+
+
+@dataclass(frozen=True)
+class ViT2DConfig:
+    """2D ViT trunk (BiomedCLIP ViT-B/16-compatible) for online slice features.
+
+    The reference runs a frozen open_clip BiomedCLIP trunk offline
+    (`Data/data_processing/CT-RATE/CT-RATE_2D_to_npy_file.py:88`); we support
+    running it in-graph as well (reference vit.py:529-532).
+    """
+
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 768
+    mlp_dim: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    in_channels: int = 3
+
+    @property
+    def num_patches(self) -> int:
+        g = self.image_size // self.patch_size
+        return g * g
+
+
+# ---------------------------------------------------------------------------
+# Text encoder (BERT-base, reference CLIP_stage1.py:78)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+
+
+# ---------------------------------------------------------------------------
+# CLIP pretraining (stage 1 + stage 2)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    """Dual-encoder CLIP (reference `M3DCLIP_stage1/2`, CLIP_stage1.py:57-159).
+
+    `scale_is_log` replicates a reference quirk: the learnable logit_scale is
+    initialised to log(1/0.07) and *multiplied in raw form* (never
+    exponentiated) — CLIP_stage1.py:90,144-152. Set False for that behavior
+    (the default, for checkpoint parity); True applies exp() like OpenAI CLIP.
+    """
+
+    vision: ViT3DConfig = field(default_factory=ViT3DConfig)
+    text: BertConfig = field(default_factory=BertConfig)
+    projection_dim: int = 768
+    logit_scale_init: float = 2.6592600369327783  # log(1/0.07)
+    scale_is_log: bool = False
+    max_text_len: int = 128
+    gather_loss: bool = True  # global (all-device) contrastive batch
+    # stage-2 semantic-consistency regulation (CLIP_stage2.py:141-151)
+    relation_max_weighted_step: int = 5000
+    relation_base_weight: float = 0.1
+
+
+# ---------------------------------------------------------------------------
+# Spatial packer projectors (reference spatial_pooling_projector.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PackerConfig:
+    """`VisualPacker_3d_phi_v3` (spatial_pooling_projector.py:121-153).
+
+    2048 HR tokens viewed as an (8,16,16) grid; kernel (1,4,4) windows ->
+    128 output tokens, each a pooled query cross-attending its 16-token
+    window, then a Linear-GELU-Linear MLP into LLM space.
+    """
+
+    grid: Tuple[int, int, int] = (8, 16, 16)
+    kernel: Tuple[int, int, int] = (1, 4, 4)
+    in_dim: int = 768
+    out_dim: int = 3072
+    dropout_rate: float = 0.1
+    projector_type: str = "packer_v3"  # {packer_v3, spatial_pooling, mlp}
+    pooling_size: int = 2  # for spatial_pooling baseline
+    mlp_depth: int = 2
+
+    @property
+    def out_grid(self) -> Tuple[int, int, int]:
+        return tuple(g // k for g, k in zip(self.grid, self.kernel))  # type: ignore[return-value]
+
+    @property
+    def proj_out_num(self) -> int:
+        a, b, c = self.out_grid
+        return a * b * c
+
+    @property
+    def window_size(self) -> int:
+        a, b, c = self.kernel
+        return a * b * c
+
+
+# ---------------------------------------------------------------------------
+# LLM (Phi-3/Phi-4-mini family; reference lamed_phi3.py + HF Phi3)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LoRAConfig:
+    """LoRA on all LLM linear layers (reference train_VLM.py:254-264,424-441)."""
+
+    rank: int = 16
+    alpha: int = 32
+    dropout_rate: float = 0.05
+    # which projection names receive LoRA (all linears, like the reference)
+    targets: Tuple[str, ...] = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.rank
+
+
+@dataclass(frozen=True)
+class Phi3Config:
+    """Phi-3/Phi-4-mini decoder config (HF `Phi3Config`-compatible subset).
+
+    Defaults are Phi-4-mini-instruct (~3.8B): hidden 3072, 32 layers, 24 q
+    heads / 8 kv heads (GQA), head_dim 128, fused qkv and gate_up projections,
+    partial rotary factor 0.75. The reference loads this via HF 8-bit
+    (`train_VLM.py:376-380`); on TPU we run bf16.
+    """
+
+    vocab_size: int = 200064
+    hidden_size: int = 3072
+    intermediate_size: int = 8192
+    num_layers: int = 32
+    num_heads: int = 24
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    max_position_embeddings: int = 131072
+    rope_theta: float = 10000.0
+    partial_rotary_factor: float = 0.75
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = True
+    attention_bias: bool = False
+    lora: Optional[LoRAConfig] = None
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    """Llama-3-style decoder (reference `LamedLlamaForCausalLM`, lamed_llama.py)."""
+
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    lora: Optional[LoRAConfig] = None
+
+
+# ---------------------------------------------------------------------------
+# Multimodal VLM assembly (reference lamed_arch.py + train_VLM.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class VLMConfig:
+    """HSENet VLM: dual vision tower + dual packers + Phi LLM.
+
+    `tower_mode` mirrors `remain_2d3d_ViT_type` (vit.py:944-948):
+    dual_vits | 3d_vit | 2e3_vit. With dual_vits + parallel projectors the
+    LLM sees 128+128=256 `<im_patch>` tokens (train_VLM.py:446-453).
+    """
+
+    vision: ViT3DConfig = field(
+        default_factory=lambda: ViT3DConfig(classification=True)
+    )
+    packer: PackerConfig = field(default_factory=PackerConfig)
+    llm: Phi3Config = field(default_factory=Phi3Config)
+    tower_mode: str = "dual_vits"
+    use_parallel_projector: bool = True
+    select_feature: str = "patch"  # strip CLS before packing (vit.py:934-938)
+    # token ids configured at assembly time from the tokenizer
+    im_patch_token_id: int = -1
+    seg_token_id: int = -1
+
+    @property
+    def num_image_tokens(self) -> int:
+        n = self.packer.proj_out_num
+        if self.tower_mode == "dual_vits":
+            return 2 * n
+        return n
+
+
+# ---------------------------------------------------------------------------
+# Data / preprocessing
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """Fused on-device CT preprocessing.
+
+    Semantics from the reference offline scripts
+    (`CT-RATE_nii_to_3D_volume_npy_file.py:41-124`): HU = slope*raw+intercept,
+    clamp to [hu_min, hu_max], resample to (1.5, 0.75, 0.75) mm spacing,
+    min-max normalize, crop foreground (>0), resize to (32,256,256).
+    The 2D-slice path (`CT-RATE_nii_to_2D_slices.py:183-221`) clamps to
+    [-1000, 1000] and divides by 1000 before slice extraction.
+    """
+
+    target_shape: Tuple[int, int, int] = (32, 256, 256)
+    target_spacing: Tuple[float, float, float] = (1.5, 0.75, 0.75)
+    hu_min: float = -1000.0
+    hu_max: float = 200.0
+    slice_hu_min: float = -1000.0
+    slice_hu_max: float = 1000.0
+    num_slices: int = 32
+    slice_size: int = 224
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Train-time augmentation (reference multi_dataset.py:45-56)."""
+
+    rot90_prob: float = 0.5
+    flip_prob: float = 0.10
+    scale_intensity_prob: float = 0.5
+    scale_intensity_factor: float = 0.1
+    shift_intensity_prob: float = 0.5
+    shift_intensity_offset: float = 0.1
+
+
+# ---------------------------------------------------------------------------
+# Parallelism / training
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """SPMD mesh layout. dp: data parallel; tp: tensor parallel (LLM);
+    fsdp: optional param sharding along dp for ZeRO-style memory savings."""
+
+    dp: int = -1  # -1 = all remaining devices
+    tp: int = 1
+    axis_names: Tuple[str, str] = ("dp", "tp")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03  # reference script/train_clip_stage1.sh
+    schedule: str = "cosine"
+    total_steps: int = 10000
+    batch_size: int = 24  # global (reference: 3/GPU x 8)
+    max_grad_norm: float = 1.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    dtype: str = "bfloat16"  # compute dtype; params stay f32
+    remat: bool = False
+    seed: int = 42
+    log_every: int = 50
+    eval_every: int = 500
+    checkpoint_every: int = 1000
+    zero1: bool = False  # shard optimizer state along dp
+
+
+def replace(cfg, **kw):
+    """Convenience dataclasses.replace passthrough."""
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,191 @@
+"""Shared transformer building blocks (flax.linen).
+
+Behavioral contracts come from the reference's MONAI blocks and local
+attention helpers — reimplemented TPU-first:
+  * `TransformerBlock`: pre-LN block matching MONAI
+    `monai.networks.blocks.TransformerBlock` (used at vit.py:464-466):
+    x = x + SA(LN(x)); x = x + MLP(LN(x)); SA has packed qkv (bias
+    configurable, reference uses False), output projection with bias; MLP is
+    Linear-GELU(exact)-Dropout-Linear-Dropout.
+  * `PatchEmbed3D`: MONAI `PatchEmbeddingBlock` perceptron mode
+    (vit.py:290-305 comment): non-overlapping patch rearrange + Linear +
+    learned position embeddings. On TPU this is a single reshape/transpose
+    feeding one large matmul — no conv needed.
+  * `SingleHeadCrossAttention`: the reference's `regular_attention`
+    (vit.py:38-64): full-width single-head Wq/Wk/Wv, residual on the
+    *projected* query, post-LN.
+
+All matmuls run in the module's compute `dtype` (bf16 by default on TPU);
+LayerNorm/softmax accumulate in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from hsenet_tpu.ops.attention import multi_head_attention, sdpa_reference
+
+Dtype = Any
+
+
+class MlpBlock(nn.Module):
+    mlp_dim: int
+    out_dim: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class SelfAttention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = False
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
+        b, s, h = x.shape
+        head_dim = h // self.num_heads
+        qkv = nn.Dense(
+            3 * h, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return rearrange(t, "b s (n d) -> b n s d", n=self.num_heads)
+
+        out = multi_head_attention(
+            heads(q), heads(k), heads(v), kv_lens=kv_lens
+        )
+        out = rearrange(out, "b n s d -> b s (n d)")
+        out = nn.Dense(h, dtype=self.dtype, name="out_proj")(out)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return out
+
+
+class TransformerBlock(nn.Module):
+    num_heads: int
+    mlp_dim: int
+    qkv_bias: bool = False
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
+        h = x.shape[-1]
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        y = SelfAttention(
+            self.num_heads,
+            qkv_bias=self.qkv_bias,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            name="attn",
+        )(y, kv_lens=kv_lens, deterministic=deterministic)
+        x = x + y
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = MlpBlock(
+            self.mlp_dim,
+            h,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        return x + y
+
+
+class PatchEmbed3D(nn.Module):
+    """(B, C, D, H, W) -> (B, n_patches, hidden) + learned pos embeddings."""
+
+    patch_size: Tuple[int, int, int]
+    hidden_size: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        p0, p1, p2 = self.patch_size
+        # 'b c (d p0) (h p1) (w p2) -> b (d h w) (p0 p1 p2 c)' — channel
+        # last inside the patch, matching MONAI perceptron rearrange order.
+        tokens = rearrange(
+            x,
+            "b c (d p0) (h p1) (w p2) -> b (d h w) (p0 p1 p2 c)",
+            p0=p0,
+            p1=p1,
+            p2=p2,
+        ).astype(self.dtype)
+        tokens = nn.Dense(self.hidden_size, dtype=self.dtype, name="proj")(tokens)
+        n = tokens.shape[1]
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (1, n, self.hidden_size),
+            jnp.float32,
+        )
+        tokens = tokens + pos.astype(self.dtype)
+        tokens = nn.Dropout(self.dropout_rate)(
+            tokens, deterministic=deterministic
+        )
+        return tokens
+
+
+class PatchEmbed2D(nn.Module):
+    """(B, H, W, C) -> (B, n_patches, hidden); for the 2D slice trunk."""
+
+    patch_size: int
+    hidden_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size
+        tokens = rearrange(
+            x, "b (h p1) (w p2) c -> b (h w) (p1 p2 c)", p1=p, p2=p
+        ).astype(self.dtype)
+        tokens = nn.Dense(self.hidden_size, dtype=self.dtype, name="proj")(tokens)
+        return tokens
+
+
+class SingleHeadCrossAttention(nn.Module):
+    """Reference `regular_attention` (vit.py:38-64).
+
+    Full-width single-head cross attention: out, attn = SDPA(Wq q, Wk k, Wv v)
+    with scale 1/sqrt(emb_dim); result = LN(Wq(q) + Drop(Wo(out))).
+    Returns (result, attention_weights).
+    """
+
+    emb_dim: int = 768
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, *, kv_lens=None, deterministic=True):
+        q = nn.Dense(self.emb_dim, dtype=self.dtype, name="wq")(query)
+        k = nn.Dense(self.emb_dim, dtype=self.dtype, name="wk")(key)
+        v = nn.Dense(self.emb_dim, dtype=self.dtype, name="wv")(value)
+        s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
+        s = s / jnp.sqrt(jnp.float32(self.emb_dim))
+        if kv_lens is not None:
+            col = jnp.arange(s.shape[-1])[None, None, :]
+            s = jnp.where(col < kv_lens[:, None, None], s, -1e30)
+        attn = jax.nn.softmax(s, axis=-1)
+        attn_d = nn.Dropout(self.dropout_rate)(
+            attn, deterministic=deterministic
+        ).astype(v.dtype)
+        out = jnp.einsum("bqk,bkd->bqd", attn_d, v)
+        out = nn.Dense(self.emb_dim, dtype=self.dtype, name="out_proj")(out)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        out = nn.LayerNorm(dtype=jnp.float32, name="norm")(q + out)
+        return out, attn

@@ -1,0 +1,252 @@
+"""3D vision encoders: ViT3D (stage 1), the 2E3 slice-guided ViT (stage 2),
+the 2D slice trunk, and the dual-encoder tower.
+
+Reference behavior (all cites into /root/reference/Preprint/LaMed/src/):
+  * `ViT_stage1` (model/multimodal_encoder/vit.py:360-469): patch embed ->
+    [CLS | tokens] -> 12 transformer blocks -> final LayerNorm.
+  * `ViT_stage2` (vit.py:222-357): patch embed -> single-head cross-attention
+    from the 2048 patch tokens onto the 32 per-slice BiomedCLIP features ->
+    Linear(768->1)+Sigmoid per-patch score -> tokens *= score -> [CLS |
+    tokens] -> same tower. ("linear_sigmoid" score strategy, vit.py:336-345.)
+  * `ViT3DTower_dual_encoders` (vit.py:891-960): both towers; strips CLS when
+    select_feature == 'patch'; `tower_mode` mirrors remain_2d3d_ViT_type.
+  * `ViT2D` is the BiomedCLIP-compatible ViT-B/16 trunk the reference runs
+    via open_clip offline (CT-RATE_2D_to_npy_file.py:88) or in-graph
+    (vit.py:529-532); here it is a first-class in-graph module.
+
+TPU notes: the 12-layer tower is an `nn.scan` over stacked block params (one
+compiled block body, weights as a leading-axis stack), attention runs through
+the Pallas flash kernel, and everything is shape-static so XLA tiles the
+(2048x1024)x(1024x768) patch matmul and the block matmuls straight onto the
+MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hsenet_tpu.configs import ViT2DConfig, ViT3DConfig
+from hsenet_tpu.models.layers import (
+    PatchEmbed2D,
+    PatchEmbed3D,
+    SingleHeadCrossAttention,
+    TransformerBlock,
+)
+
+Dtype = Any
+
+
+class TransformerTower(nn.Module):
+    """num_layers pre-LN blocks as a scanned stack + final LayerNorm."""
+
+    num_layers: int
+    num_heads: int
+    mlp_dim: int
+    qkv_bias: bool = False
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(
+                TransformerBlock, static_argnums=(), prevent_cse=False
+            )
+
+        def body(block, carry):
+            y = block(
+                carry, kv_lens=kv_lens, deterministic=deterministic
+            )
+            return y, None
+
+        stack = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+        )
+        x, _ = stack(
+            block_cls(
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                qkv_bias=self.qkv_bias,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                name="blocks",
+            ),
+            x,
+        )
+        return nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+
+
+class ViT3D(nn.Module):
+    """Stage-1 3D ViT; with `config.slice_guided=True` it is the 2E3 encoder."""
+
+    config: ViT3DConfig
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        volume: jax.Array,  # (B, C, D, H, W) in [0, 1]
+        slice_features: Optional[jax.Array] = None,  # (B, 32, 768) for 2E3
+        *,
+        deterministic: bool = True,
+        return_scores: bool = False,
+    ):
+        cfg = self.config
+        x = PatchEmbed3D(
+            cfg.patch_size,
+            cfg.hidden_size,
+            dropout_rate=cfg.dropout_rate,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(volume, deterministic=deterministic)
+
+        scores = None
+        if cfg.slice_guided:
+            assert slice_features is not None, "2E3 encoder needs slice features"
+            guided, _ = SingleHeadCrossAttention(
+                emb_dim=cfg.hidden_size,
+                dropout_rate=0.1,
+                dtype=self.dtype,
+                name="slice_guided_attention",
+            )(
+                x,
+                slice_features.astype(self.dtype),
+                slice_features.astype(self.dtype),
+                deterministic=deterministic,
+            )
+            score_logit = nn.Dense(
+                1, dtype=jnp.float32, name="patch_score_proj"
+            )(guided)
+            scores = jax.nn.sigmoid(score_logit)  # (B, N, 1) in (0, 1)
+            x = x * scores.astype(x.dtype)
+
+        if cfg.classification:
+            cls = self.param(
+                "cls_token",
+                nn.initializers.zeros,
+                (1, 1, cfg.hidden_size),
+                jnp.float32,
+            )
+            cls = jnp.broadcast_to(
+                cls.astype(x.dtype), (x.shape[0], 1, cfg.hidden_size)
+            )
+            x = jnp.concatenate([cls, x], axis=1)
+
+        x = TransformerTower(
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            mlp_dim=cfg.mlp_dim,
+            qkv_bias=cfg.qkv_bias,
+            dropout_rate=cfg.dropout_rate,
+            dtype=self.dtype,
+            remat=self.remat,
+            name="tower",
+        )(x, deterministic=deterministic)
+
+        if return_scores:
+            return x, scores
+        return x
+
+
+class ViT2D(nn.Module):
+    """BiomedCLIP-compatible 2D ViT-B/16 trunk (timm-style, pre-LN, CLS)."""
+
+    config: ViT2DConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array, *, deterministic: bool = True):
+        """images: (B, H, W, C) -> (B, hidden) pooled CLS feature."""
+        cfg = self.config
+        x = PatchEmbed2D(
+            cfg.patch_size, cfg.hidden_size, dtype=self.dtype, name="patch_embed"
+        )(images)
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size), jnp.float32
+        )
+        cls = jnp.broadcast_to(
+            cls.astype(x.dtype), (x.shape[0], 1, cfg.hidden_size)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (1, cfg.num_patches + 1, cfg.hidden_size),
+            jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm_pre")(x)
+        x = TransformerTower(
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            mlp_dim=cfg.mlp_dim,
+            qkv_bias=True,  # timm ViT uses qkv bias
+            dtype=self.dtype,
+            name="tower",
+        )(x, deterministic=deterministic)
+        return x[:, 0]
+
+
+class DualVisionTower(nn.Module):
+    """Both towers; returns per-mode patch-token streams (CLS stripped).
+
+    tower_mode: 'dual_vits' -> (feats_3d, feats_2e3); '3d_vit' / '2e3_vit'
+    -> single stream. Mirrors vit.py:926-948.
+    """
+
+    config: ViT3DConfig
+    tower_mode: str = "dual_vits"
+    select_feature: str = "patch"
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        import dataclasses
+
+        base = dataclasses.replace(self.config, slice_guided=False)
+        guided = dataclasses.replace(self.config, slice_guided=True)
+        if self.tower_mode in ("dual_vits", "3d_vit"):
+            self.tower_stage1 = ViT3D(
+                base, dtype=self.dtype, remat=self.remat, name="tower_stage1"
+            )
+        if self.tower_mode in ("dual_vits", "2e3_vit"):
+            self.tower_stage2 = ViT3D(
+                guided, dtype=self.dtype, remat=self.remat, name="tower_stage2"
+            )
+
+    def _select(self, feats):
+        if self.select_feature == "patch" and self.config.classification:
+            return feats[:, 1:]
+        if self.select_feature in ("patch", "cls_patch"):
+            return feats
+        raise ValueError(f"Unexpected select_feature: {self.select_feature}")
+
+    def __call__(self, volume, slice_features=None, *, deterministic=True):
+        outs = []
+        if self.tower_mode in ("dual_vits", "3d_vit"):
+            outs.append(
+                self._select(
+                    self.tower_stage1(volume, deterministic=deterministic)
+                )
+            )
+        if self.tower_mode in ("dual_vits", "2e3_vit"):
+            outs.append(
+                self._select(
+                    self.tower_stage2(
+                        volume, slice_features, deterministic=deterministic
+                    )
+                )
+            )
+        if self.tower_mode == "dual_vits":
+            return tuple(outs)
+        return outs[0]

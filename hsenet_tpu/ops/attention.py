@@ -1,0 +1,100 @@
+"""Attention entry points: XLA reference + Pallas flash dispatch.
+
+`multi_head_attention` is the single attention call-site used by every model
+in the framework (ViT towers, BERT, Phi LLM). It dispatches to the Pallas
+flash kernel on TPU and to a fused-by-XLA einsum/softmax path elsewhere, and
+handles GQA head expansion and padding masks uniformly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hsenet_tpu.ops.flash_attention import flash_attention
+
+_FLASH_ENABLED = True
+
+
+def set_flash_enabled(enabled: bool) -> None:
+    """Global switch (e.g. for numerics A/B tests)."""
+    global _FLASH_ENABLED
+    _FLASH_ENABLED = enabled
+
+
+def sdpa_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_lens: Optional[jax.Array] = None,
+    causal: bool = False,
+    q_offset: int = 0,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Plain scaled-dot-product attention (B, H, S, D); softmax in f32.
+
+    Matches the reference math (`vit.py:25-33`): scores / sqrt(d), additive
+    -inf masking, softmax, weighted sum.
+    """
+    d = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale
+    sq, skv = q.shape[2], k.shape[2]
+    if kv_lens is not None:
+        col = jnp.arange(skv)[None, None, None, :]
+        s = jnp.where(col < kv_lens[:, None, None, None], s, -1e30)
+    if causal:
+        col = jnp.arange(skv)[None, None, None, :]
+        row = jnp.arange(sq)[None, None, :, None]
+        s = jnp.where(col <= row + q_offset, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_lens: Optional[jax.Array] = None,
+    causal: bool = False,
+    q_offset: int = 0,
+    sm_scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Attention over (B, H|Hkv, S, D) with GQA support and flash dispatch."""
+    heads, kv_heads = q.shape[1], k.shape[1]
+    if kv_heads != heads:
+        assert heads % kv_heads == 0
+        rep = heads // kv_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    if use_flash is None:
+        use_flash = _FLASH_ENABLED and q.shape[2] > 1
+    if use_flash:
+        return flash_attention(
+            q,
+            k,
+            v,
+            kv_lens=kv_lens,
+            causal=causal,
+            q_offset=q_offset,
+            sm_scale=sm_scale,
+        )
+    return sdpa_reference(
+        q,
+        k,
+        v,
+        kv_lens=kv_lens,
+        causal=causal,
+        q_offset=q_offset,
+        sm_scale=sm_scale,
+    )

@@ -1,0 +1,84 @@
+"""Flash-attention kernel correctness vs the reference SDPA math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsenet_tpu.ops.attention import multi_head_attention, sdpa_reference
+from hsenet_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(key, b, h, sq, skv, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, sq, d), dtype)
+    k = jax.random.normal(kk, (b, h, skv, d), dtype)
+    v = jax.random.normal(kv, (b, h, skv, d), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("sq,skv", [(128, 128), (200, 200), (2049, 2049)])
+def test_flash_matches_reference(key, sq, skv):
+    q, k, v = _rand_qkv(key, 2, 3, sq, skv, 64)
+    out_flash = flash_attention(q, k, v)
+    out_ref = sdpa_reference(q, k, v)
+    np.testing.assert_allclose(out_flash, out_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_causal(key):
+    q, k, v = _rand_qkv(key, 2, 2, 192, 192, 32)
+    out_flash = flash_attention(q, k, v, causal=True)
+    out_ref = sdpa_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(out_flash, out_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_causal_with_offset(key):
+    """Prefill continuation: queries start at position q_offset in the cache."""
+    q, k, v = _rand_qkv(key, 1, 2, 64, 192, 32)
+    out_flash = flash_attention(q, k, v, causal=True, q_offset=128)
+    out_ref = sdpa_reference(q, k, v, causal=True, q_offset=128)
+    np.testing.assert_allclose(out_flash, out_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_variable_kv_lens(key):
+    q, k, v = _rand_qkv(key, 3, 2, 128, 256, 32)
+    kv_lens = jnp.array([256, 100, 1], jnp.int32)
+    out_flash = flash_attention(q, k, v, kv_lens=kv_lens)
+    out_ref = sdpa_reference(q, k, v, kv_lens=kv_lens)
+    np.testing.assert_allclose(out_flash, out_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_gradients_match_reference(key):
+    q, k, v = _rand_qkv(key, 1, 2, 256, 256, 32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa_reference(q, k, v, causal=True) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_mha_gqa_expansion(key):
+    """multi_head_attention repeats KV heads for grouped-query attention."""
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 8, 64, 32))
+    k = jax.random.normal(kk, (2, 2, 64, 32))
+    v = jax.random.normal(kv, (2, 2, 64, 32))
+    out = multi_head_attention(q, k, v, causal=True)
+    k_full = jnp.repeat(k, 4, axis=1)
+    v_full = jnp.repeat(v, 4, axis=1)
+    ref = sdpa_reference(q, k_full, v_full, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_under_jit_and_vmapless_batching(key):
+    q, k, v = _rand_qkv(key, 4, 2, 130, 130, 64)
+    f = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+    np.testing.assert_allclose(
+        f(q, k, v), sdpa_reference(q, k, v), atol=2e-5, rtol=2e-5
+    )
