@@ -1,0 +1,72 @@
+"""SPMD mesh + sharding helpers.
+
+The reference's only parallelism is NCCL DDP through HF accelerate
+(SURVEY.md §2.10). Here everything is one jit-compiled SPMD program over a
+`jax.sharding.Mesh` with axes ('dp', 'tp'):
+
+  * data parallel: batch sharded over 'dp', gradients all-reduced by XLA
+    over ICI — no DDP wrapper, no gradient hooks.
+  * tensor parallel: LLM weight matrices sharded over 'tp' (rules in
+    `hsenet_tpu/parallel/sharding.py`).
+  * global contrastive loss: computing the full (B, B) logit matrix under
+    jit over a dp-sharded batch makes XLA insert the feature all-gather —
+    the grad-carrying `torch.distributed.nn.all_gather` of the reference
+    (dist_utils.py:280-306) falls out of SPMD for free.
+
+Multi-pod later: extend the mesh with a DCN axis; no model code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hsenet_tpu.configs import MeshConfig
+
+
+def create_mesh(
+    config: Optional[MeshConfig] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    config = config or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    tp = config.tp
+    dp = config.dp if config.dp > 0 else n // tp
+    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+    arr = np.array(devices).reshape(dp, tp)
+    return Mesh(arr, config.axis_names)
+
+
+def batch_spec() -> P:
+    """Batch arrays: leading dim sharded over dp."""
+    return P("dp")
+
+
+def replicated_spec() -> P:
+    return P()
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host pytree of arrays batch-sharded onto the mesh."""
+    sharding = NamedSharding(mesh, P("dp"))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def constrain_batch(tree, mesh: Mesh):
+    """with_sharding_constraint: keep batch tensors dp-sharded inside jit."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, sharding), tree
+    )

@@ -1,0 +1,110 @@
+"""Stage-2 (2E3) CLIP training step with frozen stage-1 teacher.
+
+Reference `M3DCLIP_stage2.forward` (CLIP_stage2.py:119-169): teacher CLIP
+runs under inference mode on the same batch; the student's loss is its own
+contrastive loss plus a decaying MSE between teacher and student logit
+matrices. Functionally: two parameter trees for the same `CLIPModel` module;
+the teacher tree is closed over / stop-gradiented — no module surgery.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hsenet_tpu.configs import CLIPConfig
+from hsenet_tpu.models.clip import CLIPModel
+from hsenet_tpu.train.losses import (
+    clip_contrastive_loss,
+    relation_regulation_loss,
+    relation_weight,
+    retrieval_accuracy,
+)
+from hsenet_tpu.train.train_state import TrainState
+
+
+def stage2_loss_fn(
+    student: CLIPModel,
+    teacher: CLIPModel,
+    cfg: CLIPConfig,
+    params,
+    teacher_params,
+    batch: Dict[str, jax.Array],
+    step: jax.Array,
+    dropout_rng=None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    # teacher pass (frozen, no slice features: the teacher is stage-1)
+    t_img, t_txt, t_scale = teacher.apply(
+        jax.lax.stop_gradient(teacher_params),
+        batch["image"],
+        batch["input_ids"],
+        batch.get("attention_mask"),
+        deterministic=True,
+    )
+    _, t_logits_i, t_logits_t = clip_contrastive_loss(t_img, t_txt, t_scale)
+
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    s_img, s_txt, s_scale = student.apply(
+        params,
+        batch["image"],
+        batch["input_ids"],
+        batch.get("attention_mask"),
+        batch["image_2d"],
+        deterministic=dropout_rng is None,
+        rngs=rngs,
+    )
+    loss_cl, s_logits_i, s_logits_t = clip_contrastive_loss(
+        s_img, s_txt, s_scale
+    )
+    loss_rel = relation_regulation_loss(
+        t_logits_i, t_logits_t, s_logits_i, s_logits_t
+    )
+    w = relation_weight(
+        step, cfg.relation_max_weighted_step, cfg.relation_base_weight
+    )
+    loss = loss_cl + w * loss_rel
+    metrics = {
+        "loss": loss,
+        "loss_cl": loss_cl,
+        "loss_relation": loss_rel,
+        "relation_weight": w,
+        "retrieval_acc": retrieval_accuracy(s_logits_i),
+    }
+    return loss, metrics
+
+
+def make_stage2_train_step(
+    student: CLIPModel,
+    teacher: CLIPModel,
+    cfg: CLIPConfig,
+    tx: optax.GradientTransformation,
+    teacher_params,
+    mesh: Optional[Mesh] = None,
+):
+    def train_step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        if mesh is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("dp"))
+                ),
+                batch,
+            )
+        (loss, metrics), grads = jax.value_and_grad(
+            functools.partial(stage2_loss_fn, student, teacher, cfg),
+            has_aux=True,
+        )(state.params, teacher_params, batch, state.step, dropout_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,))
