@@ -1,0 +1,417 @@
+"""Phi-3 / Phi-4-mini decoder-only LLM in flax, TPU-first.
+
+Architecture contract comes from HF `Phi3ForCausalLM` (the reference's LLM
+backbone, `model/language_model/lamed_phi3.py:15-243`, loaded as Phi-4-mini
+per train_VLM.py:62-65): RMSNorm, fused qkv_proj (q|k|v), GQA, partial
+rotary embeddings (rotary_dim = partial_rotary_factor * head_dim), fused
+gate_up_proj with SiLU gating, optional tied embeddings.
+
+TPU design:
+  * right-padded batches throughout — each row tracks its own KV-cache
+    length, so decode writes land exactly after each prompt. (The reference
+    leans on HF's attention-mask machinery; eval also pads right,
+    Bench/eval/eval_HSENet_CT_Rate_MRG.py:412-428.)
+  * train/prefill: causal flash attention with per-row valid lengths;
+    decode: single-token query against a static-shape KV cache updated with
+    per-row dynamic slices (donate the cache under jit for in-place reuse).
+  * layers run under `nn.scan` (one compiled block body, stacked weights);
+    the KV cache scans along the same leading layer axis.
+  * LoRA via `LoRADense` on all four projections (reference peft targets,
+    train_VLM.py:254-264).
+
+Initialize with `input_ids` (not only embeds) so the embedding table always
+materialises.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+from flax import struct
+
+from hsenet_tpu.configs import Phi3Config
+from hsenet_tpu.models.lora import LoRADense
+from hsenet_tpu.ops.attention import multi_head_attention
+
+Dtype = Any
+
+
+@struct.dataclass
+class KVCache:
+    k: jax.Array  # (num_layers, B, Hkv, T, D)
+    v: jax.Array
+    lengths: jax.Array  # (B,) valid tokens per row
+
+    @classmethod
+    def create(
+        cls, config: Phi3Config, batch: int, max_len: int, dtype=jnp.bfloat16
+    ):
+        shape = (
+            config.num_layers,
+            batch,
+            config.num_kv_heads,
+            max_len,
+            config.head_dim,
+        )
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+def _rope_cos_sin(positions, rotary_dim, theta, dtype=jnp.float32):
+    """positions: (B, S) -> cos/sin (B, S, rotary_dim), HF half-split layout."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q, k, cos, sin, rotary_dim):
+    """q,k: (B, H, S, D); cos/sin: (B, S, rotary_dim). Partial rotation."""
+    cos = cos[:, None]
+    sin = sin[:, None]
+
+    def rot(x):
+        x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
+        x_rot = x_rot * cos + _rotate_half(x_rot) * sin
+        return jnp.concatenate([x_rot, x_pass], axis=-1).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "scale", nn.initializers.ones, (x.shape[-1],), jnp.float32
+        )
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.eps)
+        return (y * scale).astype(x.dtype)
+
+
+def _update_cache_layer(cache_k, cache_v, k_new, v_new, lengths):
+    """Write (B, Hkv, S, D) new keys/values at per-row offsets `lengths`."""
+
+    def write_row(ck, cv, kn, vn, off):
+        ck = jax.lax.dynamic_update_slice(ck, kn, (0, off, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vn, (0, off, 0))
+        return ck, cv
+
+    return jax.vmap(write_row)(cache_k, cache_v, k_new, v_new, lengths)
+
+
+class Phi3Block(nn.Module):
+    config: Phi3Config
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cos, sin, kv_lens, layer_cache, *, deterministic=True):
+        """layer_cache: None or (k, v, lengths), k/v (B, Hkv, T, D).
+
+        Returns (x, new_layer_kv or None).
+        """
+        cfg = self.config
+        h = cfg.hidden_size
+
+        y = RMSNorm(cfg.rms_norm_eps, name="input_norm")(x)
+        qkv = LoRADense(
+            cfg.q_dim + 2 * cfg.kv_dim,
+            use_bias=cfg.attention_bias,
+            lora=cfg.lora,
+            dtype=self.dtype,
+            name="qkv_proj",
+        )(y, deterministic=deterministic)
+        q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+        q = rearrange(q, "b s (n d) -> b n s d", n=cfg.num_heads)
+        k = rearrange(k, "b s (n d) -> b n s d", n=cfg.num_kv_heads)
+        v = rearrange(v, "b s (n d) -> b n s d", n=cfg.num_kv_heads)
+        q, k = apply_rope(q, k, cos, sin, cfg.rotary_dim)
+
+        if layer_cache is None:
+            attn = multi_head_attention(q, k, v, kv_lens=kv_lens, causal=True)
+            new_kv = None
+        else:
+            ck, cv, lengths = layer_cache
+            ck, cv = _update_cache_layer(
+                ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), lengths
+            )
+            s = q.shape[2]
+            total = lengths + (1 if s == 1 else kv_lens)
+            if s == 1:
+                # decode: single-query attention over the cache (XLA matvec)
+                attn = multi_head_attention(
+                    q,
+                    ck.astype(q.dtype),
+                    cv.astype(q.dtype),
+                    kv_lens=total,
+                    use_flash=False,
+                )
+            else:
+                # prefill into an empty cache (lengths == 0): causal flash
+                attn = multi_head_attention(
+                    q,
+                    ck.astype(q.dtype),
+                    cv.astype(q.dtype),
+                    kv_lens=total,
+                    causal=True,
+                )
+            new_kv = (ck, cv)
+
+        attn = rearrange(attn, "b n s d -> b s (n d)")
+        attn = LoRADense(
+            h,
+            use_bias=cfg.attention_bias,
+            lora=cfg.lora,
+            dtype=self.dtype,
+            name="o_proj",
+        )(attn, deterministic=deterministic)
+        x = x + attn
+
+        y = RMSNorm(cfg.rms_norm_eps, name="post_attn_norm")(x)
+        gate_up = LoRADense(
+            2 * cfg.intermediate_size,
+            lora=cfg.lora,
+            dtype=self.dtype,
+            name="gate_up_proj",
+        )(y, deterministic=deterministic)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        y = jax.nn.silu(gate) * up
+        y = LoRADense(h, lora=cfg.lora, dtype=self.dtype, name="down_proj")(
+            y, deterministic=deterministic
+        )
+        return x + y, new_kv
+
+
+class Phi3Decoder(nn.Module):
+    """Scanned decoder stack + final RMSNorm; operates on embeddings."""
+
+    config: Phi3Config
+    dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,
+        *,
+        kv_lens: Optional[jax.Array] = None,
+        cache: Optional[KVCache] = None,
+        positions: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[KVCache]]:
+        cfg = self.config
+        x = inputs_embeds.astype(self.dtype)
+        b, s, _ = x.shape
+
+        if positions is None:
+            if cache is not None:
+                positions = cache.lengths[:, None] + jnp.arange(s)[None, :]
+            else:
+                positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        cos, sin = _rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta)
+
+        if kv_lens is None:
+            kv_lens = jnp.full((b,), s, jnp.int32)
+
+        block_cls = Phi3Block
+        if self.remat:
+            block_cls = nn.remat(Phi3Block, prevent_cse=False)
+
+        if cache is None:
+
+            def body(block, carry):
+                y, _ = block(
+                    carry, cos, sin, kv_lens, None, deterministic=deterministic
+                )
+                return y, None
+
+            stack = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.num_layers,
+            )
+            x, _ = stack(block_cls(cfg, dtype=self.dtype, name="layers"), x)
+            new_cache = None
+        else:
+
+            def body(block, carry, layer_kv):
+                y, new_kv = block(
+                    carry,
+                    cos,
+                    sin,
+                    kv_lens,
+                    (layer_kv[0], layer_kv[1], cache.lengths),
+                    deterministic=deterministic,
+                )
+                return y, new_kv
+
+            stack = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0,
+                out_axes=0,
+                length=cfg.num_layers,
+            )
+            x, (new_k, new_v) = stack(
+                block_cls(cfg, dtype=self.dtype, name="layers"),
+                x,
+                (cache.k, cache.v),
+            )
+            appended = (
+                jnp.ones_like(cache.lengths) if s == 1 else kv_lens
+            )
+            new_cache = KVCache(
+                k=new_k, v=new_v, lengths=cache.lengths + appended
+            )
+        x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
+        return x, new_cache
+
+
+class Phi3ForCausalLM(nn.Module):
+    """Embeddings + decoder + LM head. Multi-method: `embed_tokens` and
+    `decode_embeds` are exposed for the VLM's image-token splice."""
+
+    config: Phi3Config
+    dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.embed = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=self.dtype,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+            name="embed",
+        )
+        self.decoder = Phi3Decoder(
+            cfg, dtype=self.dtype, remat=self.remat, name="decoder"
+        )
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head"
+            )
+
+    def embed_tokens(self, input_ids: jax.Array) -> jax.Array:
+        return self.embed(input_ids)
+
+    def compute_logits(self, hidden: jax.Array) -> jax.Array:
+        if self.config.tie_word_embeddings:
+            return self.embed.attend(hidden)
+        return self.lm_head(hidden)
+
+    def decode_embeds(
+        self,
+        inputs_embeds: jax.Array,
+        *,
+        kv_lens: Optional[jax.Array] = None,
+        cache: Optional[KVCache] = None,
+        positions: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        last_token_only: bool = False,
+    ):
+        hidden, new_cache = self.decoder(
+            inputs_embeds,
+            kv_lens=kv_lens,
+            cache=cache,
+            positions=positions,
+            deterministic=deterministic,
+        )
+        if last_token_only:
+            if kv_lens is not None and hidden.shape[1] > 1:
+                idx = jnp.maximum(kv_lens - 1, 0)
+                hidden = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)
+            else:
+                hidden = hidden[:, -1:]
+        logits = self.compute_logits(hidden)
+        return logits, new_cache
+
+    def __call__(
+        self,
+        input_ids: Optional[jax.Array] = None,
+        *,
+        inputs_embeds: Optional[jax.Array] = None,
+        kv_lens: Optional[jax.Array] = None,
+        cache: Optional[KVCache] = None,
+        positions: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        last_token_only: bool = False,
+    ):
+        if inputs_embeds is None:
+            inputs_embeds = self.embed(input_ids)
+        return self.decode_embeds(
+            inputs_embeds,
+            kv_lens=kv_lens,
+            cache=cache,
+            positions=positions,
+            deterministic=deterministic,
+            last_token_only=last_token_only,
+        )
+
+
+def convert_hf_phi3(state_dict, config: Phi3Config):
+    """HF torch `Phi3ForCausalLM.state_dict()` -> flax params.
+
+    Per-layer weights are stacked along a leading axis for the scanned stack.
+    """
+    import numpy as np
+
+    def t(name):
+        w = state_dict[name]
+        try:
+            w = w.detach().to("cpu").float().numpy()
+        except AttributeError:
+            w = np.asarray(w)
+        return w
+
+    def lin(prefix):
+        return {"kernel": t(f"{prefix}.weight").T}
+
+    def stack(trees):
+        return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+    layers = []
+    for i in range(config.num_layers):
+        p = f"model.layers.{i}"
+        layers.append(
+            {
+                "input_norm": {"scale": t(f"{p}.input_layernorm.weight")},
+                "qkv_proj": lin(f"{p}.self_attn.qkv_proj"),
+                "o_proj": lin(f"{p}.self_attn.o_proj"),
+                "post_attn_norm": {
+                    "scale": t(f"{p}.post_attention_layernorm.weight")
+                },
+                "gate_up_proj": lin(f"{p}.mlp.gate_up_proj"),
+                "down_proj": lin(f"{p}.mlp.down_proj"),
+            }
+        )
+
+    params = {
+        "embed": {"embedding": t("model.embed_tokens.weight")},
+        "decoder": {
+            "layers": stack(layers),
+            "norm": {"scale": t("model.norm.weight")},
+        },
+    }
+    if not config.tie_word_embeddings and "lm_head.weight" in state_dict:
+        params["lm_head"] = lin("lm_head")
+    return {"params": params}
