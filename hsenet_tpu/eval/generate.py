@@ -1,0 +1,113 @@
+"""Batched autoregressive generation, fully jit-compiled.
+
+Replaces the reference's HF `model.generate` path
+(lamed_phi3.py:151-228; greedy, max_new 512 for MRG / 74 for VQA,
+Bench/eval/eval_HSENet_CT_Rate_MRG.py:416-428). The whole decode loop is a
+`lax.scan` inside one jit: vision encode + packer + prefill once, then
+max_new_tokens cached decode steps with per-row EOS freezing. Right-padded
+ragged prompts are handled by per-row KV-cache lengths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hsenet_tpu.models.mllm import HSENetVLM
+from hsenet_tpu.models.phi3 import KVCache
+
+
+def make_greedy_generate(
+    model: HSENetVLM,
+    *,
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int = 0,
+    cache_dtype=jnp.bfloat16,
+):
+    """Returns generate(params, input_ids, kv_lens, volume, slice_features)
+    -> (B, max_new_tokens) token ids (pad after EOS). Jitted."""
+
+    def generate(params, input_ids, kv_lens, volume=None, slice_features=None):
+        b, prompt_len = input_ids.shape
+        cache = KVCache.create(
+            model.config.llm, b, prompt_len + max_new_tokens, dtype=cache_dtype
+        )
+        logits, cache = model.apply(
+            params,
+            input_ids,
+            volume,
+            slice_features,
+            cache,
+            kv_lens.astype(jnp.int32),
+            method=HSENetVLM.prefill,
+        )
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
+
+        def step(carry, _):
+            token, cache, done = carry
+            out_tok = jnp.where(done, pad_token_id, token)
+            next_logits, cache = model.apply(
+                params, token[:, None], cache, method=HSENetVLM.decode_step
+            )
+            next_tok = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
+            done = jnp.logical_or(done, token == eos_token_id)
+            next_tok = jnp.where(done, pad_token_id, next_tok)
+            return (next_tok, cache, done), out_tok
+
+        done0 = first == eos_token_id
+        (_, _, _), tokens = jax.lax.scan(
+            step,
+            (first, cache, jnp.zeros((b,), bool)),
+            None,
+            length=max_new_tokens,
+        )
+        return tokens.T  # (B, max_new_tokens)
+
+    return jax.jit(generate)
+
+
+def make_greedy_generate_llm_only(
+    model, *, max_new_tokens: int, eos_token_id: int, pad_token_id: int = 0,
+    cache_dtype=jnp.bfloat16,
+):
+    """Text-only variant for a bare `Phi3ForCausalLM` (used in tests/bench)."""
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+
+    def generate(params, input_ids, kv_lens):
+        b, prompt_len = input_ids.shape
+        cache = KVCache.create(
+            model.config, b, prompt_len + max_new_tokens, dtype=cache_dtype
+        )
+        logits, cache = model.apply(
+            params,
+            input_ids,
+            kv_lens=kv_lens.astype(jnp.int32),
+            cache=cache,
+            last_token_only=True,
+        )
+        first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+
+        def step(carry, _):
+            token, cache, done = carry
+            out_tok = jnp.where(done, pad_token_id, token)
+            next_logits, cache = model.apply(
+                params, token[:, None], cache=cache
+            )
+            next_tok = jnp.argmax(next_logits[:, 0], axis=-1).astype(jnp.int32)
+            done = jnp.logical_or(done, token == eos_token_id)
+            next_tok = jnp.where(done, pad_token_id, next_tok)
+            return (next_tok, cache, done), out_tok
+
+        (_, _, _), tokens = jax.lax.scan(
+            step,
+            (first, cache, jnp.zeros((b,), bool)),
+            None,
+            length=max_new_tokens,
+        )
+        return tokens.T
+
+    return jax.jit(generate)

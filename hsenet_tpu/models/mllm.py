@@ -1,0 +1,160 @@
+"""HSENet VLM: dual vision towers + dual spatial packers + Phi LLM.
+
+Reference assembly (`model/lamed_arch.py` + `train_VLM.py`):
+  * `encode_images` (lamed_arch.py:122-141): dual tower -> per-stream packer
+    (`mm_projector`, `mm_projector2`) -> concat = 256 image tokens.
+  * `prepare_inputs_for_multimodal` (lamed_arch.py:143-155): embed the token
+    ids, then splice the image features over the `<im_patch>` placeholder
+    block immediately after BOS:
+    cat(embeds[:, :1], image_feats, embeds[:, 1+n_img:]).
+  * forward routes the spliced embeddings through the LLM
+    (lamed_phi3.py:41-148); labels carry -100 over question+image+pad
+    positions (dataset rule, multi_dataset.py:484-501).
+
+The splice is a pure function on embeddings here; generation prefability
+comes from `Phi3ForCausalLM.decode_embeds` + KV cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hsenet_tpu.configs import VLMConfig
+from hsenet_tpu.models.phi3 import KVCache, Phi3ForCausalLM
+from hsenet_tpu.models.projector import build_projector
+from hsenet_tpu.models.vit import DualVisionTower
+
+Dtype = Any
+
+
+def splice_image_embeds(
+    token_embeds: jax.Array, image_feats: jax.Array
+) -> jax.Array:
+    """Overwrite the placeholder block right after BOS with image features.
+
+    Mirrors lamed_arch.py:150-155 exactly (fixed-position splice: the
+    datasets always place proj_out_num `<im_patch>` tokens at positions
+    1..n_img).
+    """
+    n_img = image_feats.shape[1]
+    return jnp.concatenate(
+        [
+            token_embeds[:, :1, :],
+            image_feats.astype(token_embeds.dtype),
+            token_embeds[:, 1 + n_img :, :],
+        ],
+        axis=1,
+    )
+
+
+class HSENetVLM(nn.Module):
+    config: VLMConfig
+    dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.vision_tower = DualVisionTower(
+            cfg.vision,
+            tower_mode=cfg.tower_mode,
+            select_feature=cfg.select_feature,
+            dtype=self.dtype,
+            remat=self.remat,
+            name="vision_tower",
+        )
+        self.mm_projector = build_projector(
+            cfg.packer, dtype=self.dtype, name="mm_projector"
+        )
+        if cfg.tower_mode == "dual_vits":
+            if cfg.use_parallel_projector:
+                self.mm_projector2 = build_projector(
+                    cfg.packer, dtype=self.dtype, name="mm_projector2"
+                )
+            else:
+                self.mm_projector2 = None
+        self.llm = Phi3ForCausalLM(
+            cfg.llm, dtype=self.dtype, remat=self.remat, name="llm"
+        )
+
+    def encode_images(
+        self,
+        volume: jax.Array,
+        slice_features: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        feats = self.vision_tower(
+            volume, slice_features, deterministic=deterministic
+        )
+        if cfg.tower_mode == "dual_vits":
+            f1, f2 = feats
+            p1 = self.mm_projector(f1, deterministic=deterministic)
+            proj2 = self.mm_projector2 or self.mm_projector
+            p2 = proj2(f2, deterministic=deterministic)
+            return jnp.concatenate([p1, p2], axis=1)
+        return self.mm_projector(feats, deterministic=deterministic)
+
+    def multimodal_embeds(
+        self,
+        input_ids: jax.Array,
+        volume: Optional[jax.Array],
+        slice_features: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        embeds = self.llm.embed_tokens(input_ids)
+        if volume is None:
+            return embeds
+        image_feats = self.encode_images(
+            volume, slice_features, deterministic=deterministic
+        )
+        return splice_image_embeds(embeds, image_feats)
+
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        volume: Optional[jax.Array] = None,
+        slice_features: Optional[jax.Array] = None,
+        *,
+        kv_lens: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Training/eval forward: returns logits (B, S, V)."""
+        embeds = self.multimodal_embeds(
+            input_ids, volume, slice_features, deterministic=deterministic
+        )
+        logits, _ = self.llm.decode_embeds(
+            embeds, kv_lens=kv_lens, deterministic=deterministic
+        )
+        return logits
+
+    def prefill(
+        self,
+        input_ids: jax.Array,
+        volume: Optional[jax.Array],
+        slice_features: Optional[jax.Array],
+        cache: KVCache,
+        kv_lens: jax.Array,
+    ) -> Tuple[jax.Array, KVCache]:
+        """Generation prefill: returns (last-valid-token logits, cache)."""
+        embeds = self.multimodal_embeds(
+            input_ids, volume, slice_features, deterministic=True
+        )
+        logits, cache = self.llm.decode_embeds(
+            embeds, kv_lens=kv_lens, cache=cache, last_token_only=True
+        )
+        return logits[:, 0], cache
+
+    def decode_step(
+        self, token: jax.Array, cache: KVCache
+    ) -> Tuple[jax.Array, KVCache]:
+        """One decode step: token (B, 1) -> (logits (B, V), cache)."""
+        embeds = self.llm.embed_tokens(token)
+        logits, cache = self.llm.decode_embeds(embeds, cache=cache)
+        return logits[:, 0], cache

@@ -35,8 +35,8 @@ def create_mesh(
     n = len(devices)
     tp = config.tp
     dp = config.dp if config.dp > 0 else n // tp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
-    arr = np.array(devices).reshape(dp, tp)
+    assert dp * tp <= n, f"mesh {dp}x{tp} needs more than {n} devices"
+    arr = np.array(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, config.axis_names)
 
 

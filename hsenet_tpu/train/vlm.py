@@ -1,0 +1,97 @@
+"""VLM finetune train step (reference train_VLM.py).
+
+Freezing discipline mirrors the reference (train_VLM.py:406-441): the LLM
+base is frozen, LoRA adapters + both packers (+ token embeddings when new
+special tokens are added) train; the pretrained vision towers stay frozen by
+default (reference copies stage-1/2 ViT weights in and does not unfreeze
+them). Freezing = optimizer mask, not parameter surgery.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hsenet_tpu.models.mllm import HSENetVLM
+from hsenet_tpu.train.losses import masked_lm_loss
+from hsenet_tpu.train.train_state import TrainState
+
+
+def vlm_trainable_mask(
+    params,
+    *,
+    train_projectors: bool = True,
+    train_lora: bool = True,
+    train_embeddings: bool = True,
+    train_towers: bool = False,
+):
+    """Boolean pytree mask for the optimizer (train_VLM.py:406-441 policy)."""
+
+    def decide(path_str: str) -> bool:
+        if "lora_a" in path_str or "lora_b" in path_str:
+            return train_lora
+        if "mm_projector" in path_str:
+            return train_projectors
+        if "vision_tower" in path_str:
+            return train_towers
+        if "llm/embed" in path_str or path_str.endswith("embed/embedding"):
+            return train_embeddings
+        return False  # frozen LLM base
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    mask_leaves = [
+        decide("/".join(str(getattr(p, "key", p)) for p in path))
+        for path, _ in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, [bool(m) for m in mask_leaves])
+
+
+def vlm_loss_fn(
+    model: HSENetVLM, params, batch: Dict[str, jax.Array], dropout_rng=None
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    kv_lens = batch["attention_mask"].sum(axis=-1).astype(jnp.int32)
+    logits = model.apply(
+        params,
+        batch["input_ids"],
+        batch.get("image"),
+        batch.get("image_2d"),
+        kv_lens=kv_lens,
+        deterministic=dropout_rng is None,
+        rngs=rngs,
+    )
+    loss, acc = masked_lm_loss(logits, batch["labels"])
+    return loss, {"loss": loss, "token_acc": acc}
+
+
+def make_vlm_train_step(
+    model: HSENetVLM,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+):
+    def train_step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        if mesh is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("dp"))
+                ),
+                batch,
+            )
+        (loss, metrics), grads = jax.value_and_grad(
+            functools.partial(vlm_loss_fn, model), has_aux=True
+        )(state.params, batch, dropout_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,))

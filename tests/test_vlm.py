@@ -1,0 +1,212 @@
+"""VLM assembly: splice semantics, train step, greedy generation."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsenet_tpu.configs import (
+    LoRAConfig,
+    MeshConfig,
+    PackerConfig,
+    Phi3Config,
+    TrainConfig,
+    ViT3DConfig,
+    VLMConfig,
+)
+from hsenet_tpu.eval.generate import make_greedy_generate
+from hsenet_tpu.models.mllm import HSENetVLM, splice_image_embeds
+from hsenet_tpu.parallel.mesh import create_mesh, shard_batch
+from hsenet_tpu.train.train_state import TrainState, make_optimizer
+from hsenet_tpu.train.vlm import make_vlm_train_step, vlm_trainable_mask
+
+TINY_VIT = ViT3DConfig(
+    image_size=(4, 16, 16),
+    patch_size=(2, 8, 8),
+    hidden_size=16,
+    mlp_dim=32,
+    num_layers=1,
+    num_heads=2,
+    num_slices=2,
+    slice_feature_dim=16,
+)
+TINY_PACKER = PackerConfig(
+    grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=32, dropout_rate=0.0
+)
+TINY_LLM = Phi3Config(
+    vocab_size=64,
+    hidden_size=32,
+    intermediate_size=64,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=8,
+    tie_word_embeddings=True,
+    lora=LoRAConfig(rank=2, alpha=4, dropout_rate=0.0),
+)
+TINY_VLM = VLMConfig(vision=TINY_VIT, packer=TINY_PACKER, llm=TINY_LLM)
+N_IMG = TINY_VLM.num_image_tokens  # 2 towers x 2 tokens... (2,2,2)/(1,2,2)=2*1*1...
+
+
+def _batch(b=2, seq=24):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 64, (b, seq))
+    ids[:, 0] = 1  # BOS
+    labels = ids.copy().astype(np.int64)
+    labels[:, : N_IMG + 4] = -100  # question+image masked
+    mask = np.ones((b, seq), np.int64)
+    if b > 1:
+        mask[1, seq - 4 :] = 0
+        labels[1, seq - 4 :] = -100
+    return {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.asarray(mask),
+        "image": jnp.asarray(rng.random((b, 1, 4, 16, 16), np.float32)),
+        "image_2d": jnp.asarray(rng.random((b, 2, 16), np.float32)),
+    }
+
+
+def test_num_image_tokens():
+    assert TINY_PACKER.proj_out_num == 2  # out_grid (2,1,1)
+    assert N_IMG == 4  # dual towers
+    prod = VLMConfig()
+    assert prod.num_image_tokens == 256  # 2 x 128 (train_VLM.py:446-453)
+
+
+def test_splice_places_image_after_bos(key):
+    embeds = jnp.arange(2 * 10 * 4, dtype=jnp.float32).reshape(2, 10, 4)
+    img = -jnp.ones((2, 3, 4))
+    out = splice_image_embeds(embeds, img)
+    assert out.shape == embeds.shape
+    np.testing.assert_array_equal(out[:, 0], embeds[:, 0])  # BOS kept
+    np.testing.assert_array_equal(out[:, 1:4], img)  # image block
+    np.testing.assert_array_equal(out[:, 4:], embeds[:, 4:])  # tail kept
+
+
+def test_vlm_forward_and_masked_loss(key):
+    model = HSENetVLM(TINY_VLM, dtype=jnp.float32)
+    batch = _batch()
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    logits = model.apply(
+        params, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    assert logits.shape == (2, 24, 64)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_vlm_image_changes_answer_logits(key):
+    model = HSENetVLM(TINY_VLM, dtype=jnp.float32)
+    batch = _batch()
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    l1 = model.apply(
+        params, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    l2 = model.apply(
+        params, batch["input_ids"], batch["image"] * 0.5, batch["image_2d"]
+    )
+    assert not np.allclose(l1, l2)
+
+
+def test_vlm_trainable_mask_policy(key):
+    model = HSENetVLM(TINY_VLM, dtype=jnp.float32)
+    batch = _batch()
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    mask = vlm_trainable_mask(params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, trainable in flat:
+        s = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "lora" in s or "mm_projector" in s:
+            assert trainable, s
+        elif "vision_tower" in s:
+            assert not trainable, s
+        elif "qkv_proj/kernel" in s or "down_proj/kernel" in s:
+            assert not trainable, s
+
+
+def test_vlm_train_step_only_updates_trainables(key):
+    mesh = create_mesh(MeshConfig(dp=2, tp=1))
+    model = HSENetVLM(TINY_VLM, dtype=jnp.float32)
+    batch = _batch()
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    mask = vlm_trainable_mask(params)
+    tx = make_optimizer(
+        TrainConfig(total_steps=10, learning_rate=1e-2), trainable_mask=mask
+    )
+    # snapshot to host: the train step donates the state buffers
+    params_before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+    state = TrainState.create(params, tx)
+    step = make_vlm_train_step(model, tx, mesh)
+    batch = shard_batch(batch, mesh)
+    new_state, metrics = step(state, batch, key)
+    new_state, metrics = step(new_state, batch, key)  # step 1 has lr=0 (warmup)
+    assert np.isfinite(float(metrics["loss"]))
+
+    def changed(a, b):
+        return not np.allclose(np.asarray(a), np.asarray(b))
+
+    flat_old = jax.tree_util.tree_flatten_with_path(params_before)[0]
+    flat_new = jax.tree_util.tree_flatten_with_path(new_state.params)[0]
+    flat_mask = jax.tree_util.tree_flatten_with_path(mask)[0]
+    n_changed = 0
+    for (p, old), (_, new), (_, m) in zip(flat_old, flat_new, flat_mask):
+        s = "/".join(str(getattr(q, "key", q)) for q in p)
+        if not m:
+            assert not changed(old, new), f"frozen param changed: {s}"
+        elif changed(old, new):
+            n_changed += 1
+    assert n_changed > 0
+
+
+def test_greedy_generate_shapes_and_determinism(key):
+    model = HSENetVLM(TINY_VLM, dtype=jnp.float32)
+    batch = _batch(b=2, seq=16)
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    gen = make_greedy_generate(
+        model, max_new_tokens=6, eos_token_id=2, pad_token_id=0,
+        cache_dtype=jnp.float32,
+    )
+    kv_lens = batch["attention_mask"].sum(-1)
+    out1 = gen(params, batch["input_ids"], kv_lens, batch["image"], batch["image_2d"])
+    out2 = gen(params, batch["input_ids"], kv_lens, batch["image"], batch["image_2d"])
+    assert out1.shape == (2, 6)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_greedy_generate_matches_stepwise_full_forward(key):
+    """Cached greedy decode must equal argmax rollout over full forwards."""
+    model = HSENetVLM(TINY_VLM, dtype=jnp.float32)
+    b, seq = 1, 12
+    batch = _batch(b=b, seq=seq)
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    gen = make_greedy_generate(
+        model, max_new_tokens=4, eos_token_id=999, pad_token_id=0,
+        cache_dtype=jnp.float32,
+    )
+    kv_lens = jnp.full((b,), seq, jnp.int32)
+    fast = np.asarray(
+        gen(params, batch["input_ids"], kv_lens, batch["image"], batch["image_2d"])
+    )
+
+    ids = np.asarray(batch["input_ids"])
+    for t in range(4):
+        logits = model.apply(
+            params, jnp.asarray(ids), batch["image"], batch["image_2d"]
+        )
+        nxt = int(jnp.argmax(logits[0, -1]))
+        assert nxt == fast[0, t], f"step {t}: {nxt} != {fast[0, t]}"
+        ids = np.concatenate([ids, [[nxt]]], axis=1)
