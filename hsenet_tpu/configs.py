@@ -187,7 +187,10 @@ class LoRAConfig:
     alpha: int = 32
     dropout_rate: float = 0.05
     # which projection names receive LoRA (all linears, like the reference)
-    targets: Tuple[str, ...] = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+    targets: Tuple[str, ...] = (
+        "q_proj", "k_proj", "v_proj", "o_proj",
+        "gate_proj", "up_proj", "down_proj",
+    )
 
     @property
     def scale(self) -> float:

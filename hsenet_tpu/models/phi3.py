@@ -131,14 +131,22 @@ class Phi3Block(nn.Module):
         h = cfg.hidden_size
 
         y = RMSNorm(cfg.rms_norm_eps, name="input_norm")(x)
-        qkv = LoRADense(
-            cfg.q_dim + 2 * cfg.kv_dim,
-            use_bias=cfg.attention_bias,
-            lora=cfg.lora,
-            dtype=self.dtype,
-            name="qkv_proj",
+        # Separate q/k/v projections (HF fuses them; the converter splits the
+        # fused weight). Separate matmuls keep tensor-parallel shardings
+        # head-aligned: a 'tp' shard of the fused (q|k|v) output would
+        # straddle the q/kv boundary and force resharding collectives.
+        q = LoRADense(
+            cfg.q_dim, use_bias=cfg.attention_bias, lora=cfg.lora,
+            dtype=self.dtype, name="q_proj",
         )(y, deterministic=deterministic)
-        q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+        k = LoRADense(
+            cfg.kv_dim, use_bias=cfg.attention_bias, lora=cfg.lora,
+            dtype=self.dtype, name="k_proj",
+        )(y, deterministic=deterministic)
+        v = LoRADense(
+            cfg.kv_dim, use_bias=cfg.attention_bias, lora=cfg.lora,
+            dtype=self.dtype, name="v_proj",
+        )(y, deterministic=deterministic)
         q = rearrange(q, "b s (n d) -> b n s d", n=cfg.num_heads)
         k = rearrange(k, "b s (n d) -> b n s d", n=cfg.num_kv_heads)
         v = rearrange(v, "b s (n d) -> b n s d", n=cfg.num_kv_heads)
@@ -185,13 +193,14 @@ class Phi3Block(nn.Module):
         x = x + attn
 
         y = RMSNorm(cfg.rms_norm_eps, name="post_attn_norm")(x)
-        gate_up = LoRADense(
-            2 * cfg.intermediate_size,
-            lora=cfg.lora,
-            dtype=self.dtype,
-            name="gate_up_proj",
+        gate = LoRADense(
+            cfg.intermediate_size, lora=cfg.lora, dtype=self.dtype,
+            name="gate_proj",
         )(y, deterministic=deterministic)
-        gate, up = jnp.split(gate_up, 2, axis=-1)
+        up = LoRADense(
+            cfg.intermediate_size, lora=cfg.lora, dtype=self.dtype,
+            name="up_proj",
+        )(y, deterministic=deterministic)
         y = jax.nn.silu(gate) * up
         y = LoRADense(h, lora=cfg.lora, dtype=self.dtype, name="down_proj")(
             y, deterministic=deterministic
@@ -392,15 +401,26 @@ def convert_hf_phi3(state_dict, config: Phi3Config):
     layers = []
     for i in range(config.num_layers):
         p = f"model.layers.{i}"
+        # split HF's fused qkv_proj / gate_up_proj into separate kernels
+        qkv = t(f"{p}.self_attn.qkv_proj.weight").T  # (hidden, q+2kv)
+        q_w = qkv[:, : config.q_dim]
+        k_w = qkv[:, config.q_dim : config.q_dim + config.kv_dim]
+        v_w = qkv[:, config.q_dim + config.kv_dim :]
+        gate_up = t(f"{p}.mlp.gate_up_proj.weight").T  # (hidden, 2*inter)
+        gate_w = gate_up[:, : config.intermediate_size]
+        up_w = gate_up[:, config.intermediate_size :]
         layers.append(
             {
                 "input_norm": {"scale": t(f"{p}.input_layernorm.weight")},
-                "qkv_proj": lin(f"{p}.self_attn.qkv_proj"),
+                "q_proj": {"kernel": q_w},
+                "k_proj": {"kernel": k_w},
+                "v_proj": {"kernel": v_w},
                 "o_proj": lin(f"{p}.self_attn.o_proj"),
                 "post_attn_norm": {
                     "scale": t(f"{p}.post_attention_layernorm.weight")
                 },
-                "gate_up_proj": lin(f"{p}.mlp.gate_up_proj"),
+                "gate_proj": {"kernel": gate_w},
+                "up_proj": {"kernel": up_w},
                 "down_proj": lin(f"{p}.mlp.down_proj"),
             }
         )
