@@ -1,0 +1,552 @@
+"""Datasets, tokenization rules, and batching.
+
+Reimplements the reference's dataset layer (`LaMed/src/dataset/
+multi_dataset.py`, 1811 LoC + drifted Bench copy) as one torch-free module:
+manifest-driven datasets producing numpy batches for the jitted train steps.
+
+Faithfully reproduced semantics:
+  * caption/VQA label rules (multi_dataset.py:449-501): question =
+    [BOS] + "<im_patch>"*proj_out_num + prompt; tokenize question+' '+answer
+    right-padded; EOS patched at valid_len; labels -100 over the question
+    span and padding (with the EOS re-patch when pad==eos).
+  * sentence-sampling truncation for long reports (:76-102).
+  * report text cleanup: strip quotes/parentheses (:252-255).
+  * retry-on-exception with a random index, bounded (:104-140).
+  * validation truncated to the first 512 items (:69).
+
+Augmentation is NOT applied here — it runs on device, batched
+(`hsenet_tpu.data.augment`), which is the TPU-native split of
+responsibilities: host = decode + tokenize, device = all math.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import re
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from hsenet_tpu.data.prompts import Caption_templates, VQA_location_templates
+
+IGNORE_INDEX = -100
+IM_PATCH_TOKEN = "<im_patch>"
+SPECIAL_TOKENS = ["<im_patch>", "<bx_start>", "<bx_end>", "[SEG]"]
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer (minimal HF-compatible interface for tests & synthetic runs;
+# real runs plug in a transformers tokenizer loaded from local files)
+# ---------------------------------------------------------------------------
+
+
+class SimpleTokenizer:
+    """Whitespace word-level tokenizer with HF-ish call semantics."""
+
+    def __init__(self, vocab: Optional[List[str]] = None, vocab_size: int = 512):
+        self.pad_token_id = 0
+        self.bos_token_id = 1
+        self.eos_token_id = 2
+        self.unk_token_id = 3
+        self.bos_token = "<s>"
+        self.eos_token = "</s>"
+        self.pad_token = "<pad>"
+        self._tokens = ["<pad>", "<s>", "</s>", "<unk>"]
+        self._ids = {t: i for i, t in enumerate(self._tokens)}
+        self.vocab_limit = vocab_size
+        if vocab:
+            for w in vocab:
+                self.add_token(w)
+
+    def add_token(self, w: str) -> int:
+        if w not in self._ids:
+            self._ids[w] = len(self._tokens)
+            self._tokens.append(w)
+        return self._ids[w]
+
+    def add_special_tokens(self, d: Dict[str, List[str]]):
+        for w in d.get("additional_special_tokens", []):
+            self.add_token(w)
+
+    def convert_tokens_to_ids(self, tok: str) -> int:
+        return self._ids.get(tok, self.unk_token_id)
+
+    def __len__(self):
+        return max(len(self._tokens), self.vocab_limit)
+
+    def _split(self, text: str) -> List[str]:
+        out, i = [], 0
+        # keep special tokens intact
+        pattern = "|".join(re.escape(t) for t in self._tokens if t.startswith("<") or t.startswith("["))
+        for part in re.split(f"({pattern})", text):
+            if not part:
+                continue
+            if part in self._ids:
+                out.append(part)
+            else:
+                out.extend(part.split())
+        return out
+
+    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
+        ids = [self._lookup(w) for w in self._split(text)]
+        if add_special_tokens:
+            ids = [self.bos_token_id] + ids + [self.eos_token_id]
+        return ids
+
+    def _lookup(self, w: str) -> int:
+        if w in self._ids:
+            return self._ids[w]
+        if len(self._tokens) < self.vocab_limit:
+            return self.add_token(w)
+        return self.unk_token_id
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        words = []
+        for i in ids:
+            i = int(i)
+            if i < len(self._tokens):
+                t = self._tokens[i]
+                if skip_special_tokens and i < 4:
+                    continue
+                words.append(t)
+        return " ".join(words)
+
+    def __call__(
+        self,
+        text: str,
+        max_length: int = 128,
+        truncation: bool = True,
+        padding: str = "max_length",
+        add_special_tokens: bool = True,
+        return_tensors: Optional[str] = None,
+    ) -> Dict[str, np.ndarray]:
+        ids = self.encode(text, add_special_tokens=add_special_tokens)
+        if truncation:
+            ids = ids[:max_length]
+        mask = [1] * len(ids)
+        if padding == "max_length":
+            pad = max_length - len(ids)
+            ids = ids + [self.pad_token_id] * pad
+            mask = mask + [0] * pad
+        return {
+            "input_ids": np.asarray([ids], np.int32),
+            "attention_mask": np.asarray([mask], np.int32),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Pure tokenization rules (unit-testable, shared by all caption/VQA datasets)
+# ---------------------------------------------------------------------------
+
+
+def clean_report_text(text: str) -> str:
+    """Strip quotes and parentheses (multi_dataset.py:252-255)."""
+    for ch in ('"', "'", "(", ")"):
+        text = text.replace(ch, "")
+    return text
+
+
+def truncate_text_sentence_sampling(
+    tokenizer, text: str, max_tokens: int, rng: random.Random
+) -> str:
+    """Random sentence-sampling truncation (multi_dataset.py:76-102):
+    keep the first sentence, then add randomly chosen sentences while the
+    token budget allows."""
+
+    def count(t):
+        return len(tokenizer.encode(t, add_special_tokens=True))
+
+    if count(text) <= max_tokens:
+        return text
+    sentences = text.split(".")
+    selected: List[str] = []
+    current = 0
+    if sentences:
+        selected.append(sentences.pop(0))
+    while current <= max_tokens and sentences:
+        s = rng.choice(sentences)
+        n = count(s)
+        if current + n <= max_tokens and s not in selected:
+            selected.append(s)
+            current += n
+        else:
+            sentences.remove(s)
+    return ".".join(selected)
+
+
+def tokenize_qa_sample(
+    tokenizer,
+    question: str,
+    answer: str,
+    max_length: int,
+) -> Dict[str, np.ndarray]:
+    """The reference's caption/VQA packing (multi_dataset.py:471-501).
+
+    Returns input_ids, attention_mask, labels (1D arrays, right-padded).
+    """
+    if getattr(tokenizer, "bos_token", None) is not None:
+        question = tokenizer.bos_token + question
+    full = tokenizer(
+        question + " " + answer,
+        max_length=max_length,
+        truncation=True,
+        padding="max_length",
+        add_special_tokens=False,
+    )
+    input_ids = full["input_ids"][0].copy()
+    attention_mask = full["attention_mask"][0].copy()
+    valid_len = int(attention_mask.sum())
+    if valid_len < len(input_ids):
+        input_ids[valid_len] = tokenizer.eos_token_id
+
+    q_only = tokenizer(
+        question,
+        max_length=max_length,
+        truncation=True,
+        padding="max_length",
+        add_special_tokens=False,
+    )
+    question_len = int(q_only["attention_mask"][0].sum())
+
+    labels = input_ids.astype(np.int64).copy()
+    labels[:question_len] = IGNORE_INDEX
+    if tokenizer.pad_token_id == tokenizer.eos_token_id:
+        labels[labels == tokenizer.pad_token_id] = IGNORE_INDEX
+        if valid_len < len(labels):
+            labels[valid_len] = tokenizer.eos_token_id
+    else:
+        labels[labels == tokenizer.pad_token_id] = IGNORE_INDEX
+    return {
+        "input_ids": input_ids,
+        "attention_mask": attention_mask,
+        "labels": labels,
+        "question_len": question_len,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Datasets
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DataArgs:
+    data_root: str = ""
+    max_length: int = 512
+    max_text_len: int = 128  # CLIP stages
+    proj_out_num: int = 256
+    val_limit: int = 512
+
+
+class _RetryDataset:
+    """__getitem__ retry-random-index-on-exception (multi_dataset.py:104-140)."""
+
+    max_attempts = 100
+
+    def __len__(self):
+        return len(self.data_list)
+
+    def __getitem__(self, idx):
+        rng = random.Random(idx)
+        for _ in range(self.max_attempts):
+            try:
+                return self.get(idx)
+            except Exception as e:  # noqa: BLE001 — reference behavior
+                print(f"Error in __getitem__ at index {idx}: {e}")
+                idx = rng.randint(0, len(self) - 1)
+        raise RuntimeError("dataset retry limit exceeded")
+
+
+def _load_manifest(path: str, split: str, val_limit: int) -> List[dict]:
+    with open(path) as f:
+        data = json.load(f)[split]
+    if split == "validation":
+        data = data[:val_limit]
+    return data
+
+
+def _load_text(entry_text: str, data_root: str) -> str:
+    """Manifest 'text' may be an inline string or a path to a .txt file."""
+    p = os.path.join(data_root, entry_text)
+    if entry_text.endswith(".txt") and os.path.exists(p):
+        with open(p) as f:
+            return f.read()
+    return entry_text
+
+
+class CTRateCLIPDataset(_RetryDataset):
+    """Stage-1 pairs: {image, input_ids, attention_mask, text}
+    (CT_RateDataset, multi_dataset.py:167-277)."""
+
+    def __init__(self, args: DataArgs, tokenizer, manifest: str, split="train"):
+        self.args = args
+        self.tokenizer = tokenizer
+        self.split = split
+        self.data_list = _load_manifest(manifest, split, args.val_limit)
+        self._rng = random.Random(0)
+
+    def get(self, idx):
+        entry = self.data_list[idx]
+        image = np.load(os.path.join(self.args.data_root, entry["image"]))
+        text = clean_report_text(_load_text(entry["text"], self.args.data_root))
+        text = truncate_text_sentence_sampling(
+            self.tokenizer, text, self.args.max_text_len, self._rng
+        )
+        tok = self.tokenizer(
+            text,
+            max_length=self.args.max_text_len,
+            truncation=True,
+            padding="max_length",
+        )
+        return {
+            "image": image.astype(np.float32),
+            "input_ids": tok["input_ids"][0],
+            "attention_mask": tok["attention_mask"][0],
+            "text": text,
+        }
+
+
+class CTRateCLIPStage2Dataset(CTRateCLIPDataset):
+    """Stage-2 pairs add image_2d = (32, 768) BiomedCLIP features
+    (CT_RateDataset_stage2, multi_dataset.py:280-394)."""
+
+    def get(self, idx):
+        ret = super().get(idx)
+        entry = self.data_list[idx]
+        feats = np.load(
+            os.path.join(self.args.data_root, entry["biomedclip_features"])
+        )
+        ret["image_2d"] = feats.astype(np.float32)
+        return ret
+
+
+class CaptionDataset(_RetryDataset):
+    """MRG finetune samples (CapDataset_CT_Rate, multi_dataset.py:406-520)."""
+
+    def __init__(
+        self,
+        args: DataArgs,
+        tokenizer,
+        manifest: str,
+        split="train",
+        templates: Optional[Sequence[str]] = None,
+    ):
+        self.args = args
+        self.tokenizer = tokenizer
+        self.split = split
+        self.data_list = _load_manifest(manifest, split, args.val_limit)
+        self.templates = list(templates or Caption_templates)
+        self.image_tokens = IM_PATCH_TOKEN * args.proj_out_num
+        self._rng = random.Random(0)
+
+    def get(self, idx):
+        entry = self.data_list[idx]
+        image = np.load(os.path.join(self.args.data_root, entry["image"]))
+        image_2d = np.load(
+            os.path.join(self.args.data_root, entry["biomedclip_features"])
+        )
+        answer = clean_report_text(_load_text(entry["text"], self.args.data_root))
+        prompt = self._rng.choice(self.templates)
+        question = self.image_tokens + prompt
+        tok = tokenize_qa_sample(
+            self.tokenizer, question, answer, self.args.max_length
+        )
+        return {
+            "image": image.astype(np.float32),
+            "image_2d": image_2d.astype(np.float32),
+            "input_ids": tok["input_ids"],
+            "attention_mask": tok["attention_mask"],
+            "labels": tok["labels"],
+            "question": question,
+            "answer": answer,
+        }
+
+
+class VQALocationDataset(_RetryDataset):
+    """RadGenome location VQA (VQADataset_CT_Rate, multi_dataset.py:524-645):
+    prompt template with {abnormality} substitution; answer = anatomy name."""
+
+    def __init__(
+        self,
+        args: DataArgs,
+        tokenizer,
+        manifest: str,
+        split="train",
+        templates: Optional[Sequence[str]] = None,
+    ):
+        self.args = args
+        self.tokenizer = tokenizer
+        self.split = split
+        self.data_list = _load_manifest(manifest, split, args.val_limit)
+        self.templates = list(templates or VQA_location_templates)
+        self.image_tokens = IM_PATCH_TOKEN * args.proj_out_num
+        self._rng = random.Random(0)
+
+    def get(self, idx):
+        entry = self.data_list[idx]
+        image = np.load(os.path.join(self.args.data_root, entry["image"]))
+        image_2d = np.load(
+            os.path.join(self.args.data_root, entry["biomedclip_features"])
+        )
+        template = self._rng.choice(self.templates)
+        question_text = template.format(abnormality=entry["abnormality"])
+        answer = entry["anatomy"]
+        question = self.image_tokens + question_text
+        tok = tokenize_qa_sample(
+            self.tokenizer, question, answer, self.args.max_length
+        )
+        return {
+            "image": image.astype(np.float32),
+            "image_2d": image_2d.astype(np.float32),
+            "input_ids": tok["input_ids"],
+            "attention_mask": tok["attention_mask"],
+            "labels": tok["labels"],
+            "question": question,
+            "answer": answer,
+            "anatomy": answer,
+            "abnormality": entry["abnormality"],
+        }
+
+
+# ---------------------------------------------------------------------------
+# Collation + loading
+# ---------------------------------------------------------------------------
+
+_TENSOR_KEYS = {
+    "image",
+    "image_2d",
+    "input_ids",
+    "attention_mask",
+    "labels",
+}
+
+
+def collate(samples: List[dict]) -> Dict[str, np.ndarray]:
+    """Stack tensor fields; keep string fields as lists."""
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if key in _TENSOR_KEYS:
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class DataLoader:
+    """Shuffling epoch iterator with drop_remainder batching (host side)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = True,
+        collate_fn: Callable = collate,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.collate_fn = collate_fn
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        batch = []
+        for idx in order:
+            batch.append(self.dataset[int(idx)])
+            if len(batch) == self.batch_size:
+                yield self.collate_fn(batch)
+                batch = []
+        if batch and not self.drop_remainder:
+            yield self.collate_fn(batch)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic data (tests, benches, smoke training)
+# ---------------------------------------------------------------------------
+
+
+class SyntheticCTDataset(_RetryDataset):
+    """In-memory synthetic volumes + toy reports, same sample dicts as the
+    real datasets — lets every train path run without CT-RATE on disk."""
+
+    def __init__(
+        self,
+        n: int = 32,
+        shape=(1, 32, 256, 256),
+        tokenizer=None,
+        mode: str = "clip",  # clip | clip2 | caption
+        args: Optional[DataArgs] = None,
+        num_slices: int = 32,
+        slice_dim: int = 768,
+    ):
+        self.n = n
+        self.shape = shape
+        self.tokenizer = tokenizer or SimpleTokenizer()
+        self.mode = mode
+        self.args = args or DataArgs(proj_out_num=4, max_length=64, max_text_len=32)
+        self.num_slices = num_slices
+        self.slice_dim = slice_dim
+        self.data_list = list(range(n))
+        self._reports = [
+            f"Synthetic report {i}. No acute abnormality. Lungs are clear."
+            for i in range(n)
+        ]
+
+    def get(self, idx):
+        rng = np.random.default_rng(idx)
+        image = rng.random(self.shape, np.float32)
+        text = self._reports[idx]
+        if self.mode == "clip":
+            tok = self.tokenizer(
+                text, max_length=self.args.max_text_len, truncation=True,
+                padding="max_length",
+            )
+            return {
+                "image": image,
+                "input_ids": tok["input_ids"][0],
+                "attention_mask": tok["attention_mask"][0],
+                "text": text,
+            }
+        image_2d = rng.random((self.num_slices, self.slice_dim), np.float32)
+        if self.mode == "clip2":
+            tok = self.tokenizer(
+                text, max_length=self.args.max_text_len, truncation=True,
+                padding="max_length",
+            )
+            return {
+                "image": image,
+                "image_2d": image_2d,
+                "input_ids": tok["input_ids"][0],
+                "attention_mask": tok["attention_mask"][0],
+                "text": text,
+            }
+        question = IM_PATCH_TOKEN * self.args.proj_out_num + "Describe the scan."
+        tok = tokenize_qa_sample(
+            self.tokenizer, question, text, self.args.max_length
+        )
+        return {
+            "image": image,
+            "image_2d": image_2d,
+            "input_ids": tok["input_ids"],
+            "attention_mask": tok["attention_mask"],
+            "labels": tok["labels"],
+            "question": question,
+            "answer": text,
+        }

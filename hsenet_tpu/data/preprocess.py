@@ -1,0 +1,193 @@
+"""Fused on-device CT preprocessing.
+
+The reference runs this offline as an 8-GPU script farm writing .npy files
+(`Data/data_processing/CT-RATE/*.py`, SURVEY.md §2.1). Here it is ONE jitted
+static-shape program per volume:
+
+  reference chain (nii_to_3D:41-124):
+    HU = slope*raw + inter -> clamp[-1000, 200] -> trilinear resample to
+    (1.5, 0.75, 0.75) mm -> min-max normalize -> CropForeground(>0) ->
+    Resize (32,256,256) bilinear
+  fused here:
+    HU window -> min-max normalize -> foreground bbox (>0) -> ONE
+    `jax.image.scale_and_translate` from the bbox straight to (32,256,256).
+
+The spacing resample + final resize compose into a single linear resampling
+(the intermediate grid only changes interpolation smoothing, not geometry),
+so the fused path does one interpolation where the reference does two —
+device-resident, static shapes, no host round-trips. `reference_preprocess`
+below is the faithful two-step numpy chain for parity testing.
+
+The 2D-slice path (CT-RATE_nii_to_2D_slices.py:183-242): clamp [-1000,1000]
+-> /1000 -> 32 evenly-spaced z-slices (trilinear z-upsample when depth<32)
+-> per-slice min-max. `extract_slices` reproduces it on device, emitting
+BiomedCLIP-ready (32, 224, 224, 3) tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hsenet_tpu.configs import PreprocessConfig
+
+# open_clip BiomedCLIP normalization (OpenAI CLIP stats)
+_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def _foreground_bbox(mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """mask (D,H,W) bool -> (lo, hi) int32[3], MONAI CropForeground(>0)."""
+    los, his = [], []
+    for axis in range(3):
+        axes = tuple(a for a in range(3) if a != axis)
+        any_line = jnp.any(mask, axis=axes)
+        n = any_line.shape[0]
+        idx = jnp.arange(n)
+        lo = jnp.min(jnp.where(any_line, idx, n))
+        hi = jnp.max(jnp.where(any_line, idx, -1)) + 1
+        # empty mask -> full extent
+        lo = jnp.where(hi <= lo, 0, lo)
+        hi = jnp.where(hi <= 0, n, hi)
+        los.append(lo)
+        his.append(hi)
+    return jnp.stack(los).astype(jnp.int32), jnp.stack(his).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "antialias"))
+def preprocess_volume(
+    raw: jax.Array,  # (D, H, W) raw stored values
+    slope: jax.Array,
+    intercept: jax.Array,
+    config: PreprocessConfig = PreprocessConfig(),
+    antialias: bool = False,
+) -> jax.Array:
+    """-> (1, 32, 256, 256) float32 in [0, 1]."""
+    hu = slope * raw.astype(jnp.float32) + intercept
+    hu = jnp.clip(hu, config.hu_min, config.hu_max)
+    lo = jnp.min(hu)
+    hi = jnp.max(hu)
+    vol = (hu - lo) / jnp.maximum(hi - lo, 1e-8)
+
+    blo, bhi = _foreground_bbox(vol > 0)
+    out_shape = config.target_shape
+    extent = (bhi - blo).astype(jnp.float32)
+    scale = jnp.array(out_shape, jnp.float32) / extent
+    # scale_and_translate maps input pixel-center i to output coord
+    # o = scale*i + translation; aligning bbox edges [blo-0.5, bhi-0.5) with
+    # output edges [-0.5, out-0.5) gives t = -blo*s + (s-1)/2
+    # (align_corners=False semantics, like the reference's F.interpolate).
+    translation = -blo.astype(jnp.float32) * scale + 0.5 * (scale - 1.0)
+    out = jax.image.scale_and_translate(
+        vol,
+        out_shape,
+        (0, 1, 2),
+        scale,
+        translation,
+        method="linear",
+        antialias=antialias,
+    )
+    return jnp.clip(out, 0.0, 1.0)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def extract_slices(
+    raw: jax.Array,  # (D, H, W)
+    slope: jax.Array,
+    intercept: jax.Array,
+    config: PreprocessConfig = PreprocessConfig(),
+) -> jax.Array:
+    """-> (num_slices, S, S, 3) float32, CLIP-normalised, for the 2D trunk."""
+    hu = slope * raw.astype(jnp.float32) + intercept
+    hu = jnp.clip(hu, config.slice_hu_min, config.slice_hu_max) / jnp.abs(
+        jnp.float32(config.slice_hu_max)
+    )
+    d = raw.shape[0]
+    n = config.num_slices
+    # 32 evenly spaced slices; when depth < 32 this linspace repeats indices,
+    # the cheap equivalent of the reference's trilinear z-upsample
+    # (CT-RATE_nii_to_2D_slices.py:204-221)
+    zs = jnp.linspace(0, d - 1, n).astype(jnp.int32)
+    slices = hu[zs]  # (n, H, W)
+    # per-slice min-max (reference :231-236 normalises each slice to 0..255)
+    mn = slices.min(axis=(1, 2), keepdims=True)
+    mx = slices.max(axis=(1, 2), keepdims=True)
+    slices = (slices - mn) / jnp.maximum(mx - mn, 1e-8)
+    s = config.slice_size
+    slices = jax.image.resize(slices, (n, s, s), method="linear")
+    rgb = jnp.repeat(slices[..., None], 3, axis=-1)
+    mean = jnp.asarray(_CLIP_MEAN)
+    std = jnp.asarray(_CLIP_STD)
+    return (rgb - mean) / std
+
+
+def preprocess_batch(raws, slopes, intercepts, config=PreprocessConfig()):
+    """vmapped fused preprocessing for a stacked batch of same-shape raws."""
+    f = jax.vmap(lambda r, s, i: preprocess_volume(r, s, i, config))
+    return f(raws, slopes, intercepts)
+
+
+# ---------------------------------------------------------------------------
+# Reference-faithful host implementation (parity oracle for tests)
+# ---------------------------------------------------------------------------
+
+
+def _trilinear_resize_np(vol: np.ndarray, out_shape) -> np.ndarray:
+    """align_corners=False trilinear, matching F.interpolate semantics."""
+    in_shape = vol.shape
+    out = vol
+    for axis in range(3):
+        n_in, n_out = in_shape[axis], out_shape[axis]
+        if n_in == n_out:
+            continue
+        coords = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+        lo = np.floor(coords).astype(int)
+        frac = coords - lo
+        lo0 = np.clip(lo, 0, n_in - 1)
+        lo1 = np.clip(lo + 1, 0, n_in - 1)
+        a = np.take(out, lo0, axis=axis)
+        b = np.take(out, lo1, axis=axis)
+        shape = [1, 1, 1]
+        shape[axis] = n_out
+        frac = frac.reshape(shape)
+        out = a * (1 - frac) + b * frac
+    return out
+
+
+def reference_preprocess(
+    raw: np.ndarray,
+    slope: float,
+    intercept: float,
+    spacing_zyx: Tuple[float, float, float],
+    config: PreprocessConfig = PreprocessConfig(),
+) -> np.ndarray:
+    """The literal reference chain (two interpolations) on host, for parity
+    tests against the fused device path."""
+    hu = np.clip(slope * raw.astype(np.float64) + intercept,
+                 config.hu_min, config.hu_max)
+    # resample to target spacing (nii_to_3D:24-38)
+    factors = [
+        spacing_zyx[i] / config.target_spacing[i] for i in range(3)
+    ]
+    new_shape = [max(1, int(hu.shape[i] * factors[i])) for i in range(3)]
+    hu = _trilinear_resize_np(hu, new_shape)
+    lo, hi = hu.min(), hu.max()
+    vol = (hu - lo) / max(hi - lo, 1e-8)
+    # CropForeground(>0)
+    mask = vol > 0
+    slices = []
+    for axis in range(3):
+        axes = tuple(a for a in range(3) if a != axis)
+        line = mask.any(axis=axes)
+        nz = np.nonzero(line)[0]
+        if len(nz) == 0:
+            slices.append(slice(0, vol.shape[axis]))
+        else:
+            slices.append(slice(int(nz[0]), int(nz[-1]) + 1))
+    vol = vol[tuple(slices)]
+    vol = _trilinear_resize_np(vol, config.target_shape)
+    return np.clip(vol, 0.0, 1.0)[None].astype(np.float32)
