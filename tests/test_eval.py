@@ -1,0 +1,220 @@
+"""Evaluation: metric values, retrieval recalls, MRG/VQA harness end-to-end."""
+
+import numpy as np
+import pytest
+
+from hsenet_tpu.eval.metrics import (
+    RunningMeans,
+    bert_score,
+    bleu_n,
+    containment_accuracy,
+    exact_match_accuracy,
+    meteor,
+    nlg_metrics,
+    rouge_l,
+)
+from hsenet_tpu.eval.retrieval import recall_at_k, volume_volume_label_overlap
+
+
+def test_bleu_perfect_and_zero():
+    m = bleu_n("the cat sat on the mat", "the cat sat on the mat")
+    for k in ("bleu1", "bleu2", "bleu3", "bleu4"):
+        assert m[k] == pytest.approx(1.0)
+    m = bleu_n("completely different words here", "the cat sat on the mat")
+    assert m["bleu1"] == 0.0
+
+
+def test_bleu_partial_overlap_hand_value():
+    # pred: "the cat" vs ref "the cat sat": p1 = 2/2, BP = exp(1-3/2)
+    m = bleu_n("the cat", "the cat sat")
+    assert m["bleu1"] == pytest.approx(np.exp(1 - 3 / 2))
+
+
+def test_rouge_l_values():
+    assert rouge_l("a b c d", "a b c d") == pytest.approx(1.0)
+    assert rouge_l("x y z", "a b c") == 0.0
+    # LCS("a b c", "a c") = 2; p=2/3 r=2/2 -> F(beta=1.2)
+    p, r, b2 = 2 / 3, 1.0, 1.2**2
+    assert rouge_l("a b c", "a c") == pytest.approx(
+        (1 + b2) * p * r / (r + b2 * p)
+    )
+
+
+def test_meteor_monotone():
+    good = meteor("lungs are clear", "lungs are clear")
+    bad = meteor("something unrelated", "lungs are clear")
+    assert good > 0.9 and bad < 0.2
+
+
+def test_accuracy_metrics():
+    preds = ["The left lung shows a nodule", "heart"]
+    refs = ["left lung", "heart"]
+    assert containment_accuracy(preds, refs) == 1.0
+    assert exact_match_accuracy(preds, refs) == 0.5
+
+
+def test_running_means():
+    rm = RunningMeans()
+    rm.update({"a": 1.0})
+    means = rm.update({"a": 3.0})
+    assert means["a"] == 2.0
+
+
+def test_bert_score_identity():
+    def embed(texts):
+        # toy deterministic embeddings: hash of token -> one-hot-ish
+        out = np.zeros((len(texts), 6, 8))
+        for i, t in enumerate(texts):
+            for j, w in enumerate(t.split()[:6]):
+                out[i, j, hash(w) % 8] = 1.0
+        return out
+
+    res = bert_score(["a b c"], ["a b c"], embed)
+    assert res["f1"][0] == pytest.approx(1.0)
+    res2 = bert_score(["a b c"], ["d e f"], embed)
+    assert res2["f1"][0] < 1.0
+
+
+def test_recall_at_k_identity_and_shuffle():
+    feats = np.eye(20)
+    m = recall_at_k(feats, feats, ks=(1, 5))
+    assert m["i2t_r@1"] == 1.0 and m["t2i_r@5"] == 1.0
+    # orthogonal mismatch: recall@1 ~ 0
+    rolled = np.roll(feats, 1, axis=0)
+    m2 = recall_at_k(feats, rolled, ks=(1,))
+    assert m2["i2t_r@1"] == 0.0
+
+
+def test_volume_volume_label_overlap():
+    feats = np.array(
+        [[1, 0], [0.99, 0.1], [0, 1], [0.1, 0.99]], dtype=np.float64
+    )
+    labels = np.array([[1, 0], [1, 0], [0, 1], [0, 1]])
+    m = volume_volume_label_overlap(feats, labels, ks=(1,))
+    # nearest neighbor of each shares its label set exactly
+    assert m["i2i_overlap@1"] == 1.0
+
+
+def test_mrg_harness_end_to_end(tmp_path, key):
+    """Tiny VLM + synthetic caption data through the full MRG eval loop."""
+    import jax.numpy as jnp
+
+    from hsenet_tpu.configs import (
+        PackerConfig,
+        Phi3Config,
+        ViT3DConfig,
+        VLMConfig,
+    )
+    from hsenet_tpu.data.datasets import DataLoader, SimpleTokenizer, SyntheticCTDataset, DataArgs
+    from hsenet_tpu.eval.generate import make_greedy_generate
+    from hsenet_tpu.eval.mrg import evaluate_mrg
+    from hsenet_tpu.models.mllm import HSENetVLM
+
+    cfg = VLMConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2, num_slices=2,
+            slice_feature_dim=16,
+        ),
+        packer=PackerConfig(
+            grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=32,
+            dropout_rate=0.0,
+        ),
+        llm=Phi3Config(
+            vocab_size=512, hidden_size=32, intermediate_size=64,
+            num_layers=1, num_heads=4, num_kv_heads=2, head_dim=8,
+            tie_word_embeddings=True,
+        ),
+    )
+    tok = SimpleTokenizer()
+    tok.add_token("<im_patch>")
+    ds = SyntheticCTDataset(
+        n=4, shape=(1, 4, 16, 16), tokenizer=tok, mode="caption",
+        args=DataArgs(proj_out_num=cfg.num_image_tokens, max_length=48),
+        num_slices=2, slice_dim=16,
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=False)
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    sample = next(iter(loader))
+    params = model.init(
+        key, jnp.asarray(sample["input_ids"]), jnp.asarray(sample["image"]),
+        jnp.asarray(sample["image_2d"]),
+    )
+    gen = make_greedy_generate(
+        model, max_new_tokens=5, eos_token_id=tok.eos_token_id,
+        pad_token_id=tok.pad_token_id, cache_dtype=jnp.float32,
+    )
+    csv_path = str(tmp_path / "mrg.csv")
+    result = evaluate_mrg(
+        gen, params, DataLoader(ds, batch_size=2, shuffle=False), tok,
+        csv_path=csv_path,
+    )
+    assert result["num_samples"] == 4
+    assert "bleu4" in result and 0.0 <= result["bleu4"] <= 1.0
+    with open(csv_path) as f:
+        lines = f.readlines()
+    assert len(lines) == 5  # header + 4 rows
+
+
+def test_vqa_harness_end_to_end(key):
+    import jax.numpy as jnp
+
+    from hsenet_tpu.configs import (
+        PackerConfig,
+        Phi3Config,
+        ViT3DConfig,
+        VLMConfig,
+    )
+    from hsenet_tpu.data.datasets import (
+        DataArgs,
+        DataLoader,
+        SimpleTokenizer,
+        SyntheticCTDataset,
+    )
+    from hsenet_tpu.eval.generate import make_greedy_generate
+    from hsenet_tpu.eval.vqa import evaluate_vqa
+    from hsenet_tpu.models.mllm import HSENetVLM
+
+    cfg = VLMConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2, num_slices=2,
+            slice_feature_dim=16,
+        ),
+        packer=PackerConfig(
+            grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=32,
+            dropout_rate=0.0,
+        ),
+        llm=Phi3Config(
+            vocab_size=512, hidden_size=32, intermediate_size=64,
+            num_layers=1, num_heads=4, num_kv_heads=2, head_dim=8,
+            tie_word_embeddings=True,
+        ),
+    )
+    tok = SimpleTokenizer()
+    tok.add_token("<im_patch>")
+    ds = SyntheticCTDataset(
+        n=2, shape=(1, 4, 16, 16), tokenizer=tok, mode="caption",
+        args=DataArgs(proj_out_num=cfg.num_image_tokens, max_length=48),
+        num_slices=2, slice_dim=16,
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    import jax
+
+    sample = ds[0]
+    params = model.init(
+        key,
+        jnp.asarray(sample["input_ids"][None]),
+        jnp.asarray(sample["image"][None]),
+        jnp.asarray(sample["image_2d"][None]),
+    )
+    gen = make_greedy_generate(
+        model, max_new_tokens=4, eos_token_id=tok.eos_token_id,
+        pad_token_id=tok.pad_token_id, cache_dtype=jnp.float32,
+    )
+    result = evaluate_vqa(
+        gen, params, DataLoader(ds, batch_size=1, shuffle=False), tok
+    )
+    assert result["num_samples"] == 2
+    assert 0.0 <= result["class_accuracy"] <= 1.0
+    assert "per_anatomy" in result
