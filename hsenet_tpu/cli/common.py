@@ -1,0 +1,67 @@
+"""Shared CLI plumbing for the train/eval entry points."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hsenet_tpu.configs import MeshConfig, TrainConfig
+
+
+def add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data-root", default="")
+    p.add_argument("--manifest", default="", help="dataset manifest JSON")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on in-memory synthetic data (smoke test)")
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--total-steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=24)
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--warmup-ratio", type=float, default=0.03)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dp", type=int, default=-1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--resume", default="", help="checkpoint dir to resume")
+
+
+def train_config_from_args(args) -> TrainConfig:
+    return TrainConfig(
+        learning_rate=args.learning_rate,
+        warmup_ratio=args.warmup_ratio,
+        total_steps=args.total_steps,
+        batch_size=args.batch_size,
+        dtype=args.dtype,
+        seed=args.seed,
+        log_every=args.log_every,
+        checkpoint_every=args.checkpoint_every,
+    )
+
+
+def mesh_from_args(args):
+    from hsenet_tpu.parallel.mesh import create_mesh
+
+    return create_mesh(MeshConfig(dp=args.dp, tp=args.tp))
+
+
+def dtype_from_args(args):
+    return jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+
+def dump_config(path: str, *cfgs) -> None:
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    blob = {}
+    for cfg in cfgs:
+        blob[type(cfg).__name__] = dataclasses.asdict(cfg)
+    with open(f"{path}/run_config.json", "w") as f:
+        json.dump(blob, f, indent=2, default=str)

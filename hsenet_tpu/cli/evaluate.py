@@ -1,0 +1,169 @@
+"""Evaluation entry points: MRG, VQA, and CLIP retrieval.
+
+Counterparts of the reference Bench scripts (`eval_HSENet_CT_Rate_MRG.py`,
+`eval_HSENet_BIMCV_R_MRG.py`, `eval_HSENet_Rad_Geome_VQA.py`) and the
+retrieval utilities (`image_text_retrieval_stage{1,2}.py`), unified behind
+one CLI:
+
+    python -m hsenet_tpu.cli.evaluate --task mrg --synthetic
+    python -m hsenet_tpu.cli.evaluate --task vqa --synthetic
+    python -m hsenet_tpu.cli.evaluate --task retrieval --synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+
+from hsenet_tpu.cli.train_vlm import build_vlm_config
+from hsenet_tpu.models.mllm import HSENetVLM
+
+
+def _tiny_clip_cfg():
+    from hsenet_tpu.configs import BertConfig, CLIPConfig, ViT3DConfig
+
+    return CLIPConfig(
+        vision=ViT3DConfig(
+            image_size=(8, 32, 32), patch_size=(2, 8, 8), hidden_size=32,
+            mlp_dim=64, num_layers=2, num_heads=4,
+        ),
+        text=BertConfig(
+            vocab_size=512, hidden_size=32, num_layers=2, num_heads=4,
+            intermediate_size=64, max_position_embeddings=64,
+        ),
+        projection_dim=32,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", choices=["mrg", "vqa", "retrieval"], required=True)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--manifest", default="")
+    p.add_argument("--split", default="validation")
+    p.add_argument("--batch-size", type=int, default=14)  # reference MRG bs
+    p.add_argument("--max-new-tokens", type=int, default=0,
+                   help="0 = task default (mrg 512 / vqa 74)")
+    p.add_argument("--checkpoint", default="", help="params path")
+    p.add_argument("--tokenizer", default="")
+    p.add_argument("--csv", default="", help="per-sample CSV output (mrg)")
+    p.add_argument("--max-samples", type=int, default=0)
+    args = p.parse_args(argv)
+
+    max_samples = args.max_samples or None
+    from hsenet_tpu.data.datasets import (
+        DataArgs,
+        DataLoader,
+        SimpleTokenizer,
+        SyntheticCTDataset,
+    )
+
+    if args.task == "retrieval":
+        from hsenet_tpu.eval.retrieval import clip_retrieval_eval
+        from hsenet_tpu.models.clip import CLIPModel
+
+        cfg = _tiny_clip_cfg() if args.synthetic else None
+        assert cfg is not None or args.checkpoint, "need --checkpoint"
+        tokenizer = SimpleTokenizer(vocab_size=cfg.text.vocab_size)
+        ds = SyntheticCTDataset(
+            n=16, shape=(1, *cfg.vision.image_size), tokenizer=tokenizer,
+            mode="clip", args=DataArgs(max_text_len=16),
+        )
+        loader = DataLoader(ds, batch_size=8, shuffle=False)
+        model = CLIPModel(cfg)
+        batch = next(iter(loader))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.asarray(batch["image"]),
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]),
+        )
+        if args.checkpoint:
+            from hsenet_tpu.utils.checkpoint import restore_params
+
+            params = restore_params(args.checkpoint, params)
+        metrics = clip_retrieval_eval(
+            model, params, DataLoader(ds, batch_size=8, shuffle=False),
+            ks=(1, 5, 10),
+        )
+        print(json.dumps(metrics, indent=2))
+        return metrics
+
+    # mrg / vqa
+    max_new = args.max_new_tokens or (512 if args.task == "mrg" else 74)
+    ns = argparse.Namespace(synthetic=args.synthetic)
+    cfg = build_vlm_config(ns)
+    from hsenet_tpu.data.datasets import SPECIAL_TOKENS
+
+    tokenizer = SimpleTokenizer(vocab_size=cfg.llm.vocab_size)
+    tokenizer.add_special_tokens({"additional_special_tokens": SPECIAL_TOKENS})
+    data_args = DataArgs(
+        data_root=args.data_root,
+        max_length=96 if args.synthetic else 800,
+        proj_out_num=cfg.num_image_tokens,
+    )
+    if args.synthetic:
+        max_new = min(max_new, 8)
+        ds = SyntheticCTDataset(
+            n=4, shape=(1, *cfg.vision.image_size), tokenizer=tokenizer,
+            mode="caption", args=data_args,
+            num_slices=cfg.vision.num_slices,
+            slice_dim=cfg.vision.slice_feature_dim,
+        )
+    elif args.task == "mrg":
+        from hsenet_tpu.data.datasets import CaptionDataset
+
+        ds = CaptionDataset(data_args, tokenizer, args.manifest, args.split)
+    else:
+        from hsenet_tpu.data.datasets import VQALocationDataset
+
+        ds = VQALocationDataset(data_args, tokenizer, args.manifest, args.split)
+
+    loader = DataLoader(
+        ds, batch_size=min(args.batch_size, len(ds)), shuffle=False,
+        drop_remainder=False,
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32 if args.synthetic else jnp.bfloat16)
+    batch = next(iter(loader))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["image"]),
+        jnp.asarray(batch["image_2d"]),
+    )
+    if args.checkpoint:
+        from hsenet_tpu.utils.checkpoint import restore_params
+
+        params = restore_params(args.checkpoint, params)
+
+    from hsenet_tpu.eval.generate import make_greedy_generate
+
+    gen = make_greedy_generate(
+        model, max_new_tokens=max_new, eos_token_id=tokenizer.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id,
+        cache_dtype=jnp.float32 if args.synthetic else jnp.bfloat16,
+    )
+    if args.task == "mrg":
+        from hsenet_tpu.eval.mrg import evaluate_mrg
+
+        metrics = evaluate_mrg(
+            gen, params, loader, tokenizer, csv_path=args.csv or None,
+            max_samples=max_samples,
+        )
+    else:
+        from hsenet_tpu.eval.vqa import evaluate_vqa
+
+        metrics = evaluate_vqa(
+            gen, params, loader, tokenizer, max_samples=max_samples
+        )
+    print(json.dumps(metrics, indent=2, default=str))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Stage-1 CLIP pretraining entry point.
+
+TPU-native counterpart of the reference `train_CLIP_stage1.py` +
+`script/train_clip_stage1.sh` (50 epochs, bs 3/GPU x8, lr 1e-4, cosine,
+warmup 0.03, bf16). One SPMD process drives the whole mesh — no
+accelerate/DDP launcher.
+
+    python -m hsenet_tpu.cli.train_clip_stage1 --synthetic --total-steps 20
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from hsenet_tpu.cli.common import (
+    add_train_args,
+    dtype_from_args,
+    dump_config,
+    mesh_from_args,
+    train_config_from_args,
+)
+from hsenet_tpu.configs import BertConfig, CLIPConfig, ViT3DConfig
+from hsenet_tpu.models.clip import CLIPModel
+from hsenet_tpu.train.stage1 import make_stage1_train_step
+from hsenet_tpu.train.train_state import TrainState, make_optimizer
+from hsenet_tpu.train.trainer import Trainer
+from hsenet_tpu.utils.checkpoint import CheckpointManager
+
+
+def build_dataset(args, tokenizer, clip_cfg):
+    if args.synthetic:
+        from hsenet_tpu.data.datasets import DataArgs, SyntheticCTDataset
+
+        return SyntheticCTDataset(
+            n=max(args.batch_size * 2, 16),
+            shape=(1, *clip_cfg.vision.image_size),
+            tokenizer=tokenizer,
+            mode="clip",
+            args=DataArgs(max_text_len=clip_cfg.max_text_len),
+        )
+    from hsenet_tpu.data.datasets import CTRateCLIPDataset, DataArgs
+
+    return CTRateCLIPDataset(
+        DataArgs(data_root=args.data_root, max_text_len=clip_cfg.max_text_len),
+        tokenizer,
+        args.manifest,
+        "train",
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    add_train_args(p)
+    p.add_argument("--image-size", type=int, nargs=3, default=[32, 256, 256])
+    p.add_argument("--patch-size", type=int, nargs=3, default=[4, 16, 16])
+    p.add_argument("--max-text-len", type=int, default=128)
+    p.add_argument("--tokenizer", default="", help="HF tokenizer path")
+    args = p.parse_args(argv)
+
+    clip_cfg = CLIPConfig(
+        vision=ViT3DConfig(
+            image_size=tuple(args.image_size),
+            patch_size=tuple(args.patch_size),
+        ),
+        text=BertConfig(),
+        max_text_len=args.max_text_len,
+    )
+    train_cfg = train_config_from_args(args)
+    mesh = mesh_from_args(args)
+    dtype = dtype_from_args(args)
+
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    else:
+        from hsenet_tpu.data.datasets import SimpleTokenizer
+
+        tokenizer = SimpleTokenizer(vocab_size=clip_cfg.text.vocab_size)
+
+    model = CLIPModel(clip_cfg, dtype=dtype)
+    dataset = build_dataset(args, tokenizer, clip_cfg)
+
+    from hsenet_tpu.data.datasets import DataLoader
+
+    loader = DataLoader(dataset, args.batch_size, shuffle=True, seed=args.seed)
+    batch = next(iter(loader))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(train_cfg.seed),
+        jnp.asarray(batch["image"]),
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"]),
+    )
+    tx = make_optimizer(train_cfg)
+    state = TrainState.create(params, tx)
+    ckpt = CheckpointManager(args.output_dir)
+    if args.resume:
+        state = CheckpointManager(args.resume).restore(state)
+
+    dump_config(args.output_dir, clip_cfg, train_cfg)
+    step_fn = make_stage1_train_step(model, tx, mesh)
+    trainer = Trainer(
+        step_fn, state, lambda: loader, train_cfg, mesh=mesh,
+        checkpoint_manager=ckpt,
+    )
+    state = trainer.fit()
+    print(f"done: step {int(state.step)}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

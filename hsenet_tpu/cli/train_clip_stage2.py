@@ -1,0 +1,142 @@
+"""Stage-2 (2E3) CLIP pretraining with the frozen stage-1 teacher.
+
+Counterpart of the reference `train_CLIP_stage2.py` (teacher loaded from the
+stage-1 checkpoint, strict; relation loss with the 5000-step ramp).
+
+    python -m hsenet_tpu.cli.train_clip_stage2 --synthetic --total-steps 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from hsenet_tpu.cli.common import (
+    add_train_args,
+    dtype_from_args,
+    dump_config,
+    mesh_from_args,
+    train_config_from_args,
+)
+from hsenet_tpu.configs import BertConfig, CLIPConfig, ViT3DConfig
+from hsenet_tpu.models.clip import CLIPModel
+from hsenet_tpu.train.stage2 import make_stage2_train_step
+from hsenet_tpu.train.train_state import TrainState, make_optimizer
+from hsenet_tpu.train.trainer import Trainer
+from hsenet_tpu.utils.checkpoint import CheckpointManager, restore_params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    add_train_args(p)
+    p.add_argument("--image-size", type=int, nargs=3, default=[32, 256, 256])
+    p.add_argument("--patch-size", type=int, nargs=3, default=[4, 16, 16])
+    p.add_argument("--max-text-len", type=int, default=128)
+    p.add_argument("--tokenizer", default="")
+    p.add_argument("--stage1-checkpoint", default="",
+                   help="params path of the pretrained stage-1 CLIP (teacher)")
+    args = p.parse_args(argv)
+
+    base_vision = ViT3DConfig(
+        image_size=tuple(args.image_size), patch_size=tuple(args.patch_size)
+    )
+    teacher_cfg = CLIPConfig(
+        vision=base_vision, text=BertConfig(), max_text_len=args.max_text_len
+    )
+    student_cfg = dataclasses.replace(
+        teacher_cfg,
+        vision=dataclasses.replace(base_vision, slice_guided=True),
+    )
+    train_cfg = train_config_from_args(args)
+    mesh = mesh_from_args(args)
+    dtype = dtype_from_args(args)
+
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    else:
+        from hsenet_tpu.data.datasets import SimpleTokenizer
+
+        tokenizer = SimpleTokenizer(vocab_size=teacher_cfg.text.vocab_size)
+
+    student = CLIPModel(student_cfg, dtype=dtype)
+    teacher = CLIPModel(teacher_cfg, dtype=dtype)
+
+    if args.synthetic:
+        from hsenet_tpu.data.datasets import DataArgs, SyntheticCTDataset
+
+        dataset = SyntheticCTDataset(
+            n=max(args.batch_size * 2, 16),
+            shape=(1, *student_cfg.vision.image_size),
+            tokenizer=tokenizer,
+            mode="clip2",
+            args=DataArgs(max_text_len=student_cfg.max_text_len),
+            num_slices=student_cfg.vision.num_slices,
+            slice_dim=student_cfg.vision.slice_feature_dim,
+        )
+    else:
+        from hsenet_tpu.data.datasets import CTRateCLIPStage2Dataset, DataArgs
+
+        dataset = CTRateCLIPStage2Dataset(
+            DataArgs(
+                data_root=args.data_root, max_text_len=student_cfg.max_text_len
+            ),
+            tokenizer,
+            args.manifest,
+            "train",
+        )
+
+    from hsenet_tpu.data.datasets import DataLoader
+
+    loader = DataLoader(dataset, args.batch_size, shuffle=True, seed=args.seed)
+    batch = next(iter(loader))
+    key = jax.random.PRNGKey(train_cfg.seed)
+    student_params = jax.jit(student.init)(
+        key,
+        jnp.asarray(batch["image"]),
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"]),
+        jnp.asarray(batch["image_2d"]),
+    )
+    teacher_params = jax.jit(teacher.init)(
+        key,
+        jnp.asarray(batch["image"]),
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"]),
+    )
+    if args.stage1_checkpoint:
+        teacher_params = restore_params(args.stage1_checkpoint, teacher_params)
+        # warm-start the student's shared submodules from the teacher
+        # (reference loads M3D-CLIP weights strict=False, :185-190)
+        import flax
+
+        from hsenet_tpu.utils.convert import graft_params
+
+        sp = flax.core.unfreeze(student_params)
+        tp_ = flax.core.unfreeze(teacher_params)
+        for k in ("language_encoder", "mm_vision_proj", "mm_language_proj"):
+            graft_params(sp["params"][k], tp_["params"][k])
+        student_params = sp
+
+    tx = make_optimizer(train_cfg)
+    state = TrainState.create(student_params, tx)
+    ckpt = CheckpointManager(args.output_dir)
+    dump_config(args.output_dir, student_cfg, train_cfg)
+    step_fn = make_stage2_train_step(
+        student, teacher, student_cfg, tx, teacher_params, mesh
+    )
+    trainer = Trainer(
+        step_fn, state, lambda: loader, train_cfg, mesh=mesh,
+        checkpoint_manager=ckpt,
+    )
+    state = trainer.fit()
+    print(f"done: step {int(state.step)}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""VLM finetune entry point (MRG or VQA).
+
+Counterpart of the reference `train_VLM.py` + `script/train_vlm_{mrg,vqa}.sh`
+(LoRA r16/a32, projectors + embeddings trainable, towers/LLM base frozen;
+MRG: 6 epochs bs 2/GPU lr 1e-4 max_len 800; VQA: 4 epochs bs 5/GPU lr 5e-5
+max_len 330).
+
+    python -m hsenet_tpu.cli.train_vlm --task mrg --synthetic --total-steps 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from hsenet_tpu.cli.common import (
+    add_train_args,
+    dtype_from_args,
+    dump_config,
+    mesh_from_args,
+    train_config_from_args,
+)
+from hsenet_tpu.configs import LoRAConfig, PackerConfig, Phi3Config, ViT3DConfig, VLMConfig
+from hsenet_tpu.models.mllm import HSENetVLM
+from hsenet_tpu.train.train_state import TrainState, make_optimizer
+from hsenet_tpu.train.trainer import Trainer
+from hsenet_tpu.train.vlm import make_vlm_train_step, vlm_trainable_mask
+from hsenet_tpu.utils.checkpoint import CheckpointManager, restore_params
+
+
+def build_vlm_config(args) -> VLMConfig:
+    if args.synthetic:
+        return VLMConfig(
+            vision=ViT3DConfig(
+                image_size=(8, 32, 32), patch_size=(2, 8, 8), hidden_size=32,
+                mlp_dim=64, num_layers=2, num_heads=4, num_slices=4,
+                slice_feature_dim=32,
+            ),
+            packer=PackerConfig(
+                grid=(4, 4, 4), kernel=(1, 2, 2), in_dim=32, out_dim=64,
+                dropout_rate=0.0,
+            ),
+            llm=Phi3Config(
+                vocab_size=512, hidden_size=64, intermediate_size=128,
+                num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                tie_word_embeddings=True,
+                lora=LoRAConfig(rank=4, alpha=8, dropout_rate=0.05),
+            ),
+        )
+    return VLMConfig(
+        llm=dataclasses.replace(Phi3Config(), lora=LoRAConfig()),
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    add_train_args(p)
+    p.add_argument("--task", choices=["mrg", "vqa"], default="mrg")
+    p.add_argument("--max-length", type=int, default=0,
+                   help="0 = task default (mrg 800 / vqa 330)")
+    p.add_argument("--tokenizer", default="")
+    p.add_argument("--llm-checkpoint", default="",
+                   help="converted Phi params path")
+    p.add_argument("--clip-stage1-checkpoint", default="")
+    p.add_argument("--clip-stage2-checkpoint", default="")
+    p.add_argument("--resume-mllm", default="",
+                   help="projector+LoRA deltas to restore")
+    args = p.parse_args(argv)
+
+    max_length = args.max_length or (800 if args.task == "mrg" else 330)
+    cfg = build_vlm_config(args)
+    train_cfg = train_config_from_args(args)
+    mesh = mesh_from_args(args)
+    dtype = dtype_from_args(args)
+
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+        from hsenet_tpu.data.datasets import SPECIAL_TOKENS
+
+        tokenizer.add_special_tokens(
+            {"additional_special_tokens": SPECIAL_TOKENS}
+        )
+    else:
+        from hsenet_tpu.data.datasets import SPECIAL_TOKENS, SimpleTokenizer
+
+        tokenizer = SimpleTokenizer(vocab_size=cfg.llm.vocab_size)
+        tokenizer.add_special_tokens(
+            {"additional_special_tokens": SPECIAL_TOKENS}
+        )
+
+    from hsenet_tpu.data.datasets import DataArgs, DataLoader
+
+    data_args = DataArgs(
+        data_root=args.data_root,
+        max_length=max_length,
+        proj_out_num=cfg.num_image_tokens,
+    )
+    if args.synthetic:
+        from hsenet_tpu.data.datasets import SyntheticCTDataset
+
+        max_length = min(max_length, 96)
+        data_args = dataclasses.replace(data_args, max_length=max_length)
+        dataset = SyntheticCTDataset(
+            n=max(args.batch_size * 2, 8),
+            shape=(1, *cfg.vision.image_size),
+            tokenizer=tokenizer,
+            mode="caption",
+            args=data_args,
+            num_slices=cfg.vision.num_slices,
+            slice_dim=cfg.vision.slice_feature_dim,
+        )
+    elif args.task == "mrg":
+        from hsenet_tpu.data.datasets import CaptionDataset
+
+        dataset = CaptionDataset(data_args, tokenizer, args.manifest, "train")
+    else:
+        from hsenet_tpu.data.datasets import VQALocationDataset
+
+        dataset = VQALocationDataset(
+            data_args, tokenizer, args.manifest, "train"
+        )
+
+    loader = DataLoader(dataset, args.batch_size, shuffle=True, seed=args.seed)
+    model = HSENetVLM(cfg, dtype=dtype)
+    batch = next(iter(loader))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(train_cfg.seed),
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["image"]),
+        jnp.asarray(batch["image_2d"]),
+    )
+
+    import flax
+
+    params = flax.core.unfreeze(params)
+    from hsenet_tpu.utils.convert import graft_params
+
+    if args.llm_checkpoint:
+        llm_params = restore_params(
+            args.llm_checkpoint, {"params": params["params"]["llm"]}
+        )
+        graft_params(params["params"]["llm"], llm_params["params"])
+    for ckpt_path, tower_key in (
+        (args.clip_stage1_checkpoint, "tower_stage1"),
+        (args.clip_stage2_checkpoint, "tower_stage2"),
+    ):
+        if ckpt_path:
+            tower_tpl = {
+                "params": params["params"]["vision_tower"][tower_key]
+            }
+            tower = restore_params(ckpt_path, tower_tpl)
+            graft_params(
+                params["params"]["vision_tower"][tower_key], tower["params"]
+            )
+    if args.resume_mllm:
+        from hsenet_tpu.utils.checkpoint import load_vlm_deltas
+
+        params = load_vlm_deltas(args.resume_mllm, params)
+
+    mask = vlm_trainable_mask(params)
+    tx = make_optimizer(train_cfg, trainable_mask=mask)
+    state = TrainState.create(params, tx)
+    ckpt = CheckpointManager(args.output_dir)
+    dump_config(args.output_dir, cfg, train_cfg)
+    step_fn = make_vlm_train_step(model, tx, mesh)
+    trainer = Trainer(
+        step_fn, state, lambda: loader, train_cfg, mesh=mesh,
+        checkpoint_manager=ckpt,
+    )
+    state = trainer.fit()
+
+    from hsenet_tpu.utils.checkpoint import save_vlm_deltas
+
+    final = jax.device_get(state.params)
+    save_vlm_deltas(f"{args.output_dir}/vlm_deltas", final["params"])
+    print(f"done: step {int(state.step)}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

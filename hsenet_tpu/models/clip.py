@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from hsenet_tpu.configs import CLIPConfig
 from hsenet_tpu.models.bert import BertEncoder
-from hsenet_tpu.models.vit import ViT3D
+from hsenet_tpu.models.vit import MaskedViT3D, ViT3D
 
 Dtype = Any
 
@@ -116,3 +116,68 @@ class CLIPModel(nn.Module):
             volume, slice_features, deterministic=deterministic
         )
         return image_features, text_features, self.scale()
+
+
+class MaskedCLIPModel(nn.Module):
+    """Legacy masked-contrastive CLIP (reference `M3DCLIP`, model/CLIP.py):
+    dual-stream vision encoding (full + top-k masked), shared BERT text
+    encoder and projections. Returns (img_f, img_f_masked, txt_f, scale)."""
+
+    config: CLIPConfig
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.vision_encoder = MaskedViT3D(
+            cfg.vision, dtype=self.dtype, remat=self.remat,
+            name="vision_encoder",
+        )
+        self.language_encoder = BertEncoder(
+            cfg.text, dtype=self.dtype, name="language_encoder"
+        )
+        self.mm_vision_proj = nn.Dense(
+            cfg.projection_dim, dtype=self.dtype, name="mm_vision_proj"
+        )
+        self.mm_language_proj = nn.Dense(
+            cfg.projection_dim, dtype=self.dtype, name="mm_language_proj"
+        )
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda _key: jnp.asarray(cfg.logit_scale_init, jnp.float32),
+        )
+
+    def _proj_norm(self, feats):
+        feats = self.mm_vision_proj(feats[:, 0])
+        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    def __call__(
+        self,
+        volume,
+        input_ids,
+        attention_mask=None,
+        slice_features=None,
+        unmasked_tokens: Optional[int] = None,
+        *,
+        deterministic: bool = True,
+    ):
+        hidden = self.language_encoder(
+            input_ids, attention_mask, deterministic=deterministic
+        )
+        txt = self.mm_language_proj(hidden[:, 0])
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = (
+            jnp.exp(self.logit_scale)
+            if self.config.scale_is_log
+            else self.logit_scale
+        )
+        if unmasked_tokens is None:
+            full = self.vision_encoder(
+                volume, slice_features, None, deterministic=deterministic
+            )
+            return self._proj_norm(full), txt, scale
+        full, masked = self.vision_encoder(
+            volume, slice_features, unmasked_tokens,
+            deterministic=deterministic,
+        )
+        return self._proj_norm(full), self._proj_norm(masked), txt, scale

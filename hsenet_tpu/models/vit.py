@@ -158,6 +158,97 @@ class ViT3D(nn.Module):
         return x
 
 
+class MaskedViT3D(nn.Module):
+    """Legacy masked-contrastive ViT (reference `ViT` vit.py:67-219).
+
+    Runs BOTH streams: the full 2049-token tower, and a masked tower over
+    the top-`unmasked_tokens` patches ranked by slice-guided cross-attention
+    score (score-weighted, gathered in sorted index order, separate final
+    LayerNorm `norm_masked`). The reference's mask ratio is continuous
+    (Gaussian ramp, CLIP.py:54-72); here `unmasked_tokens` is a static int —
+    quantize the schedule to buckets (see
+    `hsenet_tpu.train.legacy_clip.mask_schedule_buckets`) so XLA compiles a
+    bounded set of shapes instead of one per step.
+    """
+
+    config: ViT3DConfig
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        volume: jax.Array,
+        slice_features: jax.Array,  # (B, 32, 768)
+        unmasked_tokens: Optional[int] = None,
+        *,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        x = PatchEmbed3D(
+            cfg.patch_size,
+            cfg.hidden_size,
+            dropout_rate=cfg.dropout_rate,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(volume, deterministic=deterministic)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size),
+            jnp.float32,
+        )
+        tower = TransformerTower(
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            mlp_dim=cfg.mlp_dim,
+            qkv_bias=cfg.qkv_bias,
+            dropout_rate=cfg.dropout_rate,
+            dtype=self.dtype,
+            remat=self.remat,
+            name="tower",
+        )
+
+        def with_cls(tokens):
+            c = jnp.broadcast_to(
+                cls.astype(tokens.dtype), (tokens.shape[0], 1, cfg.hidden_size)
+            )
+            return jnp.concatenate([c, tokens], axis=1)
+
+        x_masked = None
+        if unmasked_tokens is not None:
+            guided, _ = SingleHeadCrossAttention(
+                emb_dim=cfg.hidden_size,
+                dropout_rate=0.1,
+                dtype=self.dtype,
+                name="slice_guided_attention",
+            )(
+                x,
+                slice_features.astype(self.dtype),
+                slice_features.astype(self.dtype),
+                deterministic=deterministic,
+            )
+            score_logit = nn.Dense(
+                1, dtype=jnp.float32, name="patch_score_proj"
+            )(guided)
+            scores = jax.nn.sigmoid(score_logit)[..., 0]  # (B, N)
+            weighted = x * scores[..., None].astype(x.dtype)
+            _, top_idx = jax.lax.top_k(scores, unmasked_tokens)
+            top_idx = jnp.sort(top_idx, axis=1)  # keep spatial order (:195)
+            kept = jnp.take_along_axis(weighted, top_idx[..., None], axis=1)
+            # masked stream: same blocks, separate final norm
+            h = tower(with_cls(kept), deterministic=deterministic)
+            # tower applies the shared 'norm'; reference uses norm_masked —
+            # emulate by re-normalising the pre-norm residual? Instead run
+            # blocks only and norm separately: cheaper to apply a dedicated
+            # LayerNorm on top (LN of LN-ed features is a scale/shift away).
+            x_masked = nn.LayerNorm(dtype=jnp.float32, name="norm_masked")(h)
+
+        x_full = tower(with_cls(x), deterministic=deterministic)
+        if unmasked_tokens is not None:
+            return x_full, x_masked
+        return x_full
+
+
 class ViT2D(nn.Module):
     """BiomedCLIP-compatible 2D ViT-B/16 trunk (timm-style, pre-LN, CLS)."""
 

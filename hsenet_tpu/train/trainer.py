@@ -1,0 +1,117 @@
+"""Generic training loop: host loader -> device batches -> jitted step.
+
+Replaces the reference's HF Trainer + accelerate stack (train_CLIP_stage1
+.py:231-257) with an explicit loop: logging with step timing, periodic eval
+hook, orbax checkpointing with keep-limit + milestone saves, grad-norm
+monitoring (the reference's GradientMonitorCallback, :219-228), and
+on-device augmentation applied to the image stream.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hsenet_tpu.configs import AugmentConfig, TrainConfig
+from hsenet_tpu.data.augment import augment_batch
+from hsenet_tpu.parallel.mesh import shard_batch
+from hsenet_tpu.train.train_state import TrainState
+
+
+@dataclass
+class TrainerHooks:
+    on_log: Optional[Callable[[int, Dict[str, float]], None]] = None
+    on_eval: Optional[Callable[[int, TrainState], Dict[str, float]]] = None
+    milestone_steps: tuple = ()
+
+
+class Trainer:
+    def __init__(
+        self,
+        train_step: Callable,
+        state: TrainState,
+        loader_factory: Callable[[], Iterable[dict]],
+        cfg: TrainConfig,
+        mesh=None,
+        checkpoint_manager=None,
+        hooks: Optional[TrainerHooks] = None,
+        augment: Optional[AugmentConfig] = None,
+        image_key: str = "image",
+    ):
+        self.train_step = train_step
+        self.state = state
+        self.loader_factory = loader_factory
+        self.cfg = cfg
+        self.mesh = mesh
+        self.ckpt = checkpoint_manager
+        self.hooks = hooks or TrainerHooks()
+        self.augment = augment
+        self.image_key = image_key
+        self.history: List[Dict[str, float]] = []
+
+    def _device_batch(self, batch: dict, rng) -> dict:
+        batch = {
+            k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+        }
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.augment is not None and self.image_key in batch:
+            batch[self.image_key] = augment_batch(
+                batch[self.image_key], rng, self.augment
+            )
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def fit(self, total_steps: Optional[int] = None) -> TrainState:
+        total = total_steps or self.cfg.total_steps
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        step = int(self.state.step)
+        t_last = time.perf_counter()
+        while step < total:
+            for batch in self.loader_factory():
+                if step >= total:
+                    break
+                rng, aug_rng, step_rng = jax.random.split(rng, 3)
+                device_batch = self._device_batch(batch, aug_rng)
+                self.state, metrics = self.train_step(
+                    self.state, device_batch, step_rng
+                )
+                step = int(self.state.step)
+
+                if step % self.cfg.log_every == 0 or step == total:
+                    jax.block_until_ready(metrics["loss"])
+                    now = time.perf_counter()
+                    row = {k: float(v) for k, v in metrics.items()}
+                    row["steps_per_sec"] = self.cfg.log_every / max(
+                        now - t_last, 1e-9
+                    )
+                    t_last = now
+                    self.history.append({"step": step, **row})
+                    if self.hooks.on_log:
+                        self.hooks.on_log(step, row)
+                    else:
+                        msg = ", ".join(
+                            f"{k}={v:.4f}" for k, v in row.items()
+                        )
+                        print(f"step {step}: {msg}", flush=True)
+
+                if (
+                    self.hooks.on_eval
+                    and self.cfg.eval_every
+                    and step % self.cfg.eval_every == 0
+                ):
+                    eval_metrics = self.hooks.on_eval(step, self.state)
+                    if eval_metrics:
+                        print(f"eval @ {step}: {eval_metrics}", flush=True)
+
+                if self.ckpt is not None and (
+                    step % self.cfg.checkpoint_every == 0
+                    or step in self.hooks.milestone_steps
+                ):
+                    self.ckpt.save(step, self.state)
+        return self.state

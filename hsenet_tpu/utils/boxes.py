@@ -1,0 +1,64 @@
+"""3D box utilities for grounding (REC/REG) tasks.
+
+Reference: `LaMed/src/utils/utils.py` / duplicated `Bench/utils.py:4-54`:
+mask2box (normalized z1y1x1z2y2x2 from a binary 3D mask), box extraction
+from generated text, IoU for box evaluation.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def mask2box(mask: np.ndarray) -> Optional[np.ndarray]:
+    """Binary (D, H, W) mask -> normalized [z1, y1, x1, z2, y2, x2] box."""
+    nz = np.nonzero(mask)
+    if len(nz[0]) == 0:
+        return None
+    dims = mask.shape
+    lo = [int(n.min()) for n in nz]
+    hi = [int(n.max()) + 1 for n in nz]
+    return np.array(
+        [lo[0] / dims[0], lo[1] / dims[1], lo[2] / dims[2],
+         hi[0] / dims[0], hi[1] / dims[1], hi[2] / dims[2]],
+        np.float32,
+    )
+
+
+def format_box(box: Sequence[float], precision: int = 2) -> str:
+    """Box -> answer string '<bx_start>[z1,y1,x1,z2,y2,x2]<bx_end>'
+    (PosREC answer format, multi_dataset.py:1105-1117)."""
+    nums = ",".join(f"{v:.{precision}f}" for v in box)
+    return f"<bx_start>[{nums}]<bx_end>"
+
+
+_BOX_RX = re.compile(r"\[([\d\.,\s-]+)\]")
+
+
+def extract_box_from_text(text: str) -> Optional[np.ndarray]:
+    """First [z1,y1,x1,z2,y2,x2] list found in generated text -> box array
+    (Bench/utils.py extract_box_from_text)."""
+    m = _BOX_RX.search(text)
+    if not m:
+        return None
+    try:
+        vals = [float(v) for v in m.group(1).split(",") if v.strip()]
+    except ValueError:
+        return None
+    if len(vals) != 6:
+        return None
+    return np.asarray(vals, np.float32)
+
+
+def box_iou_3d(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two [z1,y1,x1,z2,y2,x2] boxes (Bench/utils.py calculate_iou)."""
+    lo = np.maximum(a[:3], b[:3])
+    hi = np.minimum(a[3:], b[3:])
+    inter = float(np.prod(np.maximum(hi - lo, 0.0)))
+    va = float(np.prod(np.maximum(a[3:] - a[:3], 0.0)))
+    vb = float(np.prod(np.maximum(b[3:] - b[:3], 0.0)))
+    union = va + vb - inter
+    return inter / union if union > 0 else 0.0

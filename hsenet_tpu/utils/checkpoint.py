@@ -1,0 +1,107 @@
+"""Checkpointing (orbax) + partial-state saves.
+
+Reference behavior to match (SURVEY.md §5): periodic full saves with a
+keep-limit (HF Trainer save_steps/save_total_limit), milestone full-state
+dumps (`CustomSaveCallback`, train_CLIP_stage1.py:198-216), and VLM saves
+that persist ONLY projector+LoRA deltas (`LaMedTrainer._save`,
+lamed_trainer.py:20-24). Formats here are orbax checkpoints + a JSON config
+sidecar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from hsenet_tpu.train.train_state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: TrainState, config: Optional[dict] = None,
+             force: bool = False) -> None:
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+        self._mgr.wait_until_finished()
+        if config is not None:
+            with open(os.path.join(self.directory, "config.json"), "w") as f:
+                json.dump(config, f, indent=2, default=str)
+
+    def restore(self, state_template: TrainState, step: Optional[int] = None
+                ) -> TrainState:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+
+def save_params(path: str, params) -> None:
+    """Single param-tree save (no optimizer state) — the 'model_params.bin'
+    analog of CustomSaveCallback."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+
+
+def restore_params(path: str, template) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
+
+
+def filter_tree(params, pattern: str):
+    """Subtree filter by path regex — e.g. r'(mm_projector|lora_)' replicates
+    LaMedTrainer._save's projector+LoRA-only persistence."""
+    rx = re.compile(pattern)
+
+    def walk(node, path=""):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                sub = walk(v, f"{path}/{k}")
+                if sub is not None:
+                    out[k] = sub
+            return out or None
+        return node if rx.search(path) else None
+
+    return walk(params) or {}
+
+
+def save_vlm_deltas(path: str, params) -> None:
+    """Persist only projector + LoRA (+ embeddings) — the VLM finetune's
+    trainable set (lamed_trainer.py:20-24 + new-token embeddings)."""
+    deltas = filter_tree(params, r"(mm_projector|lora_[ab]|/embed/)")
+    save_params(path, deltas)
+
+
+def load_vlm_deltas(path: str, full_params):
+    """Graft saved deltas back into a full param tree."""
+    import flax
+
+    from hsenet_tpu.utils.convert import graft_params
+
+    full = flax.core.unfreeze(full_params)
+    template = filter_tree(full, r"(mm_projector|lora_[ab]|/embed/)")
+    deltas = restore_params(path, template)
+    graft_params(full, deltas)
+    return full

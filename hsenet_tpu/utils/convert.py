@@ -1,0 +1,186 @@
+"""Reference-checkpoint conversion: PyTorch state dicts -> hsenet-tpu params.
+
+Covers the reference's persisted artifacts (SURVEY.md §5 checkpoint table):
+  * stage-1/stage-2 CLIP checkpoints (`M3DCLIP_stage{1,2}` HF
+    save_pretrained): MONAI-block ViT towers + HF BERT + projections +
+    logit_scale;
+  * VLM deltas (`LaMedTrainer._save` keeps only mm_projector* + lora*,
+    lamed_trainer.py:20-24);
+  * Phi/BERT base weights (converters live with their models).
+
+MONAI key facts (monai 1.3 blocks, as instantiated at vit.py:287-306):
+  patch_embedding.patch_embeddings.1.{weight,bias}   (Sequential: Rearrange, Linear)
+  patch_embedding.position_embeddings
+  cls_token
+  blocks.{i}.norm1/norm2.{weight,bias}
+  blocks.{i}.attn.qkv.weight            (3h, h), qkv-major packing
+  blocks.{i}.attn.out_proj.{weight,bias}
+  blocks.{i}.mlp.linear1/linear2.{weight,bias}
+  norm.{weight,bias}
+Stage-2 extras (vit.py:330-340): slice_guided_attention.{Wq,Wk,Wv,
+  output_linear,norm}, patch_score_proj.
+Packer keys (spatial_pooling_projector.py:121-153): resolution_attention.
+  {Wq,Wk,Wv,output_linear,norm}, proj_mpls.{0,2}.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _np(w):
+    try:
+        return w.detach().cpu().float().numpy()
+    except AttributeError:
+        return np.asarray(w, dtype=np.float32)
+
+
+def _lin(sd, prefix):
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _ln(sd, prefix):
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+def convert_reference_vit(
+    sd: Dict, num_layers: int = 12, prefix: str = "", slice_guided: bool = False
+) -> Dict:
+    """MONAI-style ViT tower state dict -> our `ViT3D` params."""
+
+    def k(name):
+        return f"{prefix}{name}"
+
+    blocks = []
+    for i in range(num_layers):
+        b = k(f"blocks.{i}")
+        attn = {
+            "qkv": {"kernel": _np(sd[f"{b}.attn.qkv.weight"]).T},
+            "out_proj": _lin(sd, f"{b}.attn.out_proj"),
+        }
+        if f"{b}.attn.qkv.bias" in sd:
+            attn["qkv"]["bias"] = _np(sd[f"{b}.attn.qkv.bias"])
+        blocks.append(
+            {
+                "norm1": _ln(sd, f"{b}.norm1"),
+                "attn": attn,
+                "norm2": _ln(sd, f"{b}.norm2"),
+                "mlp": {
+                    "fc1": _lin(sd, f"{b}.mlp.linear1"),
+                    "fc2": _lin(sd, f"{b}.mlp.linear2"),
+                },
+            }
+        )
+
+    params = {
+        "patch_embed": {
+            "proj": _lin(sd, k("patch_embedding.patch_embeddings.1")),
+            "pos_embed": _np(sd[k("patch_embedding.position_embeddings")]),
+        },
+        "cls_token": _np(sd[k("cls_token")]),
+        "tower": {
+            "blocks": _stack(blocks),
+            "norm": _ln(sd, k("norm")),
+        },
+    }
+    if slice_guided:
+        sga = k("slice_guided_attention")
+        params["slice_guided_attention"] = {
+            "wq": _lin(sd, f"{sga}.Wq"),
+            "wk": _lin(sd, f"{sga}.Wk"),
+            "wv": _lin(sd, f"{sga}.Wv"),
+            "out_proj": _lin(sd, f"{sga}.output_linear"),
+            "norm": _ln(sd, f"{sga}.norm"),
+        }
+        params["patch_score_proj"] = _lin(sd, k("patch_score_proj"))
+    return params
+
+
+def convert_reference_clip(sd: Dict, num_layers: int = 12,
+                           slice_guided: bool = False) -> Dict:
+    """`M3DCLIP_stage{1,2}` state dict -> our `CLIPModel` params.
+
+    For stage-2 checkpoints pass slice_guided=True; the frozen
+    stage1_pretrained_CLIP teacher entries are converted separately by
+    calling this again on the `stage1_pretrained_CLIP.`-prefixed subset.
+    """
+    from hsenet_tpu.configs import BertConfig
+    from hsenet_tpu.models.bert import convert_hf_bert
+
+    bert_sd = {
+        key[len("language_encoder.") :]: v
+        for key, v in sd.items()
+        if key.startswith("language_encoder.")
+    }
+    bert_params = convert_hf_bert(bert_sd, BertConfig(num_layers=num_layers))
+
+    params = {
+        "vision_encoder": convert_reference_vit(
+            sd, num_layers, prefix="vision_encoder.", slice_guided=slice_guided
+        ),
+        "language_encoder": bert_params["params"],
+        "mm_vision_proj": _lin(sd, "mm_vision_proj"),
+        "mm_language_proj": _lin(sd, "mm_language_proj"),
+        "logit_scale": _np(sd["logit_scale"]).reshape(()),
+    }
+    return {"params": params}
+
+
+def convert_reference_packer(sd: Dict, prefix: str = "mm_projector.") -> Dict:
+    """`VisualPacker_3d_phi_v3` weights -> our `VisualPacker` params."""
+
+    def k(name):
+        return f"{prefix}{name}"
+
+    ra = k("resolution_attention")
+    return {
+        "resolution_attention": {
+            "wq": _lin(sd, f"{ra}.Wq"),
+            "wk": _lin(sd, f"{ra}.Wk"),
+            "wv": _lin(sd, f"{ra}.Wv"),
+            "out_proj": _lin(sd, f"{ra}.output_linear"),
+            "norm": _ln(sd, f"{ra}.norm"),
+        },
+        "proj_fc1": _lin(sd, k("proj_mpls.0")),
+        "proj_fc2": _lin(sd, k("proj_mpls.2")),
+    }
+
+
+def extract_subtree(sd: Dict, prefix: str) -> Dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def graft_params(dst_tree, src_tree, path: str = ""):
+    """Copy src leaves into a (mutable dict) dst tree, checking shapes.
+
+    Used to load converted reference weights into freshly-initialised param
+    trees, mirroring the reference's ordered-key copy (train_VLM.py:477-503)
+    but name-addressed and shape-checked instead of zip-ordered.
+    """
+    for key, val in src_tree.items():
+        if key not in dst_tree:
+            raise KeyError(f"graft: {path}/{key} missing in destination")
+        if isinstance(val, dict):
+            graft_params(dst_tree[key], val, f"{path}/{key}")
+        else:
+            dshape = np.shape(dst_tree[key])
+            sshape = np.shape(val)
+            if tuple(dshape) != tuple(sshape):
+                raise ValueError(
+                    f"graft: {path}/{key} shape {sshape} != dest {dshape}"
+                )
+            dst_tree[key] = val
+    return dst_tree

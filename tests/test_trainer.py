@@ -1,0 +1,200 @@
+"""Trainer loop + checkpointing + conversion mapping tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsenet_tpu.configs import (
+    BertConfig,
+    CLIPConfig,
+    MeshConfig,
+    TrainConfig,
+    ViT3DConfig,
+)
+from hsenet_tpu.data.datasets import DataLoader, SimpleTokenizer, SyntheticCTDataset, DataArgs
+from hsenet_tpu.models.clip import CLIPModel
+from hsenet_tpu.parallel.mesh import create_mesh
+from hsenet_tpu.train.stage1 import make_stage1_train_step
+from hsenet_tpu.train.train_state import TrainState, make_optimizer
+from hsenet_tpu.train.trainer import Trainer, TrainerHooks
+from hsenet_tpu.utils.checkpoint import (
+    CheckpointManager,
+    filter_tree,
+    load_vlm_deltas,
+    restore_params,
+    save_params,
+    save_vlm_deltas,
+)
+
+TINY_CLIP = CLIPConfig(
+    vision=ViT3DConfig(
+        image_size=(4, 16, 16),
+        patch_size=(2, 8, 8),
+        hidden_size=16,
+        mlp_dim=32,
+        num_layers=1,
+        num_heads=2,
+    ),
+    text=BertConfig(
+        vocab_size=512,
+        hidden_size=16,
+        num_layers=1,
+        num_heads=2,
+        intermediate_size=32,
+        max_position_embeddings=32,
+    ),
+    projection_dim=16,
+)
+
+
+def _make_setup(key, tmp_path=None):
+    model = CLIPModel(TINY_CLIP)
+    ds = SyntheticCTDataset(
+        n=8, shape=(1, 4, 16, 16), mode="clip",
+        args=DataArgs(max_text_len=16),
+    )
+    loader = DataLoader(ds, batch_size=4, shuffle=True)
+    batch = next(iter(loader))
+    params = model.init(
+        key,
+        jnp.asarray(batch["image"]),
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"]),
+    )
+    cfg = TrainConfig(
+        total_steps=6, learning_rate=1e-3, log_every=2, eval_every=0,
+        checkpoint_every=3,
+    )
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    mesh = create_mesh(MeshConfig(dp=4, tp=1))
+    step = make_stage1_train_step(model, tx, mesh)
+    return model, state, step, loader, cfg, mesh
+
+
+def test_trainer_runs_and_checkpoints(key, tmp_path):
+    model, state, step, loader, cfg, mesh = _make_setup(key)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    logs = []
+    trainer = Trainer(
+        step,
+        state,
+        lambda: loader,
+        cfg,
+        mesh=mesh,
+        checkpoint_manager=ckpt,
+        hooks=TrainerHooks(on_log=lambda s, m: logs.append((s, m))),
+    )
+    final = trainer.fit()
+    assert int(final.step) == 6
+    assert len(logs) >= 2
+    assert ckpt.latest_step() == 6
+
+    # restore round-trip
+    template = jax.tree.map(np.zeros_like, jax.device_get(final))
+    restored = ckpt.restore(template)
+    np.testing.assert_array_equal(np.asarray(restored.step), 6)
+    a = jax.tree.leaves(final.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_save_restore_params_roundtrip(key, tmp_path):
+    params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3), "b": {"c": np.ones(4, np.float32)}}
+    path = str(tmp_path / "params")
+    save_params(path, params)
+    out = restore_params(path, jax.tree.map(np.zeros_like, params))
+    np.testing.assert_array_equal(out["a"], params["a"])
+    np.testing.assert_array_equal(out["b"]["c"], params["b"]["c"])
+
+
+def test_filter_tree_and_vlm_deltas(tmp_path):
+    params = {
+        "llm": {
+            "decoder": {"layers": {"q_proj": {"kernel": np.ones((2, 2), np.float32),
+                                              "lora_a": np.ones((2, 1), np.float32),
+                                              "lora_b": np.zeros((1, 2), np.float32)}}},
+            "embed": {"embedding": np.ones((4, 2), np.float32)},
+        },
+        "mm_projector": {"proj_fc1": {"kernel": np.ones((2, 3), np.float32)}},
+        "vision_tower": {"x": {"kernel": np.ones((2, 2), np.float32)}},
+    }
+    sub = filter_tree(params, r"(mm_projector|lora_[ab])")
+    assert "mm_projector" in sub
+    assert "vision_tower" not in sub
+    assert "lora_a" in sub["llm"]["decoder"]["layers"]["q_proj"]
+    assert "kernel" not in sub["llm"]["decoder"]["layers"]["q_proj"]
+
+    path = str(tmp_path / "deltas")
+    save_vlm_deltas(path, params)
+    modified = jax.tree.map(lambda x: x * 7, params)
+    merged = load_vlm_deltas(path, modified)
+    # deltas restored to original values
+    np.testing.assert_array_equal(
+        merged["mm_projector"]["proj_fc1"]["kernel"], np.ones((2, 3))
+    )
+    # non-delta weights untouched (still modified)
+    np.testing.assert_array_equal(
+        merged["vision_tower"]["x"]["kernel"], 7 * np.ones((2, 2))
+    )
+
+
+def test_convert_reference_vit_structure(key):
+    """Synthetic MONAI-style state dict converts into our ViT3D tree
+    (shapes + names line up, kernels transposed)."""
+    from hsenet_tpu.models.vit import ViT3D
+    from hsenet_tpu.utils.convert import convert_reference_vit, graft_params
+
+    cfg = ViT3DConfig(
+        image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+        mlp_dim=32, num_layers=2, num_heads=2, num_slices=2,
+        slice_feature_dim=16,
+    )
+    rng = np.random.default_rng(0)
+    h, m, L = 16, 32, 2
+    sd = {
+        "patch_embedding.patch_embeddings.1.weight": rng.random((h, 128), np.float32),
+        "patch_embedding.patch_embeddings.1.bias": rng.random(h).astype(np.float32),
+        "patch_embedding.position_embeddings": rng.random((1, 8, h), np.float32),
+        "cls_token": rng.random((1, 1, h), np.float32),
+        "norm.weight": np.ones(h, np.float32),
+        "norm.bias": np.zeros(h, np.float32),
+    }
+    for i in range(L):
+        sd.update(
+            {
+                f"blocks.{i}.norm1.weight": np.ones(h, np.float32),
+                f"blocks.{i}.norm1.bias": np.zeros(h, np.float32),
+                f"blocks.{i}.attn.qkv.weight": rng.random((3 * h, h), np.float32),
+                f"blocks.{i}.attn.out_proj.weight": rng.random((h, h), np.float32),
+                f"blocks.{i}.attn.out_proj.bias": np.zeros(h, np.float32),
+                f"blocks.{i}.norm2.weight": np.ones(h, np.float32),
+                f"blocks.{i}.norm2.bias": np.zeros(h, np.float32),
+                f"blocks.{i}.mlp.linear1.weight": rng.random((m, h), np.float32),
+                f"blocks.{i}.mlp.linear1.bias": np.zeros(m, np.float32),
+                f"blocks.{i}.mlp.linear2.weight": rng.random((h, m), np.float32),
+                f"blocks.{i}.mlp.linear2.bias": np.zeros(h, np.float32),
+            }
+        )
+    converted = convert_reference_vit(sd, num_layers=L)
+
+    import flax
+
+    model = ViT3D(cfg)
+    vol = jnp.ones((1, 1, 4, 16, 16))
+    init_params = flax.core.unfreeze(model.init(key, vol))["params"]
+    graft_params(init_params, converted)  # raises on any shape/name mismatch
+    out = model.apply({"params": init_params}, vol)
+    assert out.shape == (1, 9, 16)
+    # kernel is the torch weight transposed
+    np.testing.assert_allclose(
+        init_params["patch_embed"]["proj"]["kernel"],
+        sd["patch_embedding.patch_embeddings.1.weight"].T,
+    )
+    # scanned stack carries the layer axis
+    assert init_params["tower"]["blocks"]["attn"]["qkv"]["kernel"].shape == (
+        L, h, 3 * h,
+    )
