@@ -21,6 +21,10 @@ import jax  # noqa: E402
 # lazily on first use.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: repeat suite runs skip XLA compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.default_backend() == "cpu", "tests must run on the CPU mesh"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
