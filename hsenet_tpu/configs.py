@@ -277,6 +277,9 @@ class VLMConfig:
     # token ids configured at assembly time from the tokenizer
     im_patch_token_id: int = -1
     seg_token_id: int = -1
+    # optional SegVol branch (reference ships it disabled, train_VLM.py:99)
+    seg_enable: bool = False
+    seg_vision: Optional[ViT3DConfig] = None  # defaults to `vision` w/o CLS
 
     @property
     def num_image_tokens(self) -> int:

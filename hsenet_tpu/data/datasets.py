@@ -550,3 +550,197 @@ class SyntheticCTDataset(_RetryDataset):
             "question": question,
             "answer": text,
         }
+
+
+# ---------------------------------------------------------------------------
+# Grounding / segmentation / closed-VQA datasets (reference M3D variants)
+# ---------------------------------------------------------------------------
+
+
+class ClosedVQADataset(_RetryDataset):
+    """Closed-ended VQA with lettered choices (reference `VQADataset`
+    closed branch, multi_dataset.py:762-888: question + "Choices: A. ...")."""
+
+    def __init__(self, args: DataArgs, tokenizer, manifest: str, split="train"):
+        self.args = args
+        self.tokenizer = tokenizer
+        self.data_list = _load_manifest(manifest, split, args.val_limit)
+        self.image_tokens = IM_PATCH_TOKEN * args.proj_out_num
+
+    def get(self, idx):
+        entry = self.data_list[idx]
+        image = np.load(os.path.join(self.args.data_root, entry["image"]))
+        choices = entry["choices"]  # list of strings
+        letters = "ABCDEFGH"
+        choice_str = " ".join(
+            f"{letters[i]}. {c}." for i, c in enumerate(choices)
+        )
+        question = (
+            self.image_tokens
+            + entry["question"]
+            + " Choices: "
+            + choice_str
+        )
+        answer_idx = int(entry["answer_idx"])
+        answer = f"{letters[answer_idx]}. {choices[answer_idx]}."
+        tok = tokenize_qa_sample(
+            self.tokenizer, question, answer, self.args.max_length
+        )
+        ret = {
+            "image": image.astype(np.float32),
+            "input_ids": tok["input_ids"],
+            "attention_mask": tok["attention_mask"],
+            "labels": tok["labels"],
+            "question": question,
+            "answer": answer,
+        }
+        if "biomedclip_features" in entry:
+            ret["image_2d"] = np.load(
+                os.path.join(self.args.data_root, entry["biomedclip_features"])
+            ).astype(np.float32)
+        return ret
+
+
+class PosRECDataset(_RetryDataset):
+    """Referring-expression comprehension: target name -> 3D box answer
+    (reference PosRECDataset, multi_dataset.py:1003-1173)."""
+
+    def __init__(self, args: DataArgs, tokenizer, manifest: str, split="train",
+                 templates=None):
+        from hsenet_tpu.data.prompts import PosREC_templates
+
+        self.args = args
+        self.tokenizer = tokenizer
+        self.data_list = _load_manifest(manifest, split, args.val_limit)
+        self.templates = list(templates or PosREC_templates)
+        self.image_tokens = IM_PATCH_TOKEN * args.proj_out_num
+        self._rng = random.Random(0)
+
+    def get(self, idx):
+        from hsenet_tpu.utils.boxes import format_box, mask2box
+
+        entry = self.data_list[idx]
+        image = np.load(os.path.join(self.args.data_root, entry["image"]))
+        seg = np.load(os.path.join(self.args.data_root, entry["seg"]))
+        box = mask2box(seg[0] if seg.ndim == 4 else seg)
+        if box is None:
+            raise ValueError(f"empty mask for entry {idx}")
+        target = entry["target"]
+        question = self.image_tokens + self._rng.choice(self.templates).format(
+            target=target
+        )
+        answer = format_box(box)
+        tok = tokenize_qa_sample(
+            self.tokenizer, question, answer, self.args.max_length
+        )
+        return {
+            "image": image.astype(np.float32),
+            "input_ids": tok["input_ids"],
+            "attention_mask": tok["attention_mask"],
+            "labels": tok["labels"],
+            "question": question,
+            "answer": answer,
+            "box": box,
+        }
+
+
+class PosREGDataset(_RetryDataset):
+    """Region grounding: box in the question -> target name answer
+    (reference PosREGDataset, multi_dataset.py:1176-1352)."""
+
+    def __init__(self, args: DataArgs, tokenizer, manifest: str, split="train",
+                 templates=None):
+        from hsenet_tpu.data.prompts import PosREG_templates
+
+        self.args = args
+        self.tokenizer = tokenizer
+        self.data_list = _load_manifest(manifest, split, args.val_limit)
+        self.templates = list(templates or PosREG_templates)
+        self.image_tokens = IM_PATCH_TOKEN * args.proj_out_num
+        self._rng = random.Random(0)
+
+    def get(self, idx):
+        from hsenet_tpu.utils.boxes import format_box, mask2box
+
+        entry = self.data_list[idx]
+        image = np.load(os.path.join(self.args.data_root, entry["image"]))
+        seg = np.load(os.path.join(self.args.data_root, entry["seg"]))
+        box = mask2box(seg[0] if seg.ndim == 4 else seg)
+        if box is None:
+            raise ValueError(f"empty mask for entry {idx}")
+        question = self.image_tokens + self._rng.choice(self.templates).format(
+            box=format_box(box)
+        )
+        answer = entry["target"]
+        tok = tokenize_qa_sample(
+            self.tokenizer, question, answer, self.args.max_length
+        )
+        return {
+            "image": image.astype(np.float32),
+            "input_ids": tok["input_ids"],
+            "attention_mask": tok["attention_mask"],
+            "labels": tok["labels"],
+            "question": question,
+            "answer": answer,
+        }
+
+
+class SegQADataset(_RetryDataset):
+    """Segmentation Q&A with [SEG]-token answers + real masks
+    (reference SegDataset/RefSegDataset, multi_dataset.py:1354-1631)."""
+
+    def __init__(self, args: DataArgs, tokenizer, manifest: str, split="train",
+                 templates=None):
+        from hsenet_tpu.data.prompts import Seg_templates
+
+        self.args = args
+        self.tokenizer = tokenizer
+        self.data_list = _load_manifest(manifest, split, args.val_limit)
+        self.templates = list(templates or Seg_templates)
+        self.image_tokens = IM_PATCH_TOKEN * args.proj_out_num
+        self._rng = random.Random(0)
+
+    def get(self, idx):
+        entry = self.data_list[idx]
+        image = np.load(os.path.join(self.args.data_root, entry["image"]))
+        seg = np.load(os.path.join(self.args.data_root, entry["seg"]))
+        if seg.ndim == 3:
+            seg = seg[None]
+        question = self.image_tokens + self._rng.choice(self.templates).format(
+            target=entry["target"]
+        )
+        answer = "[SEG]"
+        tok = tokenize_qa_sample(
+            self.tokenizer, question, answer, self.args.max_length
+        )
+        return {
+            "image": image.astype(np.float32),
+            "seg": seg.astype(np.float32),
+            "input_ids": tok["input_ids"],
+            "attention_mask": tok["attention_mask"],
+            "labels": tok["labels"],
+            "question": question,
+            "answer": answer,
+        }
+
+
+class MixDataset:
+    """Task mixer (reference UniDatasets / TextDatasets_CT_Rate,
+    multi_dataset.py:1692-1809): concatenation of datasets, optionally with
+    zero-filled `seg` masks so seg/non-seg tasks collate together
+    (train_VLM.py:266-312 collator branch)."""
+
+    def __init__(self, datasets: List, pad_seg_shape=None):
+        self.datasets = datasets
+        self.offsets = np.cumsum([0] + [len(d) for d in datasets])
+        self.pad_seg_shape = pad_seg_shape
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def __getitem__(self, idx):
+        d = int(np.searchsorted(self.offsets, idx, side="right") - 1)
+        sample = self.datasets[d][idx - int(self.offsets[d])]
+        if self.pad_seg_shape is not None and "seg" not in sample:
+            sample["seg"] = np.zeros(self.pad_seg_shape, np.float32)
+        return sample

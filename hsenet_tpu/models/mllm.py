@@ -80,6 +80,22 @@ class HSENetVLM(nn.Module):
         self.llm = Phi3ForCausalLM(
             cfg.llm, dtype=self.dtype, remat=self.remat, name="llm"
         )
+        if cfg.seg_enable:
+            seg_cfg = cfg.seg_vision or dataclasses.replace(
+                cfg.vision, classification=False
+            )
+            from hsenet_tpu.models.segvol import SegVol
+
+            self.seg_module = SegVol(seg_cfg, dtype=self.dtype, name="seg_module")
+            # Linear-ReLU-Linear-Dropout projector (lamed_arch.py:95-100)
+            self.seg_projector = nn.Sequential(
+                [
+                    nn.Dense(cfg.llm.hidden_size, dtype=self.dtype),
+                    jax.nn.relu,
+                    nn.Dense(cfg.vision.hidden_size, dtype=self.dtype),
+                ],
+                name="seg_projector",
+            )
 
     def encode_images(
         self,
@@ -158,3 +174,42 @@ class HSENetVLM(nn.Module):
         embeds = self.llm.embed_tokens(token)
         logits, cache = self.llm.decode_embeds(embeds, cache=cache)
         return logits[:, 0], cache
+
+    def forward_with_seg(
+        self,
+        input_ids: jax.Array,
+        volume: jax.Array,
+        slice_features: Optional[jax.Array] = None,
+        *,
+        kv_lens: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """LM logits + SegVol logits driven by [SEG]-token hidden states.
+
+        Mirrors lamed_phi3.py:87-135: the hidden state at the position
+        *preceding* each [SEG] token (shifted mask, :106-113) is mean-pooled
+        per row, projected to the vision width, and used as SegVol's text
+        prompt. Rows with no [SEG] produce a zero prompt (caller gates their
+        seg loss, as the reference gates by nonzero seg masks).
+        """
+        cfg = self.config
+        assert cfg.seg_enable, "seg branch disabled in config"
+        embeds = self.multimodal_embeds(
+            input_ids, volume, slice_features, deterministic=deterministic
+        )
+        logits, _, hidden = self.llm.decode_embeds(
+            embeds, kv_lens=kv_lens, deterministic=deterministic,
+            return_hidden=True,
+        )
+        # mask: position t where token t+1 is [SEG] (shifted-left, zero tail)
+        is_seg = input_ids == cfg.seg_token_id
+        mask = jnp.concatenate(
+            [is_seg[:, 1:], jnp.zeros_like(is_seg[:, :1])], axis=1
+        ).astype(hidden.dtype)
+        denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+        pooled = jnp.einsum("bs,bsh->bh", mask / denom, hidden)
+        has_seg = mask.sum(axis=1) > 0
+        prompt = self.seg_projector(pooled)
+        prompt = jnp.where(has_seg[:, None], prompt, 0.0)
+        seg_logits = self.seg_module(volume, text_embedding=prompt)
+        return logits, seg_logits

@@ -337,6 +337,7 @@ class Phi3ForCausalLM(nn.Module):
         positions: Optional[jax.Array] = None,
         deterministic: bool = True,
         last_token_only: bool = False,
+        return_hidden: bool = False,
     ):
         hidden, new_cache = self.decoder(
             inputs_embeds,
@@ -345,6 +346,7 @@ class Phi3ForCausalLM(nn.Module):
             positions=positions,
             deterministic=deterministic,
         )
+        full_hidden = hidden
         if last_token_only:
             if kv_lens is not None and hidden.shape[1] > 1:
                 idx = jnp.maximum(kv_lens - 1, 0)
@@ -352,6 +354,8 @@ class Phi3ForCausalLM(nn.Module):
             else:
                 hidden = hidden[:, -1:]
         logits = self.compute_logits(hidden)
+        if return_hidden:
+            return logits, new_cache, full_hidden
         return logits, new_cache
 
     def __call__(

@@ -69,11 +69,55 @@ def vlm_loss_fn(
     return loss, {"loss": loss, "token_acc": acc}
 
 
+def vlm_seg_loss_fn(
+    model: HSENetVLM, params, batch: Dict[str, jax.Array], dropout_rng=None
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """LM loss + dice+BCE seg loss for rows with nonzero masks
+    (lamed_phi3.py:87-135 semantics; rows without masks contribute 0)."""
+    from hsenet_tpu.models.segvol import binary_dice_loss, masked_bce_loss
+
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    kv_lens = batch["attention_mask"].sum(axis=-1).astype(jnp.int32)
+    logits, seg_logits = model.apply(
+        params,
+        batch["input_ids"],
+        batch["image"],
+        batch.get("image_2d"),
+        kv_lens=kv_lens,
+        deterministic=dropout_rng is None,
+        rngs=rngs,
+        method=HSENetVLM.forward_with_seg,
+    )
+    lm_loss, acc = masked_lm_loss(logits, batch["labels"])
+    segs = batch["seg"]  # (B, 1, D, H, W), zero-filled when absent
+    has_seg = (segs.sum(axis=(1, 2, 3, 4)) > 0).astype(jnp.float32)
+    n_seg = jnp.maximum(has_seg.sum(), 1.0)
+
+    def per_row(logit, target):
+        return (
+            binary_dice_loss(logit[None], target[None])
+            + masked_bce_loss(logit[None], target[None])
+        )
+
+    per_row_losses = jax.vmap(per_row)(seg_logits, segs)
+    seg_loss = jnp.sum(per_row_losses * has_seg) / n_seg
+    loss = lm_loss + seg_loss
+    return loss, {
+        "loss": loss,
+        "lm_loss": lm_loss,
+        "seg_loss": seg_loss,
+        "token_acc": acc,
+    }
+
+
 def make_vlm_train_step(
     model: HSENetVLM,
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    seg: bool = False,
 ):
+    loss_fn = vlm_seg_loss_fn if seg else vlm_loss_fn
+
     def train_step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
         if mesh is not None:
@@ -84,7 +128,7 @@ def make_vlm_train_step(
                 batch,
             )
         (loss, metrics), grads = jax.value_and_grad(
-            functools.partial(vlm_loss_fn, model), has_aux=True
+            functools.partial(loss_fn, model), has_aux=True
         )(state.params, batch, dropout_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

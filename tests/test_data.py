@@ -299,3 +299,77 @@ def test_augment_identity_when_probs_zero(key):
     )
     out = augment_batch(vols, key, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(vols))
+
+
+# ------------------------------------- grounding / seg / mixer datasets
+
+
+def _write_grounding_dataset(tmp_path, n=4):
+    root = str(tmp_path)
+    entries = []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.random((1, 4, 8, 8)).astype(np.float32)
+        seg = np.zeros((1, 4, 8, 8), np.float32)
+        seg[0, 1:3, 2:6, 2:6] = 1.0
+        np.save(os.path.join(root, f"gimg{i}.npy"), img)
+        np.save(os.path.join(root, f"gseg{i}.npy"), seg)
+        entries.append(
+            {
+                "image": f"gimg{i}.npy",
+                "seg": f"gseg{i}.npy",
+                "target": "liver",
+                "question": "What organ is largest?",
+                "choices": ["liver", "heart", "lung"],
+                "answer_idx": 0,
+            }
+        )
+    manifest = os.path.join(root, "gmanifest.json")
+    with open(manifest, "w") as f:
+        json.dump({"train": entries, "validation": entries}, f)
+    return root, manifest
+
+
+def test_grounding_and_seg_datasets(tmp_path):
+    from hsenet_tpu.data.datasets import (
+        ClosedVQADataset,
+        MixDataset,
+        PosRECDataset,
+        PosREGDataset,
+        SegQADataset,
+    )
+
+    root, manifest = _write_grounding_dataset(tmp_path)
+    tok = SimpleTokenizer()
+    for t in ["<im_patch>", "<bx_start>", "<bx_end>", "[SEG]"]:
+        tok.add_token(t)
+    args = DataArgs(data_root=root, max_length=64, proj_out_num=2)
+
+    rec = PosRECDataset(args, tok, manifest)[0]
+    assert rec["answer"].startswith("<bx_start>[")
+    np.testing.assert_allclose(
+        rec["box"], [0.25, 0.25, 0.25, 0.75, 0.75, 0.75]
+    )
+
+    reg = PosREGDataset(args, tok, manifest)[0]
+    assert reg["answer"] == "liver"
+    assert "<bx_start>[" in reg["question"]
+
+    seg = SegQADataset(args, tok, manifest)[0]
+    assert seg["answer"] == "[SEG]"
+    assert seg["seg"].shape == (1, 4, 8, 8)
+    assert seg["seg"].sum() > 0
+
+    closed = ClosedVQADataset(args, tok, manifest)[0]
+    assert "Choices: A." in closed["question"]
+    assert closed["answer"].startswith("A. liver")
+
+    mix = MixDataset(
+        [SegQADataset(args, tok, manifest), PosRECDataset(args, tok, manifest)],
+        pad_seg_shape=(1, 4, 8, 8),
+    )
+    assert len(mix) == 8
+    s0 = mix[0]  # seg sample, real mask
+    s1 = mix[5]  # REC sample, padded zero mask
+    assert s0["seg"].sum() > 0
+    assert s1["seg"].sum() == 0

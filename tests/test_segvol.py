@@ -87,3 +87,77 @@ def test_segvol_gradients(key):
     leaves = jax.tree.leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
     assert any(float(jnp.max(jnp.abs(x))) > 0 for x in leaves)
+
+
+def test_vlm_seg_branch_and_train_step(key):
+    """[SEG]-token routed segmentation inside the VLM + combined loss."""
+    import dataclasses
+
+    from hsenet_tpu.configs import (
+        LoRAConfig,
+        MeshConfig,
+        PackerConfig,
+        Phi3Config,
+        TrainConfig,
+        VLMConfig,
+    )
+    from hsenet_tpu.models.mllm import HSENetVLM
+    from hsenet_tpu.parallel.mesh import create_mesh, shard_batch
+    from hsenet_tpu.train.train_state import TrainState, make_optimizer
+    from hsenet_tpu.train.vlm import make_vlm_train_step, vlm_trainable_mask
+
+    vis = dataclasses.replace(TINY, classification=True, patch_size=(2, 8, 8))
+    cfg = VLMConfig(
+        vision=vis,
+        packer=PackerConfig(
+            grid=vis.grid, kernel=(1, 2, 2), in_dim=32, out_dim=32,
+            dropout_rate=0.0,
+        ),
+        llm=Phi3Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=1,
+            num_heads=4, num_kv_heads=2, head_dim=8, tie_word_embeddings=True,
+            lora=LoRAConfig(rank=2, alpha=4, dropout_rate=0.0),
+        ),
+        seg_enable=True,
+        seg_token_id=9,
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    b, seq = 2, 24
+    ids = rng.integers(10, 64, (b, seq))
+    ids[:, 0] = 1
+    ids[0, 20] = 9  # [SEG] token in row 0 only
+    labels = ids.astype(np.int64).copy()
+    labels[:, : cfg.num_image_tokens + 2] = -100
+    segs = np.zeros((b, 1, 8, 16, 16), np.float32)
+    segs[0, :, 2:5, 4:10, 4:10] = 1.0  # row 1 has no mask -> gated out
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.ones((b, seq), jnp.int32),
+        "image": jnp.asarray(rng.random((b, 1, 8, 16, 16), np.float32)),
+        "image_2d": jnp.asarray(rng.random((b, 2, 16), np.float32)),
+        "seg": jnp.asarray(segs),
+    }
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"],
+        kv_lens=batch["attention_mask"].sum(-1),
+        method=HSENetVLM.forward_with_seg,
+    )
+    logits, seg_logits = model.apply(
+        params, batch["input_ids"], batch["image"], batch["image_2d"],
+        method=HSENetVLM.forward_with_seg,
+    )
+    assert logits.shape == (b, seq, 64)
+    assert seg_logits.shape == (b, 1, 8, 16, 16)
+
+    mesh = create_mesh(MeshConfig(dp=2, tp=1))
+    mask = vlm_trainable_mask(params, train_towers=True)
+    tx = make_optimizer(
+        TrainConfig(total_steps=10, learning_rate=1e-3), trainable_mask=mask
+    )
+    state = TrainState.create(params, tx)
+    step = make_vlm_train_step(model, tx, mesh, seg=True)
+    state, metrics = step(state, shard_batch(batch, mesh), key)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["seg_loss"]) > 0
