@@ -184,3 +184,67 @@ def graft_params(dst_tree, src_tree, path: str = ""):
                 )
             dst_tree[key] = val
     return dst_tree
+
+
+def convert_biomedclip_vit2d(sd: Dict, num_layers: int = 12) -> Dict:
+    """timm/open_clip ViT-B/16 trunk state dict -> our `ViT2D` params.
+
+    The reference extracts features with `model.visual.trunk` of
+    open_clip's BiomedCLIP (CT-RATE_2D_to_npy_file.py:88); trunk keys are
+    timm ViT names: patch_embed.proj (conv16x16), cls_token, pos_embed,
+    norm_pre, blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2},
+    norm. The conv patch embed is reshaped into the equivalent matmul
+    kernel (patch pixels row-major, channel last — matching PatchEmbed2D's
+    rearrange).
+    """
+    import numpy as np
+
+    conv_w = _np(sd["patch_embed.proj.weight"])  # (768, 3, 16, 16)
+    # -> (16*16*3, 768) with (p1, p2, c) ordering to match
+    # rearrange 'b (h p1) (w p2) c -> b (h w) (p1 p2 c)'
+    kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0])
+
+    blocks = []
+    for i in range(num_layers):
+        b = f"blocks.{i}"
+        attn = {
+            "qkv": {
+                "kernel": _np(sd[f"{b}.attn.qkv.weight"]).T,
+                "bias": _np(sd[f"{b}.attn.qkv.bias"]),
+            },
+            "out_proj": _lin(sd, f"{b}.attn.proj"),
+        }
+        blocks.append(
+            {
+                "norm1": _ln(sd, f"{b}.norm1"),
+                "attn": attn,
+                "norm2": _ln(sd, f"{b}.norm2"),
+                "mlp": {
+                    "fc1": _lin(sd, f"{b}.mlp.fc1"),
+                    "fc2": _lin(sd, f"{b}.mlp.fc2"),
+                },
+            }
+        )
+
+    hidden = conv_w.shape[0]
+    if "norm_pre.weight" in sd:
+        norm_pre = _ln(sd, "norm_pre")
+    else:
+        # timm norm_pre is Identity for standard ViT-B/16 (incl. BiomedCLIP)
+        norm_pre = {
+            "scale": np.ones(hidden, np.float32),
+            "bias": np.zeros(hidden, np.float32),
+        }
+    params = {
+        "patch_embed": {
+            "proj": {
+                "kernel": kernel,
+                "bias": _np(sd["patch_embed.proj.bias"]),
+            }
+        },
+        "cls_token": _np(sd["cls_token"]),
+        "pos_embed": _np(sd["pos_embed"]),
+        "norm_pre": norm_pre,
+        "tower": {"blocks": _stack(blocks), "norm": _ln(sd, "norm")},
+    }
+    return {"params": params}

@@ -198,3 +198,104 @@ def test_convert_reference_vit_structure(key):
     assert init_params["tower"]["blocks"]["attn"]["qkv"]["kernel"].shape == (
         L, h, 3 * h,
     )
+
+
+def test_biomedclip_conv_patch_embed_equivalence(key):
+    """The conv16x16 -> matmul kernel reshape must reproduce torch conv2d
+    patchification exactly (layout is the error-prone part)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from hsenet_tpu.utils.convert import convert_biomedclip_vit2d
+
+    rng = np.random.default_rng(0)
+    h, p, c = 8, 4, 3
+    conv_w = rng.normal(size=(h, c, p, p)).astype(np.float32)
+    conv_b = rng.normal(size=(h,)).astype(np.float32)
+    img = rng.normal(size=(1, c, 2 * p, 2 * p)).astype(np.float32)
+
+    ref = F.conv2d(
+        torch.tensor(img), torch.tensor(conv_w), torch.tensor(conv_b),
+        stride=p,
+    ).numpy()  # (1, h, 2, 2)
+    ref_tokens = ref.reshape(1, h, 4).transpose(0, 2, 1)  # (1, 4 patches, h)
+
+    # our path: rearrange + matmul with the converted kernel
+    from einops import rearrange as rearr
+
+    kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, h)
+    img_hwc = img.transpose(0, 2, 3, 1)  # NHWC
+    tokens = rearr(
+        jnp.asarray(img_hwc), "b (x p1) (y p2) c -> b (x y) (p1 p2 c)",
+        p1=p, p2=p,
+    )
+    ours = np.asarray(tokens @ kernel + conv_b)
+    np.testing.assert_allclose(ours, ref_tokens, atol=1e-5)
+
+
+def test_vit2d_converter_structure(key):
+    """Synthetic timm-style trunk state dict grafts into ViT2D cleanly."""
+    import flax
+
+    from hsenet_tpu.configs import ViT2DConfig
+    from hsenet_tpu.models.vit import ViT2D
+    from hsenet_tpu.utils.convert import convert_biomedclip_vit2d, graft_params
+
+    cfg = ViT2DConfig(
+        image_size=16, patch_size=4, hidden_size=16, mlp_dim=32,
+        num_layers=2, num_heads=2,
+    )
+    rng = np.random.default_rng(0)
+    h, m, L = 16, 32, 2
+    sd = {
+        "patch_embed.proj.weight": rng.normal(size=(h, 3, 4, 4)).astype(np.float32),
+        "patch_embed.proj.bias": np.zeros(h, np.float32),
+        "cls_token": rng.normal(size=(1, 1, h)).astype(np.float32),
+        "pos_embed": rng.normal(size=(1, 17, h)).astype(np.float32),
+        "norm.weight": np.ones(h, np.float32),
+        "norm.bias": np.zeros(h, np.float32),
+    }
+    for i in range(L):
+        sd.update({
+            f"blocks.{i}.norm1.weight": np.ones(h, np.float32),
+            f"blocks.{i}.norm1.bias": np.zeros(h, np.float32),
+            f"blocks.{i}.attn.qkv.weight": rng.normal(size=(3 * h, h)).astype(np.float32),
+            f"blocks.{i}.attn.qkv.bias": np.zeros(3 * h, np.float32),
+            f"blocks.{i}.attn.proj.weight": rng.normal(size=(h, h)).astype(np.float32),
+            f"blocks.{i}.attn.proj.bias": np.zeros(h, np.float32),
+            f"blocks.{i}.norm2.weight": np.ones(h, np.float32),
+            f"blocks.{i}.norm2.bias": np.zeros(h, np.float32),
+            f"blocks.{i}.mlp.fc1.weight": rng.normal(size=(m, h)).astype(np.float32),
+            f"blocks.{i}.mlp.fc1.bias": np.zeros(m, np.float32),
+            f"blocks.{i}.mlp.fc2.weight": rng.normal(size=(h, m)).astype(np.float32),
+            f"blocks.{i}.mlp.fc2.bias": np.zeros(h, np.float32),
+        })
+    converted = convert_biomedclip_vit2d(sd, num_layers=L)
+    model = ViT2D(cfg)
+    img = jnp.ones((1, 16, 16, 3))
+    init = flax.core.unfreeze(model.init(key, img))["params"]
+    graft_params(init, converted["params"])
+    out = model.apply({"params": init}, img)
+    assert out.shape == (1, 16)
+
+
+def test_zero1_opt_state_sharding(key):
+    from hsenet_tpu.configs import MeshConfig
+    from hsenet_tpu.parallel.mesh import create_mesh
+    from hsenet_tpu.parallel.zero import shard_opt_state, zero1_spec_for
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    assert zero1_spec_for(np.zeros((16, 8)), 8) == P("dp", None)
+    assert zero1_spec_for(np.zeros((3, 8)), 8) == P(None, "dp")
+    assert zero1_spec_for(np.zeros(()), 8) == P()
+    assert zero1_spec_for(np.zeros((3, 5)), 8) == P()
+
+    mesh = create_mesh(MeshConfig(dp=8, tp=1))
+    params = {"w": jnp.ones((64, 4)), "b": jnp.ones((4,))}
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    sharded = shard_opt_state(opt_state, mesh)
+    mu_w = sharded[0].mu["w"]
+    # 64 rows over 8 dp shards -> 8 rows per device
+    assert mu_w.sharding.shard_shape(mu_w.shape) == (8, 4)
