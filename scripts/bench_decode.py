@@ -1,0 +1,74 @@
+"""Decode throughput: tokens/sec on one chip, Phi-4-mini shape.
+
+Run manually (slow to init): python scripts/bench_decode.py [--layers 32]
+
+Measures the jitted greedy decode loop (prefill excluded) at several batch
+sizes. Decode is HBM-bandwidth-bound: each token reads every live weight
+once, so tokens/s/row ~ bandwidth / bytes(params) and batching multiplies
+aggregate throughput until compute catches up.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=32)
+    p.add_argument("--batches", type=int, nargs="+", default=[1, 8])
+    p.add_argument("--prompt-len", type=int, default=320)
+    p.add_argument("--new-tokens", type=int, default=64)
+    args = p.parse_args()
+
+    from hsenet_tpu.configs import Phi3Config
+    from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+
+    cfg = Phi3Config(num_layers=args.layers)
+    model = Phi3ForCausalLM(cfg, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    ids0 = jnp.ones((1, 8), jnp.int32)
+    t0 = time.perf_counter()
+    params = jax.jit(model.init)(key, ids0)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"init {n_params/1e9:.2f}B params in {time.perf_counter()-t0:.0f}s",
+          flush=True)
+
+    results = {}
+    for b in args.batches:
+        gen = make_greedy_generate_llm_only(
+            model, max_new_tokens=args.new_tokens, eos_token_id=-1,
+        )
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(3, 1000, (b, args.prompt_len)))
+        kv = jnp.full((b,), args.prompt_len, jnp.int32)
+        out = gen(params, ids, kv)
+        _ = np.asarray(out[:, -1])  # sync (compile + run)
+        t0 = time.perf_counter()
+        out = gen(params, ids, kv)
+        _ = np.asarray(out[:, -1])
+        dt = time.perf_counter() - t0
+        tps = b * args.new_tokens / dt
+        results[f"batch{b}"] = round(tps, 1)
+        print(f"batch {b}: {tps:.1f} tokens/s aggregate "
+              f"({tps/b:.1f}/row)", flush=True)
+
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec",
+        "layers": args.layers,
+        **results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
