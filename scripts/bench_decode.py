@@ -38,8 +38,18 @@ def main():
     key = jax.random.PRNGKey(0)
     ids0 = jnp.ones((1, 8), jnp.int32)
     t0 = time.perf_counter()
-    params = jax.jit(model.init)(key, ids0)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    # f32 init of 3.8B params (15.2 GB) would OOM a 16 GB chip: build the
+    # param STRUCTURE abstractly, then materialise small bf16 values on
+    # device (values are irrelevant for throughput timing).
+    shapes = jax.eval_shape(model.init, key, ids0)
+
+    @jax.jit
+    def materialise():
+        return jax.tree.map(
+            lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16), shapes
+        )
+
+    params = materialise()
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"init {n_params/1e9:.2f}B params in {time.perf_counter()-t0:.0f}s",
           flush=True)

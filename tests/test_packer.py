@@ -101,3 +101,35 @@ def test_packer_gradients(key):
     params = model.init(key, tokens)
     g = jax.grad(lambda p: jnp.sum(model.apply(p, tokens) ** 2))(params)
     assert all(jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(g))
+
+
+def test_qformer_projector(key):
+    from hsenet_tpu.models.projector import QFormerProjector
+
+    cfg = PackerConfig(grid=(4, 4, 4), kernel=(2, 2, 2), in_dim=16, out_dim=24)
+    tokens = jax.random.normal(key, (2, 64, 16))
+    model = QFormerProjector(cfg, num_queries=8, num_heads=4)
+    params = model.init(key, tokens)
+    out = model.apply(params, tokens)
+    assert out.shape == (2, 8, 24)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_med2e3_projector(key):
+    from hsenet_tpu.models.projector import Med2E3Projector
+
+    cfg = PackerConfig(grid=(4, 4, 4), kernel=(1, 2, 2), in_dim=16, out_dim=24)
+    tokens = jax.random.normal(key, (2, 64, 16))
+    slices = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16))
+    text = jax.random.normal(jax.random.PRNGKey(2), (2, 40, 24))
+    model = Med2E3Projector(cfg, num_slices=8)
+    params = model.init(key, tokens, slices, text)
+    out = model.apply(params, tokens, slices, text)
+    # 16 pooled 3D tokens + 8 weighted slice tokens
+    assert out.shape == (2, 16 + 8, 24)
+    # text changes the slice weighting
+    out2 = model.apply(
+        params, tokens, slices, jax.random.normal(jax.random.PRNGKey(3), (2, 40, 24))
+    )
+    assert not np.allclose(out[:, 16:], out2[:, 16:])
+    np.testing.assert_allclose(out[:, :16], out2[:, :16], atol=1e-6)
