@@ -14,8 +14,11 @@ Design:
     padded sequences (2049 -> 2176) and padded text batches cost no extra
     HBM traffic and attend correctly.
   * causal mode with a query-offset for KV-cache prefill.
-  * backward pass: recompute-based custom VJP (XLA attention under remat
-    semantics). A fused Pallas backward is a later optimisation.
+  * full Pallas backward (FlashAttention-2 style): the forward saves the
+    per-row logsumexp; two kernels recompute P block-wise and produce dQ
+    (grid over q blocks) and dK/dV (grid over k blocks) without ever
+    materialising the (S, S) matrix in HBM. An XLA-recompute fallback
+    remains selectable (`use_pallas_bwd=False`).
 
 The kernel runs in interpret mode off-TPU so the whole test suite exercises
 it on CPU.
@@ -48,10 +51,12 @@ def _round_up(x: int, m: int) -> int:
 def _flash_kernel(
     kv_len_ref,  # (B,) i32 scalar-prefetch: valid kv length per batch row
     q_off_ref,  # (1,) i32 scalar-prefetch: causal query offset
-    q_ref,  # (BQ, D)
-    k_ref,  # (Skv, D)
-    v_ref,  # (Skv, D)
-    o_ref,  # (BQ, D)
+    q_ref,  # (1, 1, BQ, D)
+    k_ref,  # (1, 1, Skv, D)
+    v_ref,  # (1, 1, Skv, D)
+    o_ref,  # (1, 1, BQ, D)
+    lse_ref,  # (1, 1, BQ, 8) or None: per-row logsumexp (8 lane copies;
+    # Mosaic wants the last two block dims (8,128)-aligned or array-equal)
     *,
     block_k: int,
     sm_scale: float,
@@ -109,10 +114,15 @@ def _flash_kernel(
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
     # fully-masked rows (query padding) produce l == 0; avoid 0/0
-    l = jnp.where(l == 0.0, 1.0, l)
+    empty = l == 0.0
+    l = jnp.where(empty, 1.0, l)
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    if lse_ref is not None:
+        # +BIG for empty rows so exp(s - lse) == 0 in the backward kernels
+        lse = jnp.where(empty, -NEG_INF, m + jnp.log(l))  # (BQ, 1)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, 8))
 
 
 def _flash_forward(
@@ -127,7 +137,8 @@ def _flash_forward(
     block_q: int,
     block_k: int,
     interpret: bool,
-) -> jax.Array:
+    with_lse: bool = False,
+):
     batch, heads, sq, d = q.shape
     skv = k.shape[2]
     sq_pad = _round_up(sq, block_q)
@@ -147,9 +158,29 @@ def _flash_forward(
     q_off = jnp.array([q_offset], jnp.int32)
 
     grid = (batch, heads, sq_pad // block_q)
-    kernel = functools.partial(
-        _flash_kernel, block_k=block_k, sm_scale=sm_scale, causal=causal
-    )
+    if with_lse:
+        kernel = functools.partial(
+            _flash_kernel, block_k=block_k, sm_scale=sm_scale, causal=causal
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((batch, heads, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, sq_pad, 8), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec(
+                (1, 1, block_q, d_pad), lambda b, h, i, *_: (b, h, i, 0)
+            ),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, i, *_: (b, h, i, 0)),
+        ]
+    else:
+        kernel = functools.partial(
+            _flash_kernel, lse_ref=None, block_k=block_k, sm_scale=sm_scale,
+            causal=causal,
+        )
+        out_shape = jax.ShapeDtypeStruct((batch, heads, sq_pad, d_pad), q.dtype)
+        out_specs = pl.BlockSpec(
+            (1, 1, block_q, d_pad), lambda b, h, i, *_: (b, h, i, 0)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -164,15 +195,13 @@ def _flash_forward(
                 (1, 1, skv_pad, d_pad), lambda b, h, i, *_: (b, h, 0, 0)
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d_pad), lambda b, h, i, *_: (b, h, i, 0)
-        ),
+        out_specs=out_specs,
     )
 
-    out = pl.pallas_call(
+    result = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, heads, sq_pad, d_pad), q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * heads * sq_pad * skv_pad * d_pad,
@@ -185,9 +214,217 @@ def _flash_forward(
             transcendentals=batch * heads * sq_pad * skv_pad,
         ),
     )(kv_lens, q_off, q, k, v)
+    if with_lse:
+        out, lse = result
+        if sq_pad != sq or d_pad != d:
+            out = out[:, :, :sq, :d]
+        return out, lse  # lse stays padded (sq_pad) for the bwd kernels
+    out = result
     if sq_pad != sq or d_pad != d:
         out = out[:, :, :sq, :d]
     return out
+
+
+def _bwd_dq_kernel(
+    kv_len_ref, q_off_ref,
+    q_ref,  # (1, 1, BQ, D)
+    k_ref,  # (1, 1, Skv, D)
+    v_ref,  # (1, 1, Skv, D)
+    do_ref,  # (1, 1, BQ, D)
+    lse_ref,  # (1, 1, BQ, 8) column layout
+    delta_ref,  # (1, 1, BQ, 8)
+    dq_ref,  # (1, 1, BQ, D)
+    *,
+    block_k: int,
+    sm_scale: float,
+    causal: bool,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    skv = k_ref.shape[2]
+    block_q, d = q_ref.shape[2], q_ref.shape[3]
+    kv_len = kv_len_ref[b]
+    q_off = q_off_ref[0]
+
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, 0:1]  # (BQ, 1) f32
+    delta = delta_ref[0, 0][:, 0:1]
+    row_ids = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+
+    def body(j, acc):
+        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        col_ids = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = col_ids < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids + q_off)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * sm_scale
+        return acc + jax.lax.dot_general(
+            ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, skv // block_k, body, jnp.zeros((block_q, d), jnp.float32)
+    )
+    dq_ref[0, 0] = acc.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    kv_len_ref, q_off_ref,
+    q_ref,  # (1, 1, Sq, D) full
+    k_ref,  # (1, 1, BK, D) block
+    v_ref,  # (1, 1, BK, D) block
+    do_ref,  # (1, 1, Sq, D) full
+    lse_ref,  # (1, 1, 8, Sq) full, row layout
+    delta_ref,  # (1, 1, 8, Sq) full
+    dk_ref,  # (1, 1, BK, D)
+    dv_ref,  # (1, 1, BK, D)
+    *,
+    block_q: int,
+    sm_scale: float,
+    causal: bool,
+):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    sq = q_ref.shape[2]
+    block_k, d = k_ref.shape[2], k_ref.shape[3]
+    kv_len = kv_len_ref[b]
+    q_off = q_off_ref[0]
+
+    k_blk = k_ref[0, 0]
+    v_blk = v_ref[0, 0]
+    col_ids = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, block_q), 0
+    )
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        do_blk = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, 0, 0:1, pl.ds(i * block_q, block_q)]  # (1, BQ)
+        delta = delta_ref[0, 0, 0:1, pl.ds(i * block_q, block_q)]
+        # transposed scores: rows = k positions, cols = q positions
+        st = jax.lax.dot_general(
+            k_blk, q_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        row_ids = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 1
+        )
+        mask = col_ids < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids + q_off)
+        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            pt.astype(do_blk.dtype), do_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dpt = jax.lax.dot_general(
+            v_blk, do_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dst = pt * (dpt - delta) * sm_scale
+        dk_acc = dk_acc + jax.lax.dot_general(
+            dst.astype(q_blk.dtype), q_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((block_k, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, sq // block_q, body, (zeros, zeros))
+    dk_ref[0, 0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, o, lse, do, kv_lens,
+    *, causal, q_offset, sm_scale, block_q, block_k, interpret,
+):
+    batch, heads, sq, d = q.shape
+    skv = k.shape[2]
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_k)
+    d_pad = _round_up(d, 128)
+
+    def pad_q(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+
+    def pad_k(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)))
+
+    # delta = rowsum(do * o): tiny elementwise pass stays in XLA; lse arrives
+    # from the forward in column layout (B, H, sq_pad, 8)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_pad - sq)))
+    delta_cols = jnp.broadcast_to(
+        delta[..., None], (batch, heads, sq_pad, 8)
+    )
+    delta_rows = jnp.transpose(delta_cols, (0, 1, 3, 2))
+    lse_rows = jnp.transpose(lse, (0, 1, 3, 2))
+    q_p, do_p = pad_q(q), pad_q(do)
+    k_p, v_p = pad_k(k), pad_k(v)
+    kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), skv)
+    q_off = jnp.array([q_offset], jnp.int32)
+
+    qspec = pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, i, *_: (b, h, i, 0))
+    qfull = pl.BlockSpec((1, 1, sq_pad, d_pad), lambda b, h, i, *_: (b, h, 0, 0))
+    kfull = pl.BlockSpec((1, 1, skv_pad, d_pad), lambda b, h, i, *_: (b, h, 0, 0))
+    kspec = pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, j, *_: (b, h, j, 0))
+    colq = pl.BlockSpec((1, 1, block_q, 8), lambda b, h, i, *_: (b, h, i, 0))
+    rowfull = pl.BlockSpec((1, 1, 8, sq_pad), lambda b, h, i, *_: (b, h, 0, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale, causal=causal
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, heads, sq_pad // block_q),
+            in_specs=[qspec, kfull, kfull, qspec, colq, colq],
+            out_specs=qspec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, sq_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(kv_lens, q_off, q_p, k_p, v_p, do_p, lse, delta_cols)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale, causal=causal
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, heads, skv_pad // block_k),
+            in_specs=[qfull, kspec, kspec, qfull, rowfull, rowfull],
+            out_specs=[kspec, kspec],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, heads, skv_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((batch, heads, skv_pad, d_pad), v.dtype),
+        ],
+        interpret=interpret,
+    )(kv_lens, q_off, q_p, k_p, v_p, do_p, lse_rows, delta_rows)
+
+    dq = dq[:, :, :sq, :d]
+    dk = dk[:, :, :skv, :d]
+    dv = dv[:, :, :skv, :d]
+    return dq, dk, dv
 
 
 def _xla_attention(q, k, v, kv_lens, *, causal, q_offset, sm_scale):
@@ -210,10 +447,11 @@ def _xla_attention(q, k, v, kv_lens, *, causal, q_offset, sm_scale):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
 )
 def _flash_attention_core(
-    q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k, interpret
+    q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k, interpret,
+    use_pallas_bwd,
 ):
     return _flash_forward(
         q,
@@ -230,17 +468,37 @@ def _flash_attention_core(
 
 
 def _core_fwd(
-    q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k, interpret
+    q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k, interpret,
+    use_pallas_bwd,
 ):
+    if use_pallas_bwd:
+        out, lse = _flash_forward(
+            q, k, v, kv_lens, causal=causal, q_offset=q_offset,
+            sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+            interpret=interpret, with_lse=True,
+        )
+        return out, (q, k, v, kv_lens, out, lse)
     out = _flash_attention_core(
-        q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k, interpret
+        q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k,
+        interpret, use_pallas_bwd,
     )
-    return out, (q, k, v, kv_lens)
+    return out, (q, k, v, kv_lens, None, None)
 
 
-def _core_bwd(causal, q_offset, sm_scale, block_q, block_k, interpret, res, g):
-    q, k, v, kv_lens = res
-    # Recompute-based backward: grads of the mathematically-identical XLA
+def _core_bwd(
+    causal, q_offset, sm_scale, block_q, block_k, interpret, use_pallas_bwd,
+    res, g,
+):
+    q, k, v, kv_lens, o, lse = res
+    if use_pallas_bwd:
+        dq, dk, dv = _flash_backward(
+            q, k, v, o, lse, g, kv_lens,
+            causal=causal, q_offset=q_offset, sm_scale=sm_scale,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+        return dq, dk, dv, None
+
+    # Recompute-based fallback: grads of the mathematically-identical XLA
     # attention. O(S^2) HBM only inside backward, like jax.remat.
     def f(q, k, v):
         return _xla_attention(
@@ -267,6 +525,7 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
+    use_pallas_bwd: bool = True,
 ) -> jax.Array:
     """Flash attention over (batch, heads, seq, head_dim) arrays.
 
@@ -290,5 +549,6 @@ def flash_attention(
     block_q = min(block_q, _round_up(q.shape[2], 128))
     block_k = min(block_k, _round_up(skv, 128))
     return _flash_attention_core(
-        q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k, interpret
+        q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k,
+        interpret, use_pallas_bwd,
     )

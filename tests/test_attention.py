@@ -82,3 +82,38 @@ def test_flash_under_jit_and_vmapless_batching(key):
     np.testing.assert_allclose(
         f(q, k, v), sdpa_reference(q, k, v), atol=2e-5, rtol=2e-5
     )
+
+
+def test_pallas_backward_matches_xla_recompute(key):
+    """The fused Pallas backward must match the XLA-recompute grads."""
+    q, k, v = _rand_qkv(key, 2, 3, 300, 300, 64)
+    kv_lens = jnp.array([300, 123], jnp.int32)
+
+    def loss(q, k, v, use_pallas):
+        out = flash_attention(
+            q, k, v, kv_lens=kv_lens, causal=True, use_pallas_bwd=use_pallas
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_pallas = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_backward_noncausal_multiblock(key):
+    """Multi-block streaming path (block sizes smaller than seq)."""
+    q, k, v = _rand_qkv(key, 1, 2, 384, 512, 32)
+    kv_lens = jnp.array([400], jnp.int32)
+
+    def loss(q, k, v, use_pallas):
+        out = flash_attention(
+            q, k, v, kv_lens=kv_lens, block_q=128, block_k=128,
+            use_pallas_bwd=use_pallas,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_pallas = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
