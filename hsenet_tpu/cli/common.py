@@ -28,6 +28,9 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="rematerialize transformer blocks (default: on for "
+                        "production-size configs, off for --synthetic)")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--checkpoint-every", type=int, default=1000)
     p.add_argument("--resume", default="", help="checkpoint dir to resume")

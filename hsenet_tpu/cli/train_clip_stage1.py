@@ -81,7 +81,8 @@ def main(argv=None):
 
         tokenizer = SimpleTokenizer(vocab_size=clip_cfg.text.vocab_size)
 
-    model = CLIPModel(clip_cfg, dtype=dtype)
+    remat = args.remat if args.remat is not None else not args.synthetic
+    model = CLIPModel(clip_cfg, dtype=dtype, remat=remat)
     dataset = build_dataset(args, tokenizer, clip_cfg)
 
     from hsenet_tpu.data.datasets import DataLoader

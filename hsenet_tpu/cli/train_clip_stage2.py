@@ -63,8 +63,9 @@ def main(argv=None):
 
         tokenizer = SimpleTokenizer(vocab_size=teacher_cfg.text.vocab_size)
 
-    student = CLIPModel(student_cfg, dtype=dtype)
-    teacher = CLIPModel(teacher_cfg, dtype=dtype)
+    remat = args.remat if args.remat is not None else not args.synthetic
+    student = CLIPModel(student_cfg, dtype=dtype, remat=remat)
+    teacher = CLIPModel(teacher_cfg, dtype=dtype, remat=remat)
 
     if args.synthetic:
         from hsenet_tpu.data.datasets import DataArgs, SyntheticCTDataset

@@ -126,7 +126,8 @@ def main(argv=None):
         )
 
     loader = DataLoader(dataset, args.batch_size, shuffle=True, seed=args.seed)
-    model = HSENetVLM(cfg, dtype=dtype)
+    remat = args.remat if args.remat is not None else not args.synthetic
+    model = HSENetVLM(cfg, dtype=dtype, remat=remat)
     batch = next(iter(loader))
     params = jax.jit(model.init)(
         jax.random.PRNGKey(train_cfg.seed),
