@@ -437,7 +437,13 @@ def collate(samples: List[dict]) -> Dict[str, np.ndarray]:
 
 
 class DataLoader:
-    """Shuffling epoch iterator with drop_remainder batching (host side)."""
+    """Shuffling epoch iterator with drop_remainder batching (host side).
+
+    With num_workers > 0, samples are decoded by a thread pool and batches
+    are prefetched ahead of the training loop (`prefetch` deep) — the host
+    IO/tokenize path overlaps device compute, replacing the reference's
+    torch DataLoader worker processes (24 workers in its eval scripts).
+    """
 
     def __init__(
         self,
@@ -447,6 +453,8 @@ class DataLoader:
         seed: int = 0,
         drop_remainder: bool = True,
         collate_fn: Callable = collate,
+        num_workers: int = 0,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -454,6 +462,8 @@ class DataLoader:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.collate_fn = collate_fn
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, 1)
         self.epoch = 0
 
     def __len__(self):
@@ -462,19 +472,61 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _batches(self, order):
+        batch = []
+        for idx in order:
+            batch.append(int(idx))
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_remainder:
+            yield batch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
-        batch = []
-        for idx in order:
-            batch.append(self.dataset[int(idx)])
-            if len(batch) == self.batch_size:
-                yield self.collate_fn(batch)
-                batch = []
-        if batch and not self.drop_remainder:
-            yield self.collate_fn(batch)
+        if self.num_workers <= 0:
+            for idxs in self._batches(order):
+                yield self.collate_fn([self.dataset[i] for i in idxs])
+            return
+
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                try:
+                    for idxs in self._batches(order):
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        q.put(self.collate_fn(samples))
+                finally:
+                    q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except Exception:
+                    pass
+                t.join(timeout=0.1)
 
 
 # ---------------------------------------------------------------------------

@@ -373,3 +373,38 @@ def test_grounding_and_seg_datasets(tmp_path):
     s1 = mix[5]  # REC sample, padded zero mask
     assert s0["seg"].sum() > 0
     assert s1["seg"].sum() == 0
+
+
+def test_dataloader_prefetch_workers(tmp_path):
+    """Threaded prefetching loader yields identical batches to the sync one."""
+    ds = SyntheticCTDataset(n=10, shape=(1, 4, 8, 8), mode="clip",
+                            args=DataArgs(max_text_len=16))
+    sync = DataLoader(ds, batch_size=3, shuffle=True, seed=7)
+    par = DataLoader(ds, batch_size=3, shuffle=True, seed=7, num_workers=4)
+    b_sync = list(sync)
+    b_par = list(par)
+    assert len(b_sync) == len(b_par) == 3
+    for a, b in zip(b_sync, b_par):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+
+
+def test_term_dictionary():
+    import random as _random
+
+    from hsenet_tpu.data.term_dictionary import describe, term_dict
+
+    rng = _random.Random(0)
+    d = describe("left lung", rng)
+    assert d in term_dict["left lung"]
+    assert describe("unknown structure", rng) == "unknown structure"
+
+
+def test_ratescore_hook_degrades_gracefully(tmp_path):
+    from hsenet_tpu.eval.ratescore import compute_ratescore, ratescore_available
+
+    if not ratescore_available():
+        assert compute_ratescore(["a"], ["b"]) is None
+    else:
+        scores = compute_ratescore(["no acute disease"], ["no acute disease"])
+        assert scores and scores[0] > 0
