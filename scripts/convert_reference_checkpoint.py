@@ -1,0 +1,113 @@
+"""Convert reference PyTorch checkpoints into hsenet-tpu orbax params.
+
+Supported artifacts (see hsenet_tpu/utils/convert.py for mappings):
+  * --kind clip-stage1 / clip-stage2 : M3DCLIP_stage{1,2} save_pretrained
+    dirs or raw state-dict .bin files -> CLIPModel params
+  * --kind bert    : HF BertModel -> BertEncoder params
+  * --kind phi3    : HF Phi3ForCausalLM -> Phi3ForCausalLM params
+  * --kind llama   : HF LlamaForCausalLM -> params
+  * --kind biomedclip : open_clip BiomedCLIP `visual.trunk` -> ViT2D params
+  * --kind vlm-deltas : LaMedTrainer projector+LoRA .bin -> packer params
+
+Usage:
+  python scripts/convert_reference_checkpoint.py \
+      --kind clip-stage1 --input /ckpts/stage1/pytorch_model.bin \
+      --output /ckpts_tpu/stage1_params
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_state_dict(path: str):
+    import torch
+
+    if os.path.isdir(path):
+        for name in ("pytorch_model.bin", "model.safetensors"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+    if path.endswith(".safetensors"):
+        from safetensors.torch import load_file
+
+        return load_file(path)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return sd
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--kind", required=True, choices=[
+        "clip-stage1", "clip-stage2", "bert", "phi3", "llama",
+        "biomedclip", "vlm-deltas",
+    ])
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--num-layers", type=int, default=12)
+    args = p.parse_args()
+
+    sd = load_state_dict(args.input)
+    print(f"loaded {len(sd)} tensors from {args.input}")
+
+    if args.kind == "clip-stage1":
+        from hsenet_tpu.utils.convert import convert_reference_clip
+
+        params = convert_reference_clip(sd, args.num_layers, slice_guided=False)
+    elif args.kind == "clip-stage2":
+        from hsenet_tpu.utils.convert import convert_reference_clip
+
+        # strip the frozen teacher subtree; convert the student
+        student = {
+            k: v for k, v in sd.items()
+            if not k.startswith("stage1_pretrained_CLIP.")
+        }
+        params = convert_reference_clip(student, args.num_layers, slice_guided=True)
+    elif args.kind == "bert":
+        from hsenet_tpu.configs import BertConfig
+        from hsenet_tpu.models.bert import convert_hf_bert
+
+        params = convert_hf_bert(sd, BertConfig(num_layers=args.num_layers))
+    elif args.kind == "phi3":
+        from hsenet_tpu.configs import Phi3Config
+        from hsenet_tpu.models.phi3 import convert_hf_phi3
+
+        params = convert_hf_phi3(sd, Phi3Config())
+    elif args.kind == "llama":
+        from hsenet_tpu.configs import LlamaConfig
+        from hsenet_tpu.models.llama import convert_hf_llama
+
+        params = convert_hf_llama(sd, LlamaConfig())
+    elif args.kind == "biomedclip":
+        from hsenet_tpu.utils.convert import convert_biomedclip_vit2d
+
+        trunk = {
+            k.replace("visual.trunk.", ""): v
+            for k, v in sd.items()
+            if k.startswith("visual.trunk.")
+        } or sd
+        params = convert_biomedclip_vit2d(trunk, args.num_layers)
+    elif args.kind == "vlm-deltas":
+        from hsenet_tpu.utils.convert import convert_reference_packer
+
+        params = {
+            "mm_projector": convert_reference_packer(sd, "model.mm_projector."),
+        }
+        if any(k.startswith("model.mm_projector2.") for k in sd):
+            params["mm_projector2"] = convert_reference_packer(
+                sd, "model.mm_projector2."
+            )
+
+    from hsenet_tpu.utils.checkpoint import save_params
+
+    save_params(args.output, params)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
