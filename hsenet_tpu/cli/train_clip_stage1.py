@@ -103,9 +103,42 @@ def main(argv=None):
 
     dump_config(args.output_dir, clip_cfg, train_cfg)
     step_fn = make_stage1_train_step(model, tx, mesh)
+
+    # in-training retrieval eval over the validation split (the reference
+    # evaluates every 4% of steps with retrieval-logit accuracy)
+    from hsenet_tpu.train.trainer import TensorBoardLogger, TrainerHooks
+
+    def on_eval(step, state):
+        try:
+            from hsenet_tpu.eval.retrieval import clip_retrieval_eval
+
+            if args.synthetic:
+                val = loader
+            else:
+                from hsenet_tpu.data.datasets import CTRateCLIPDataset, DataArgs
+
+                val_ds = CTRateCLIPDataset(
+                    DataArgs(
+                        data_root=args.data_root,
+                        max_text_len=clip_cfg.max_text_len,
+                    ),
+                    tokenizer, args.manifest, "validation",
+                )
+                from hsenet_tpu.data.datasets import DataLoader as DL
+
+                val = DL(val_ds, args.batch_size, shuffle=False)
+            return clip_retrieval_eval(model, state.params, val, ks=(5, 10))
+        except Exception as e:  # eval must never kill training
+            print(f"eval failed: {e}")
+            return {}
+
+    hooks = TrainerHooks(
+        on_log=TensorBoardLogger(f"{args.output_dir}/tb"),
+        on_eval=on_eval if train_cfg.eval_every else None,
+    )
     trainer = Trainer(
         step_fn, state, lambda: loader, train_cfg, mesh=mesh,
-        checkpoint_manager=ckpt,
+        checkpoint_manager=ckpt, hooks=hooks,
     )
     state = trainer.fit()
     print(f"done: step {int(state.step)}")

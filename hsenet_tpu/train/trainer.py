@@ -30,6 +30,25 @@ class TrainerHooks:
     milestone_steps: tuple = ()
 
 
+class TensorBoardLogger:
+    """tf.summary writer hook (the reference reports to tensorboard via HF
+    Trainer, train_CLIP_stage1.py:113). Use as TrainerHooks(on_log=...)."""
+
+    def __init__(self, logdir: str):
+        import tensorflow as tf  # baked in; used only for summaries
+
+        self._tf = tf
+        self._writer = tf.summary.create_file_writer(logdir)
+
+    def __call__(self, step: int, metrics: Dict[str, float]) -> None:
+        with self._writer.as_default():
+            for k, v in metrics.items():
+                self._tf.summary.scalar(k, v, step=step)
+        self._writer.flush()
+        msg = ", ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+        print(f"step {step}: {msg}", flush=True)
+
+
 class Trainer:
     def __init__(
         self,
