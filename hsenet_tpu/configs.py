@@ -280,6 +280,11 @@ class VLMConfig:
     # optional SegVol branch (reference ships it disabled, train_VLM.py:99)
     seg_enable: bool = False
     seg_vision: Optional[ViT3DConfig] = None  # defaults to `vision` w/o CLS
+    # in-graph BiomedCLIP slice features (reference ViT4LLM_v3 online mode);
+    # when True, image_2d inputs are optional — features come from a frozen
+    # 2D trunk over resized volume slices
+    online_slice_features: bool = False
+    vit2d: Optional[ViT2DConfig] = None
 
     @property
     def num_image_tokens(self) -> int:

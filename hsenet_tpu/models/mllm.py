@@ -80,6 +80,16 @@ class HSENetVLM(nn.Module):
         self.llm = Phi3ForCausalLM(
             cfg.llm, dtype=self.dtype, remat=self.remat, name="llm"
         )
+        if cfg.online_slice_features:
+            from hsenet_tpu.configs import ViT2DConfig
+            from hsenet_tpu.models.vit import OnlineSliceFeatures
+
+            self.slice_encoder = OnlineSliceFeatures(
+                cfg.vit2d or ViT2DConfig(),
+                num_slices=cfg.vision.num_slices,
+                dtype=self.dtype,
+                name="slice_encoder",
+            )
         if cfg.seg_enable:
             seg_cfg = cfg.seg_vision or dataclasses.replace(
                 cfg.vision, classification=False
@@ -105,6 +115,10 @@ class HSENetVLM(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.config
+        if slice_features is None and cfg.online_slice_features:
+            slice_features = self.slice_encoder(
+                volume, deterministic=deterministic
+            )
         feats = self.vision_tower(
             volume, slice_features, deterministic=deterministic
         )

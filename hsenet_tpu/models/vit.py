@@ -288,6 +288,46 @@ class ViT2D(nn.Module):
         return x[:, 0]
 
 
+class OnlineSliceFeatures(nn.Module):
+    """In-graph BiomedCLIP slice features (reference ViT4LLM_v3 path,
+    vit.py:471-571: trilinear-resize the volume to (32, 224, 224), run the
+    frozen 2D trunk per slice). Replaces the offline (32, 768) feature npy
+    when no precomputed features are available; freeze via the optimizer
+    mask (path contains 'slice_encoder_2d').
+    """
+
+    config: ViT2DConfig
+    num_slices: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, volume: jax.Array, *, deterministic: bool = True):
+        """volume (B, 1, D, H, W) in [0,1] -> (B, num_slices, hidden)."""
+        cfg = self.config
+        b = volume.shape[0]
+        v = volume[:, 0]  # (B, D, H, W)
+        v = jax.image.resize(
+            v, (b, self.num_slices, cfg.image_size, cfg.image_size),
+            method="trilinear",
+        )
+        # per-slice min-max + CLIP normalisation (preprocess.extract_slices
+        # semantics for volumes already in [0,1])
+        mn = v.min(axis=(2, 3), keepdims=True)
+        mx = v.max(axis=(2, 3), keepdims=True)
+        v = (v - mn) / jnp.maximum(mx - mn, 1e-8)
+        rgb = jnp.repeat(v[..., None], 3, axis=-1)
+        mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+        std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+        rgb = (rgb - mean) / std
+        flat = rgb.reshape(
+            b * self.num_slices, cfg.image_size, cfg.image_size, 3
+        )
+        feats = ViT2D(cfg, dtype=self.dtype, name="slice_encoder_2d")(
+            flat, deterministic=deterministic
+        )
+        return feats.reshape(b, self.num_slices, cfg.hidden_size)
+
+
 class DualVisionTower(nn.Module):
     """Both towers; returns per-mode patch-token streams (CLS stripped).
 

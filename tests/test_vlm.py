@@ -210,3 +210,37 @@ def test_greedy_generate_matches_stepwise_full_forward(key):
         nxt = int(jnp.argmax(logits[0, -1]))
         assert nxt == fast[0, t], f"step {t}: {nxt} != {fast[0, t]}"
         ids = np.concatenate([ids, [[nxt]]], axis=1)
+
+
+def test_online_slice_features_mode(key):
+    """With online_slice_features, the VLM needs no precomputed image_2d
+    (reference ViT4LLM_v3 in-graph BiomedCLIP path)."""
+    from hsenet_tpu.configs import ViT2DConfig
+
+    cfg = dataclasses.replace(
+        TINY_VLM,
+        online_slice_features=True,
+        vit2d=ViT2DConfig(
+            image_size=16, patch_size=8, hidden_size=TINY_VIT.slice_feature_dim,
+            mlp_dim=32, num_layers=1, num_heads=2,
+        ),
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    batch = _batch(b=1, seq=16)
+    params = model.init(key, batch["input_ids"], batch["image"], None)
+    logits = model.apply(params, batch["input_ids"], batch["image"], None)
+    assert logits.shape == (1, 16, 64)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    # the frozen 2D trunk participates: its params exist
+    assert "slice_encoder" in params["params"]
+    # trainable-mask policy keeps it frozen
+    from hsenet_tpu.train.vlm import vlm_trainable_mask
+
+    mask = vlm_trainable_mask(params)
+    import jax as _jax
+
+    flat = _jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, trainable in flat:
+        s = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "slice_encoder" in s:
+            assert not trainable, s
