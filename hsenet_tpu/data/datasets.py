@@ -796,3 +796,16 @@ class MixDataset:
         if self.pad_seg_shape is not None and "seg" not in sample:
             sample["seg"] = np.zeros(self.pad_seg_shape, np.float32)
         return sample
+
+
+class YesNoVQADataset(ClosedVQADataset):
+    """Closed yes/no VQA (reference `VQAYNDataset`, multi_dataset.py:891-999)
+    — a two-choice closed VQA; manifest entries carry answer_idx over
+    ["yes", "no"] or explicit choices."""
+
+    def get(self, idx):
+        entry = self.data_list[idx]
+        if "choices" not in entry:
+            entry = dict(entry, choices=["yes", "no"])
+            self.data_list[idx] = entry
+        return super().get(idx)

@@ -40,6 +40,35 @@ def create_mesh(
     return Mesh(arr, config.axis_names)
 
 
+def create_multihost_mesh(
+    config: Optional[MeshConfig] = None,
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Multi-host (pod / multi-pod) mesh.
+
+    Initialises jax.distributed when coordinator info is given (no-op on a
+    single host) and lays the mesh out so the dp axis spans hosts — data
+    parallel traffic rides DCN between pods while tp stays inside a pod's
+    ICI domain. Single-process calls degenerate to `create_mesh`.
+    """
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    config = config or MeshConfig()
+    n = len(jax.devices())
+    tp = config.tp
+    dp = config.dp if config.dp > 0 else n // tp
+    from jax.experimental import mesh_utils
+
+    devices = mesh_utils.create_device_mesh((dp, tp))
+    return Mesh(devices, config.axis_names)
+
+
 def batch_spec() -> P:
     """Batch arrays: leading dim sharded over dp."""
     return P("dp")
