@@ -221,6 +221,9 @@ class Phi3Config:
     tie_word_embeddings: bool = True
     attention_bias: bool = False
     lora: Optional[LoRAConfig] = None
+    # int8 weight-only projections (the reference serves 8-bit via
+    # bitsandbytes); convert params with models.lora.quantize_kernels_int8
+    quant_int8: bool = False
 
     @property
     def q_dim(self) -> int:

@@ -20,21 +20,44 @@ from hsenet_tpu.configs import LoRAConfig
 
 
 class LoRADense(nn.Module):
+    """Dense with optional LoRA adapters and optional int8 weight-only
+    quantization (per-output-channel symmetric; the reference serves its
+    base LLM 8-bit via bitsandbytes, train_VLM.py:376-380 — here the int8
+    weights halve decode HBM traffic and dequantise on the fly)."""
+
     features: int
     use_bias: bool = False
     lora: Optional[LoRAConfig] = None
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         in_dim = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (in_dim, self.features),
-            jnp.float32,
-        )
-        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.quantized:
+            kernel_q = self.param(
+                "kernel_q",
+                nn.initializers.zeros,
+                (in_dim, self.features),
+                jnp.int8,
+            )
+            kernel_scale = self.param(
+                "kernel_scale",
+                nn.initializers.ones,
+                (self.features,),
+                jnp.float32,
+            )
+            y = jnp.dot(x, kernel_q.astype(self.dtype)) * kernel_scale.astype(
+                self.dtype
+            )
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (in_dim, self.features),
+                jnp.float32,
+            )
+            y = jnp.dot(x, kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
@@ -99,3 +122,33 @@ def merge_lora(params, scale_map=None):
 
     scale = scale_map if scale_map is not None else 2.0  # alpha/r default 32/16
     return walk(params, scale)
+
+
+def quantize_kernels_int8(params, target_names=(
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj",
+)):
+    """f32/bf16 kernels -> {kernel_q int8, kernel_scale} for the named
+    projection modules (scanned stacks keep their leading layer axis).
+    Produces the param tree a `quantized=True` model expects."""
+    import numpy as np
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            if name in target_names and "kernel" in node:
+                w = np.asarray(node["kernel"], np.float32)
+                scale = np.abs(w).max(axis=-2, keepdims=True) / 127.0
+                scale = np.maximum(scale, 1e-8)
+                q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+                out = {
+                    "kernel_q": q,
+                    "kernel_scale": np.squeeze(scale, axis=-2),
+                }
+                for k, v in node.items():
+                    if k != "kernel":
+                        out[k] = v
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(params)

@@ -137,15 +137,15 @@ class Phi3Block(nn.Module):
         # straddle the q/kv boundary and force resharding collectives.
         q = LoRADense(
             cfg.q_dim, use_bias=cfg.attention_bias, lora=cfg.lora,
-            dtype=self.dtype, name="q_proj",
+            dtype=self.dtype, quantized=cfg.quant_int8, name="q_proj",
         )(y, deterministic=deterministic)
         k = LoRADense(
             cfg.kv_dim, use_bias=cfg.attention_bias, lora=cfg.lora,
-            dtype=self.dtype, name="k_proj",
+            dtype=self.dtype, quantized=cfg.quant_int8, name="k_proj",
         )(y, deterministic=deterministic)
         v = LoRADense(
             cfg.kv_dim, use_bias=cfg.attention_bias, lora=cfg.lora,
-            dtype=self.dtype, name="v_proj",
+            dtype=self.dtype, quantized=cfg.quant_int8, name="v_proj",
         )(y, deterministic=deterministic)
         q = rearrange(q, "b s (n d) -> b n s d", n=cfg.num_heads)
         k = rearrange(k, "b s (n d) -> b n s d", n=cfg.num_kv_heads)
@@ -188,6 +188,7 @@ class Phi3Block(nn.Module):
             use_bias=cfg.attention_bias,
             lora=cfg.lora,
             dtype=self.dtype,
+            quantized=cfg.quant_int8,
             name="o_proj",
         )(attn, deterministic=deterministic)
         x = x + attn
@@ -195,16 +196,17 @@ class Phi3Block(nn.Module):
         y = RMSNorm(cfg.rms_norm_eps, name="post_attn_norm")(x)
         gate = LoRADense(
             cfg.intermediate_size, lora=cfg.lora, dtype=self.dtype,
-            name="gate_proj",
+            quantized=cfg.quant_int8, name="gate_proj",
         )(y, deterministic=deterministic)
         up = LoRADense(
             cfg.intermediate_size, lora=cfg.lora, dtype=self.dtype,
-            name="up_proj",
+            quantized=cfg.quant_int8, name="up_proj",
         )(y, deterministic=deterministic)
         y = jax.nn.silu(gate) * up
-        y = LoRADense(h, lora=cfg.lora, dtype=self.dtype, name="down_proj")(
-            y, deterministic=deterministic
-        )
+        y = LoRADense(
+            h, lora=cfg.lora, dtype=self.dtype, quantized=cfg.quant_int8,
+            name="down_proj",
+        )(y, deterministic=deterministic)
         return x + y, new_kv
 
 

@@ -27,13 +27,15 @@ def main():
     p.add_argument("--batches", type=int, nargs="+", default=[1, 8])
     p.add_argument("--prompt-len", type=int, default=320)
     p.add_argument("--new-tokens", type=int, default=64)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only projections (bitsandbytes parity)")
     args = p.parse_args()
 
     from hsenet_tpu.configs import Phi3Config
     from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
     from hsenet_tpu.models.phi3 import Phi3ForCausalLM
 
-    cfg = Phi3Config(num_layers=args.layers)
+    cfg = Phi3Config(num_layers=args.layers, quant_int8=args.int8)
     model = Phi3ForCausalLM(cfg, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     ids0 = jnp.ones((1, 8), jnp.int32)
@@ -45,9 +47,14 @@ def main():
 
     @jax.jit
     def materialise():
-        return jax.tree.map(
-            lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16), shapes
-        )
+        def fill(s):
+            if s.dtype == jnp.int8:
+                return jnp.ones(s.shape, jnp.int8)
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                return jnp.full(s.shape, 0.01, jnp.bfloat16)
+            return jnp.zeros(s.shape, s.dtype)
+
+        return jax.tree.map(fill, shapes)
 
     params = materialise()
     n_params = sum(x.size for x in jax.tree.leaves(params))

@@ -196,3 +196,31 @@ def test_merge_lora_matches_adapter_forward(key, rng):
     np.testing.assert_allclose(
         np.asarray(with_adapters), np.asarray(merged_logits), atol=1e-5
     )
+
+
+def test_int8_quantized_decoder_close_to_full(key, rng):
+    """int8 weight-only projections stay close to the bf16/f32 model."""
+    import flax
+
+    from hsenet_tpu.models.lora import quantize_kernels_int8
+
+    ids = jnp.asarray(rng.integers(0, TINY.vocab_size, size=(2, 8)))
+    full = _jax_model()
+    params = full.init(key, ids)
+    ref_logits, _ = full.apply(params, ids)
+
+    qcfg = dataclasses.replace(TINY, quant_int8=True)
+    qmodel = Phi3ForCausalLM(qcfg, dtype=jnp.float32)
+    qparams = {"params": quantize_kernels_int8(
+        flax.core.unfreeze(params)["params"]
+    )}
+    q_logits, _ = qmodel.apply(qparams, ids)
+    # int8 per-channel quantization error stays small on random weights
+    err = np.abs(np.asarray(q_logits) - np.asarray(ref_logits))
+    rel = err.max() / (np.abs(np.asarray(ref_logits)).max() + 1e-9)
+    assert rel < 0.05, rel
+    # and the KV-cache decode path still works
+    cache = KVCache.create(qcfg, 2, 16, dtype=jnp.float32)
+    logits, cache = qmodel.apply(qparams, ids, cache=cache)
+    step_logits, cache = qmodel.apply(qparams, ids[:, :1], cache=cache)
+    assert bool(jnp.all(jnp.isfinite(step_logits)))
