@@ -1,0 +1,91 @@
+"""Sliding-window volumetric inference for SegVol.
+
+The reference wraps SAM-style predictors around fixed ROIs
+(`segment_anything_volumetric/predictor.py`); clinical volumes are larger
+than the (32,256,256) ROI, so production segmentation tiles the volume.
+This is the TPU-friendly equivalent of MONAI's sliding_window_inference:
+static ROI shape (one compiled program), precomputed window offsets on host,
+gaussian-free uniform blending with an overlap counter.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_offsets(
+    image_shape: Sequence[int], roi: Sequence[int], overlap: float = 0.25
+) -> np.ndarray:
+    """Host-side (N, 3) window start offsets covering the volume."""
+    starts = []
+    for dim, r in zip(image_shape, roi):
+        if dim <= r:
+            starts.append([0])
+            continue
+        step = max(1, int(r * (1 - overlap)))
+        s = list(range(0, dim - r, step)) + [dim - r]
+        starts.append(sorted(set(s)))
+    return np.array(list(itertools.product(*starts)), np.int32)
+
+
+def sliding_window_segment(
+    predict_roi: Callable[[jax.Array], jax.Array],
+    volume: jax.Array,  # (1, D, H, W) or (C, D, H, W)
+    roi: Tuple[int, int, int],
+    overlap: float = 0.25,
+) -> jax.Array:
+    """Tile `volume`, run `predict_roi` ((1, C, *roi) -> (1, 1, *roi)
+    logits) per window, uniform-blend overlaps. Returns (1, D, H, W)."""
+    c = volume.shape[0]
+    spatial = volume.shape[1:]
+    offsets = window_offsets(spatial, roi)
+
+    logits = jnp.zeros((1, *spatial), jnp.float32)
+    counts = jnp.zeros(spatial, jnp.float32)
+    ones = jnp.ones(roi, jnp.float32)
+
+    @jax.jit
+    def run_window(volume, logits, counts, off):
+        patch = jax.lax.dynamic_slice(
+            volume, (0, off[0], off[1], off[2]), (c, *roi)
+        )
+        out = predict_roi(patch[None])[0, 0].astype(jnp.float32)
+        logits = jax.lax.dynamic_update_slice(
+            logits,
+            jax.lax.dynamic_slice(
+                logits, (0, off[0], off[1], off[2]), (1, *roi)
+            )
+            + out[None],
+            (0, off[0], off[1], off[2]),
+        )
+        counts = jax.lax.dynamic_update_slice(
+            counts,
+            jax.lax.dynamic_slice(counts, tuple(off), roi) + ones,
+            tuple(off),
+        )
+        return logits, counts
+
+    for off in offsets:
+        logits, counts = run_window(volume, logits, counts, jnp.asarray(off))
+    return logits / jnp.maximum(counts, 1.0)[None]
+
+
+def make_segvol_predictor(
+    model, params, text_encoder: Optional[Callable] = None
+):
+    """SegVol ROI predictor factory: returns predict(volume, text_embedding,
+    boxes) with the image embedding computed once per window (the reference
+    predictor caches embeddings the same way, predictor.py)."""
+
+    @jax.jit
+    def predict(volume, text_embedding=None, boxes=None):
+        return model.apply(
+            params, volume, text_embedding, boxes
+        )
+
+    return predict

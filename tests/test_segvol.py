@@ -161,3 +161,52 @@ def test_vlm_seg_branch_and_train_step(key):
     state, metrics = step(state, shard_batch(batch, mesh), key)
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["seg_loss"]) > 0
+
+
+def test_window_offsets_cover_volume():
+    from hsenet_tpu.eval.sliding_window import window_offsets
+
+    offs = window_offsets((40, 64, 64), (32, 32, 32), overlap=0.25)
+    # full coverage: union of [off, off+roi) spans every dim
+    for d, (dim, r) in enumerate(zip((40, 64, 64), (32, 32, 32))):
+        starts = sorted(set(offs[:, d]))
+        assert starts[0] == 0 and starts[-1] == dim - r
+        for a, b in zip(starts, starts[1:]):
+            assert b - a <= r  # no gaps
+    # small volume: single window at 0
+    offs = window_offsets((16, 16, 16), (32, 32, 32))
+    assert (offs == 0).all() and len(offs) == 1
+
+
+def test_sliding_window_segment_constant_predictor():
+    """A predictor returning a constant must yield that constant everywhere
+    (blending normalises overlaps)."""
+    import jax.numpy as jnp
+
+    from hsenet_tpu.eval.sliding_window import sliding_window_segment
+
+    def predict_roi(patch):
+        return jnp.full((patch.shape[0], 1, *patch.shape[2:]), 3.5)
+
+    vol = jnp.zeros((1, 10, 12, 12))
+    out = sliding_window_segment(predict_roi, vol, roi=(8, 8, 8), overlap=0.5)
+    assert out.shape == (1, 10, 12, 12)
+    np.testing.assert_allclose(np.asarray(out), 3.5, rtol=1e-6)
+
+
+def test_sliding_window_with_segvol(key):
+    from hsenet_tpu.eval.sliding_window import sliding_window_segment
+
+    model = SegVol(TINY)
+    roi = (8, 16, 16)
+    vol_roi = jnp.ones((1, 1, *roi))
+    txt = jax.random.normal(key, (1, 32))
+    params = model.init(key, vol_roi, txt)
+
+    def predict_roi(patch):
+        return model.apply(params, patch, txt)
+
+    big = jax.random.uniform(key, (1, 12, 24, 24))
+    out = sliding_window_segment(predict_roi, big, roi=roi)
+    assert out.shape == (1, 12, 24, 24)
+    assert bool(jnp.all(jnp.isfinite(out)))
