@@ -34,6 +34,14 @@ def main(argv=None):
     add_train_args(p)
     p.add_argument("--image-size", type=int, nargs=3, default=[32, 256, 256])
     p.add_argument("--patch-size", type=int, nargs=3, default=[4, 16, 16])
+    p.add_argument("--hidden-size", type=int, default=768)
+    p.add_argument("--mlp-dim", type=int, default=3072)
+    p.add_argument("--num-layers", type=int, default=12)
+    p.add_argument("--num-heads", type=int, default=12)
+    p.add_argument("--num-slices", type=int, default=32)
+    p.add_argument("--slice-dim", type=int, default=768)
+    p.add_argument("--text-hidden", type=int, default=0,
+                   help="0 = BERT-base; nonzero builds a tiny text encoder")
     p.add_argument("--max-text-len", type=int, default=128)
     p.add_argument("--tokenizer", default="")
     p.add_argument("--stage1-checkpoint", default="",
@@ -41,10 +49,27 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     base_vision = ViT3DConfig(
-        image_size=tuple(args.image_size), patch_size=tuple(args.patch_size)
+        image_size=tuple(args.image_size),
+        patch_size=tuple(args.patch_size),
+        hidden_size=args.hidden_size,
+        mlp_dim=args.mlp_dim,
+        num_layers=args.num_layers,
+        num_heads=args.num_heads,
+        num_slices=args.num_slices,
+        slice_feature_dim=args.slice_dim,
+    )
+    text_cfg = (
+        BertConfig()
+        if args.text_hidden == 0
+        else BertConfig(
+            vocab_size=512, hidden_size=args.text_hidden, num_layers=2,
+            num_heads=args.num_heads, intermediate_size=2 * args.text_hidden,
+            max_position_embeddings=64,
+        )
     )
     teacher_cfg = CLIPConfig(
-        vision=base_vision, text=BertConfig(), max_text_len=args.max_text_len
+        vision=base_vision, text=text_cfg, projection_dim=args.hidden_size,
+        max_text_len=args.max_text_len,
     )
     student_cfg = dataclasses.replace(
         teacher_cfg,
@@ -120,7 +145,11 @@ def main(argv=None):
         sp = flax.core.unfreeze(student_params)
         tp_ = flax.core.unfreeze(teacher_params)
         for k in ("language_encoder", "mm_vision_proj", "mm_language_proj"):
-            graft_params(sp["params"][k], tp_["params"][k])
+            # graft COPIES: the student state is donated every train step,
+            # so aliasing teacher buffers into it would delete the (frozen)
+            # teacher's own arrays
+            copies = jax.tree.map(lambda x: jnp.array(x), tp_["params"][k])
+            graft_params(sp["params"][k], copies)
         student_params = sp
 
     tx = make_optimizer(train_cfg)
@@ -135,6 +164,17 @@ def main(argv=None):
         checkpoint_manager=ckpt,
     )
     state = trainer.fit()
+
+    import flax
+
+    from hsenet_tpu.utils.checkpoint import save_params
+
+    final = flax.core.unfreeze(jax.device_get(state.params))
+    save_params(f"{args.output_dir}/clip_params", final)
+    save_params(
+        f"{args.output_dir}/tower_params",
+        {"params": final["params"]["vision_encoder"]},
+    )
     print(f"done: step {int(state.step)}")
     return state
 
