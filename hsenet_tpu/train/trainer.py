@@ -106,6 +106,14 @@ class Trainer:
                     jax.block_until_ready(metrics["loss"])
                     now = time.perf_counter()
                     row = {k: float(v) for k, v in metrics.items()}
+                    # NaN guard at log granularity (per-step host syncs would
+                    # serialize the pipeline); the reference has no failure
+                    # detection at all (SURVEY §5)
+                    if not np.isfinite(row["loss"]):
+                        raise FloatingPointError(
+                            f"non-finite loss {row['loss']} at step {step}; "
+                            "halting (restore the last checkpoint to resume)"
+                        )
                     row["steps_per_sec"] = self.cfg.log_every / max(
                         now - t_last, 1e-9
                     )

@@ -218,3 +218,70 @@ def test_vqa_harness_end_to_end(key):
     assert result["num_samples"] == 2
     assert 0.0 <= result["class_accuracy"] <= 1.0
     assert "per_anatomy" in result
+
+
+def test_dice_score_values():
+    from hsenet_tpu.eval.segmentation import dice_score
+
+    a = np.zeros((4, 4, 4)); a[:2] = 1
+    assert dice_score(a, a) == pytest.approx(1.0, abs=1e-5)
+    b = np.zeros((4, 4, 4)); b[2:] = 1
+    assert dice_score(a, b) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_evaluate_segmentation_with_segvol(key):
+    import jax
+    import jax.numpy as jnp
+
+    from hsenet_tpu.configs import ViT3DConfig
+    from hsenet_tpu.eval.segmentation import evaluate_segmentation
+    from hsenet_tpu.models.segvol import SegVol
+
+    cfg = ViT3DConfig(
+        image_size=(8, 16, 16), patch_size=(2, 4, 4), hidden_size=32,
+        mlp_dim=64, num_layers=1, num_heads=4, classification=False,
+    )
+    model = SegVol(cfg)
+    vol = jnp.ones((1, 1, 8, 16, 16))
+    txt = jnp.ones((1, 32))
+    params = model.init(key, vol, txt)
+
+    def segment_fn(volume, text_emb):
+        return model.apply(params, volume, text_emb)
+
+    def text_embed_fn(prompts):
+        return np.ones((len(prompts), 32), np.float32)
+
+    rng = np.random.default_rng(0)
+    batches = [{
+        "image": rng.random((2, 1, 8, 16, 16)).astype(np.float32),
+        "seg": (rng.random((2, 1, 8, 16, 16)) > 0.5).astype(np.float32),
+        "question": ["segment the liver [SEG]", "segment the heart [SEG]"],
+    }]
+    out = evaluate_segmentation(segment_fn, text_embed_fn, batches)
+    assert out["num_samples"] == 2
+    assert 0.0 <= out["dice"] <= 1.0
+
+
+def test_evaluate_rec_parsing():
+    from hsenet_tpu.eval.segmentation import evaluate_rec
+
+    class FakeTok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "<bx_start>[0.10,0.20,0.30,0.60,0.70,0.80]<bx_end>"
+
+    def fake_gen(params, ids, kv, image, slices):
+        import jax.numpy as jnp
+
+        return jnp.zeros((ids.shape[0], 4), jnp.int32)
+
+    batches = [{
+        "input_ids": np.zeros((2, 8), np.int32),
+        "attention_mask": np.ones((2, 8), np.int32),
+        "image": np.zeros((2, 1, 4, 8, 8), np.float32),
+        "box": [np.array([0.1, 0.2, 0.3, 0.6, 0.7, 0.8], np.float32),
+                np.array([0.0, 0.0, 0.0, 0.1, 0.1, 0.1], np.float32)],
+    }]
+    out = evaluate_rec(fake_gen, None, batches, FakeTok())
+    assert out["parse_rate"] == 1.0
+    assert out["acc@0.5"] == 0.5  # one perfect box, one mismatch
