@@ -215,8 +215,14 @@ class Phi3Config:
     num_kv_heads: int = 8
     head_dim: int = 128
     max_position_embeddings: int = 131072
+    original_max_position_embeddings: int = 4096
     rope_theta: float = 10000.0
     partial_rotary_factor: float = 0.75
+    # LongRoPE (Phi-3/4 rope_scaling type "longrope"): per-frequency divisors
+    # for short (seq <= original_max) and long contexts, with the paper's
+    # sqrt(1 + ln(factor)/ln(original_max)) attention scaling on cos/sin.
+    rope_short_factor: Optional[Tuple[float, ...]] = None
+    rope_long_factor: Optional[Tuple[float, ...]] = None
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = True
     attention_bias: bool = False

@@ -64,14 +64,49 @@ class KVCache:
         )
 
 
-def _rope_cos_sin(positions, rotary_dim, theta, dtype=jnp.float32):
-    """positions: (B, S) -> cos/sin (B, S, rotary_dim), HF half-split layout."""
+def _rope_cos_sin(
+    positions,
+    rotary_dim,
+    theta,
+    dtype=jnp.float32,
+    ext_factors=None,
+    attention_scaling: float = 1.0,
+):
+    """positions: (B, S) -> cos/sin (B, S, rotary_dim), HF half-split layout.
+
+    ext_factors/attention_scaling implement LongRoPE (HF
+    _compute_longrope_parameters semantics): per-frequency divisors plus a
+    global scale on cos/sin.
+    """
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
     )
+    if ext_factors is not None:
+        inv_freq = inv_freq / jnp.asarray(ext_factors, jnp.float32)
     freqs = positions[..., None].astype(jnp.float32) * inv_freq
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    return (
+        (jnp.cos(emb) * attention_scaling).astype(dtype),
+        (jnp.sin(emb) * attention_scaling).astype(dtype),
+    )
+
+
+def _longrope_params(cfg: Phi3Config, total_len: int):
+    """Static choice of LongRoPE factors for a given (static) max length."""
+    if cfg.rope_short_factor is None and cfg.rope_long_factor is None:
+        return None, 1.0
+    import math
+
+    use_long = total_len > cfg.original_max_position_embeddings
+    ext = cfg.rope_long_factor if use_long else cfg.rope_short_factor
+    factor = cfg.max_position_embeddings / cfg.original_max_position_embeddings
+    if factor <= 1.0:
+        scaling = 1.0
+    else:
+        scaling = math.sqrt(
+            1 + math.log(factor) / math.log(cfg.original_max_position_embeddings)
+        )
+    return ext, scaling
 
 
 def _rotate_half(x):
@@ -236,7 +271,14 @@ class Phi3Decoder(nn.Module):
                 positions = cache.lengths[:, None] + jnp.arange(s)[None, :]
             else:
                 positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-        cos, sin = _rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta)
+        # LongRoPE factor choice is static: the max reachable position is the
+        # cache capacity (generation) or the sequence length (training)
+        total_len = cache.k.shape[3] if cache is not None else s
+        ext_factors, attn_scaling = _longrope_params(cfg, total_len)
+        cos, sin = _rope_cos_sin(
+            positions, cfg.rotary_dim, cfg.rope_theta,
+            ext_factors=ext_factors, attention_scaling=attn_scaling,
+        )
 
         if kv_lens is None:
             kv_lens = jnp.full((b,), s, jnp.int32)

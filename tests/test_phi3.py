@@ -224,3 +224,46 @@ def test_int8_quantized_decoder_close_to_full(key, rng):
     logits, cache = qmodel.apply(qparams, ids, cache=cache)
     step_logits, cache = qmodel.apply(qparams, ids[:, :1], cache=cache)
     assert bool(jnp.all(jnp.isfinite(step_logits)))
+
+
+def test_longrope_matches_hf(rng):
+    """Phi-4-mini-style longrope scaling: logits parity vs HF torch."""
+    rd = TINY.rotary_dim // 2  # number of frequency factors
+    short = [1.0 + 0.1 * i for i in range(rd)]
+    long = [2.0 + 0.2 * i for i in range(rd)]
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=TINY.vocab_size,
+        hidden_size=TINY.hidden_size,
+        intermediate_size=TINY.intermediate_size,
+        num_hidden_layers=TINY.num_layers,
+        num_attention_heads=TINY.num_heads,
+        num_key_value_heads=TINY.num_kv_heads,
+        partial_rotary_factor=TINY.partial_rotary_factor,
+        rope_theta=TINY.rope_theta,
+        rms_norm_eps=TINY.rms_norm_eps,
+        tie_word_embeddings=False,
+        attention_dropout=0.0, resid_pdrop=0.0, embd_pdrop=0.0,
+        max_position_embeddings=1024,
+        original_max_position_embeddings=64,
+        rope_scaling={"type": "longrope", "short_factor": short,
+                      "long_factor": long},
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Phi3ForCausalLM(hf_cfg)
+    hf.eval()
+    ids = rng.integers(0, TINY.vocab_size, size=(1, 12))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).logits.numpy()
+
+    cfg = dataclasses.replace(
+        TINY,
+        max_position_embeddings=1024,
+        original_max_position_embeddings=64,
+        rope_short_factor=tuple(short),
+        rope_long_factor=tuple(long),
+    )
+    model = Phi3ForCausalLM(cfg, dtype=jnp.float32)
+    params = convert_hf_phi3(hf.state_dict(), cfg)
+    logits, _ = model.apply(params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-4, rtol=3e-4)
