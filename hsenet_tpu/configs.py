@@ -294,6 +294,11 @@ class VLMConfig:
     # 2D trunk over resized volume slices
     online_slice_features: bool = False
     vit2d: Optional[ViT2DConfig] = None
+    # stop gradients at the tower outputs (reference freeze_vision_tower
+    # default True, train_VLM.py): beyond the optimizer mask, this lets XLA
+    # skip the entire dual-tower backward — the mask alone computes those
+    # grads and then zeroes them
+    stop_tower_gradients: bool = True
 
     @property
     def num_image_tokens(self) -> int:

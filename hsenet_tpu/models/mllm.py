@@ -122,6 +122,8 @@ class HSENetVLM(nn.Module):
         feats = self.vision_tower(
             volume, slice_features, deterministic=deterministic
         )
+        if cfg.stop_tower_gradients:
+            feats = jax.tree.map(jax.lax.stop_gradient, feats)
         if cfg.tower_mode == "dual_vits":
             f1, f2 = feats
             p1 = self.mm_projector(f1, deterministic=deterministic)

@@ -29,14 +29,23 @@ def vlm_trainable_mask(
     train_lora: bool = True,
     train_embeddings: bool = True,
     train_towers: bool = False,
+    train_seg: bool = True,
 ):
-    """Boolean pytree mask for the optimizer (train_VLM.py:406-441 policy)."""
+    """Boolean pytree mask for the optimizer (train_VLM.py:406-441 policy).
+
+    Note: with `VLMConfig.stop_tower_gradients=True` (default) tower grads
+    are structurally zero — set it False when passing train_towers=True.
+    """
 
     def decide(path_str: str) -> bool:
         if "lora_a" in path_str or "lora_b" in path_str:
             return train_lora
         if "mm_projector" in path_str:
             return train_projectors
+        if "seg_projector" in path_str or "seg_module" in path_str:
+            return train_seg
+        if "slice_encoder" in path_str:
+            return False  # frozen BiomedCLIP trunk
         if "vision_tower" in path_str:
             return train_towers
         if "llm/embed" in path_str or path_str.endswith("embed/embedding"):
