@@ -809,3 +809,40 @@ class YesNoVQADataset(ClosedVQADataset):
             entry = dict(entry, choices=["yes", "no"])
             self.data_list[idx] = entry
         return super().get(idx)
+
+
+def build_task_mix(
+    use_training_data: str,
+    args: DataArgs,
+    tokenizer,
+    manifest: str,
+    split: str = "train",
+    pad_seg_shape=None,
+):
+    """Task-mix factory mirroring the reference's `use_training_data`
+    selector (TextDatasets_CT_Rate / UniDatasets, multi_dataset.py:1692-1809):
+    'caption' | 'openvqa' | 'closedvqa' | 'closedvqa_and_caption' |
+    'caption_and_openvqa' | 'seg' | 'rec' | 'reg', '+'-combinable."""
+    builders = {
+        "caption": lambda: CaptionDataset(args, tokenizer, manifest, split),
+        "openvqa": lambda: VQALocationDataset(args, tokenizer, manifest, split),
+        "closedvqa": lambda: ClosedVQADataset(args, tokenizer, manifest, split),
+        "yn": lambda: YesNoVQADataset(args, tokenizer, manifest, split),
+        "seg": lambda: SegQADataset(args, tokenizer, manifest, split),
+        "rec": lambda: PosRECDataset(args, tokenizer, manifest, split),
+        "reg": lambda: PosREGDataset(args, tokenizer, manifest, split),
+    }
+    aliases = {
+        "closedvqa_and_caption": "closedvqa+caption",
+        "caption_and_openvqa": "caption+openvqa",
+    }
+    spec = aliases.get(use_training_data, use_training_data)
+    parts = [p.strip() for p in spec.split("+") if p.strip()]
+    datasets = []
+    for p in parts:
+        if p not in builders:
+            raise ValueError(f"unknown task '{p}' (options: {sorted(builders)})")
+        datasets.append(builders[p]())
+    if len(datasets) == 1 and pad_seg_shape is None:
+        return datasets[0]
+    return MixDataset(datasets, pad_seg_shape=pad_seg_shape)

@@ -408,3 +408,30 @@ def test_ratescore_hook_degrades_gracefully(tmp_path):
     else:
         scores = compute_ratescore(["no acute disease"], ["no acute disease"])
         assert scores and scores[0] > 0
+
+
+def test_build_task_mix(tmp_path):
+    from hsenet_tpu.data.datasets import build_task_mix
+
+    root, manifest = _write_grounding_dataset(tmp_path)
+    tok = SimpleTokenizer()
+    for t in ["<im_patch>", "<bx_start>", "<bx_end>", "[SEG]"]:
+        tok.add_token(t)
+    args = DataArgs(data_root=root, max_length=64, proj_out_num=2)
+
+    single = build_task_mix("rec", args, tok, manifest)
+    assert len(single) == 4
+
+    mix = build_task_mix(
+        "seg+rec+closedvqa", args, tok, manifest,
+        pad_seg_shape=(1, 4, 8, 8),
+    )
+    assert len(mix) == 12
+    assert mix[0]["seg"].sum() > 0  # seg sample: real mask
+    assert mix[5]["seg"].sum() == 0  # rec sample: zero-padded
+
+    alias = build_task_mix("closedvqa_and_caption", args, tok, manifest)
+    assert len(alias) == 8
+
+    with pytest.raises(ValueError):
+        build_task_mix("bogus", args, tok, manifest)
