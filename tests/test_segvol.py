@@ -210,3 +210,21 @@ def test_sliding_window_with_segvol(key):
     out = sliding_window_segment(predict_roi, big, roi=roi)
     assert out.shape == (1, 12, 24, 24)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_automatic_mask_generation(key):
+    from hsenet_tpu.eval.sliding_window import automatic_mask_generation
+
+    model = SegVol(TINY)
+    vol = jax.random.uniform(key, (1, 1, 8, 16, 16))
+    txt = jax.random.normal(key, (1, 32))
+    # init with a point prompt so point embeddings materialise
+    pts = (jnp.zeros((1, 1, 3)), jnp.ones((1, 1), jnp.int32))
+    params = model.init(key, vol, txt, None, pts)
+    proposals = automatic_mask_generation(
+        model, params, vol, points_per_side=2
+    )
+    assert isinstance(proposals, list)
+    for p in proposals:
+        assert p["mask"].shape == (8, 16, 16)
+        assert 0.0 <= p["stability"] <= 1.0
