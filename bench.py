@@ -60,7 +60,7 @@ def main():
     best = 0.0
     params = None
     f = jax.jit(model.apply)
-    for batch in (4, 8, 16):
+    for batch in (4, 8, 16):  # batch 32 measured no better (~64 vol/s)
         volume = jnp.asarray(
             rng.random((batch, 1, 32, 256, 256), np.float32), jnp.bfloat16
         )
