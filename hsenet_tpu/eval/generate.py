@@ -10,9 +10,6 @@ ragged prompts are handled by per-row KV-cache lengths.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -75,7 +72,6 @@ def make_greedy_generate_llm_only(
     cache_dtype=jnp.bfloat16,
 ):
     """Text-only variant for a bare `Phi3ForCausalLM` (used in tests/bench)."""
-    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
 
     def generate(params, input_ids, kv_lens):
         b, prompt_len = input_ids.shape

@@ -106,8 +106,6 @@ def automatic_mask_generation(
 
     Returns a list of {mask (D,H,W) bool, iou (float), point (3,)} dicts.
     """
-    from hsenet_tpu.models.segvol import MaskDecoder3D, PromptEncoder3D  # noqa: F401
-
     d, h, w = volume.shape[2:]
     lin = lambda n, dim: (np.arange(n) + 0.5) / n  # noqa: E731
     zs, ys, xs = lin(points_per_side, d), lin(points_per_side, h), lin(points_per_side, w)

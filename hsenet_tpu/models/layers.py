@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
-from hsenet_tpu.ops.attention import multi_head_attention, sdpa_reference
+from hsenet_tpu.ops.attention import multi_head_attention
 
 Dtype = Any
 

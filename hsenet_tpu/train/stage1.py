@@ -11,7 +11,6 @@ import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
