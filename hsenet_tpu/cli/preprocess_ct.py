@@ -24,7 +24,12 @@ import numpy as np
 
 from hsenet_tpu.configs import PreprocessConfig
 from hsenet_tpu.data.nifti import read_nifti
-from hsenet_tpu.data.preprocess import extract_slices, preprocess_volume
+from hsenet_tpu.data.preprocess import (
+    extract_slices,
+    preprocess_volume,
+    preprocess_volume_faithful,
+    spacing_resample_shape,
+)
 
 
 def load_metadata(path: Optional[str]):
@@ -62,6 +67,12 @@ def main(argv=None):
                    help="BiomedCLIP 2D trunk params: emit (32,768) features")
     p.add_argument("--manifest", default="dataset_manifest.json")
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument(
+        "--faithful", action="store_true",
+        help="reference-exact two-interpolation chain (spacing resample "
+        "from the NIfTI pixdim, then crop+resize) for checkpoint-parity "
+        "evals; default is the fused single-resample fast path",
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -90,7 +101,13 @@ def main(argv=None):
         raw = jnp.asarray(vol.zyx_data.astype(np.float32))
         s = vol.scl_slope * slope
         i = vol.scl_slope * intercept + vol.scl_inter
-        out = preprocess_volume(raw, jnp.float32(s), jnp.float32(i), cfg)
+        if args.faithful:
+            inter = spacing_resample_shape(raw.shape, vol.zyx_spacing, cfg)
+            out = preprocess_volume_faithful(
+                raw, jnp.float32(s), jnp.float32(i), inter, cfg
+            )
+        else:
+            out = preprocess_volume(raw, jnp.float32(s), jnp.float32(i), cfg)
         stem = name.replace(".nii.gz", "").replace(".nii", "")
         vol_path = f"{stem}_3D_features.npy"
         np.save(os.path.join(args.output_dir, vol_path), np.asarray(out))

@@ -15,13 +15,21 @@ static-shape program per volume:
 The spacing resample + final resize compose into a single linear resampling
 (the intermediate grid only changes interpolation smoothing, not geometry),
 so the fused path does one interpolation where the reference does two —
-device-resident, static shapes, no host round-trips. `reference_preprocess`
-below is the faithful two-step numpy chain for parity testing.
+device-resident, static shapes, no host round-trips. Two modes:
+
+  * `preprocess_volume` — the fast fused single-resample default.
+  * `preprocess_volume_faithful` — the reference's exact two-interpolation
+    chain on device (spacing resample to an intermediate grid computed on
+    host from the voxel spacing, then crop-foreground + trilinear resize),
+    for checkpoint-parity evals where input perturbation matters.
+
+`reference_preprocess` below is the faithful two-step numpy chain, the
+parity oracle for both.
 
 The 2D-slice path (CT-RATE_nii_to_2D_slices.py:183-242): clamp [-1000,1000]
--> /1000 -> 32 evenly-spaced z-slices (trilinear z-upsample when depth<32)
--> per-slice min-max. `extract_slices` reproduces it on device, emitting
-BiomedCLIP-ready (32, 224, 224, 3) tensors.
+-> /1000 -> spacing resample -> 32 evenly-spaced z-slices (trilinear
+z-upsample when depth<32) -> per-slice min-max. `extract_slices` reproduces
+it on device, emitting BiomedCLIP-ready (32, 224, 224, 3) tensors.
 """
 
 from __future__ import annotations
@@ -56,6 +64,88 @@ def _foreground_bbox(mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
         los.append(lo)
         his.append(hi)
     return jnp.stack(los).astype(jnp.int32), jnp.stack(his).astype(jnp.int32)
+
+
+def _linear_resize_axis(vol, axis, n_out, lo, hi):
+    """align_corners=False linear resample of one axis onto [lo, hi).
+
+    `lo`/`hi` may be traced scalars (foreground bbox) — this is the
+    crop-then-resize of the reference done as one gather+lerp, sampling
+    clamped to the bbox so no out-of-crop values leak in.
+    """
+    extent = (hi - lo).astype(jnp.float32)
+    coords = (
+        lo.astype(jnp.float32)
+        + (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * extent / n_out
+        - 0.5
+    )
+    low = jnp.floor(coords)
+    frac = coords - low
+    low = low.astype(jnp.int32)
+    i0 = jnp.clip(low, lo, hi - 1)
+    i1 = jnp.clip(low + 1, lo, hi - 1)
+    a = jnp.take(vol, i0, axis=axis)
+    b = jnp.take(vol, i1, axis=axis)
+    shape = [1] * vol.ndim
+    shape[axis] = n_out
+    frac = frac.reshape(shape)
+    return a * (1.0 - frac) + b * frac
+
+
+def trilinear_resize(vol: jax.Array, out_shape, blo=None, bhi=None):
+    """Separable align_corners=False trilinear resize (F.interpolate
+    semantics). With `blo`/`bhi` (traced int32[3]) the source region is that
+    bbox: crop + resize as one op."""
+    for axis in range(3):
+        lo = jnp.int32(0) if blo is None else blo[axis]
+        hi = jnp.int32(vol.shape[axis]) if bhi is None else bhi[axis]
+        if blo is None and vol.shape[axis] == out_shape[axis]:
+            continue  # matches the reference's skip-if-equal
+        vol = _linear_resize_axis(vol, axis, out_shape[axis], lo, hi)
+    return vol
+
+
+def spacing_resample_shape(
+    shape, spacing_zyx, config: PreprocessConfig = PreprocessConfig()
+):
+    """Host helper: intermediate grid of the reference's spacing resample
+    (nii_to_3D resize_array, :24-38). Op order matters: the reference
+    computes the per-axis factor first, then truncates shape*factor —
+    e.g. 40 voxels at 1.2mm -> int(40 * (1.2/0.75)) == 63, not 64."""
+    factors = [
+        spacing_zyx[i] / config.target_spacing[i] for i in range(3)
+    ]
+    return tuple(max(1, int(shape[i] * factors[i])) for i in range(3))
+
+
+@functools.partial(jax.jit, static_argnames=("config", "intermediate_shape"))
+def preprocess_volume_faithful(
+    raw: jax.Array,  # (D, H, W) raw stored values
+    slope: jax.Array,
+    intercept: jax.Array,
+    intermediate_shape: Tuple[int, int, int],
+    config: PreprocessConfig = PreprocessConfig(),
+) -> jax.Array:
+    """Reference-exact two-interpolation chain on device -> (1,32,256,256).
+
+    `intermediate_shape` is the spacing-resample grid, computed on host via
+    `spacing_resample_shape(raw.shape, spacing_zyx)` so the jitted program
+    stays static-shape. Chain (nii_to_3D:41-124): HU -> clamp -> trilinear
+    resample to target spacing -> min-max -> CropForeground(>0) -> trilinear
+    resize to target_shape (the crop+resize run as one fused gather).
+    """
+    hu = slope * raw.astype(jnp.float32) + intercept
+    hu = jnp.clip(hu, config.hu_min, config.hu_max)
+    hu = trilinear_resize(hu, intermediate_shape)
+    lo = jnp.min(hu)
+    hi = jnp.max(hu)
+    vol = (hu - lo) / jnp.maximum(hi - lo, 1e-8)
+    # CropForeground(>0), with an epsilon: after interpolation, background
+    # voxels are the minimum only up to f32 rounding (XLA fusion reassociates
+    # the lerp), so a strict >0 would see the whole volume as foreground
+    blo, bhi = _foreground_bbox(vol > 1e-6)
+    out = trilinear_resize(vol, config.target_shape, blo, bhi)
+    return jnp.clip(out, 0.0, 1.0)[None]
 
 
 @functools.partial(jax.jit, static_argnames=("config", "antialias"))
@@ -94,25 +184,38 @@ def preprocess_volume(
     return jnp.clip(out, 0.0, 1.0)[None]
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "intermediate_shape"))
 def extract_slices(
     raw: jax.Array,  # (D, H, W)
     slope: jax.Array,
     intercept: jax.Array,
     config: PreprocessConfig = PreprocessConfig(),
+    intermediate_shape: Optional[Tuple[int, int, int]] = None,
 ) -> jax.Array:
-    """-> (num_slices, S, S, 3) float32, CLIP-normalised, for the 2D trunk."""
+    """-> (num_slices, S, S, 3) float32, CLIP-normalised, for the 2D trunk.
+
+    Pass `intermediate_shape` (from `spacing_resample_shape`) to reproduce
+    the reference's spacing resample before slice selection
+    (CT-RATE_nii_to_2D_slices.py:189-196); otherwise slices are picked on
+    the raw z grid (fast default; xy geometry is absorbed by the final
+    resize to `slice_size`).
+    """
     hu = slope * raw.astype(jnp.float32) + intercept
     hu = jnp.clip(hu, config.slice_hu_min, config.slice_hu_max) / jnp.abs(
         jnp.float32(config.slice_hu_max)
     )
-    d = raw.shape[0]
+    if intermediate_shape is not None:
+        hu = trilinear_resize(hu, intermediate_shape)
+    d = hu.shape[0]
     n = config.num_slices
-    # 32 evenly spaced slices; when depth < 32 this linspace repeats indices,
-    # the cheap equivalent of the reference's trilinear z-upsample
-    # (CT-RATE_nii_to_2D_slices.py:204-221)
-    zs = jnp.linspace(0, d - 1, n).astype(jnp.int32)
-    slices = hu[zs]  # (n, H, W)
+    if d >= n:
+        # 32 evenly spaced slices (reference :204-214: linspace + index)
+        zs = jnp.linspace(0, d - 1, n).astype(jnp.int32)
+        slices = hu[zs]  # (n, H, W)
+    else:
+        # depth < 32: trilinear z-upsample, align_corners=False
+        # (reference :216-221 F.interpolate mode='trilinear')
+        slices = trilinear_resize(hu, (n,) + hu.shape[1:])
     # per-slice min-max (reference :231-236 normalises each slice to 0..255)
     mn = slices.min(axis=(1, 2), keepdims=True)
     mx = slices.max(axis=(1, 2), keepdims=True)

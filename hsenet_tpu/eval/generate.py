@@ -55,7 +55,6 @@ def make_greedy_generate(
             next_tok = jnp.where(done, pad_token_id, next_tok)
             return (next_tok, cache, done), out_tok
 
-        done0 = first == eos_token_id
         (_, _, _), tokens = jax.lax.scan(
             step,
             (first, cache, jnp.zeros((b,), bool)),

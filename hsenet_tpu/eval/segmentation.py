@@ -66,9 +66,14 @@ def evaluate_rec(
     tokenizer,
     iou_thresholds=(0.25, 0.5),
     max_samples: Optional[int] = None,
+    reference_compatible: bool = False,
 ):
     """Referring-expression comprehension: IoU of generated vs gold boxes
-    (PosRECDataset batches carry the gold `box`)."""
+    (PosRECDataset batches carry the gold `box`).
+
+    ``reference_compatible=True`` scores with the reference's
+    bounding-extent IoU formula (Bench/utils.py:38-54) so acc@{.25,.5}
+    is directly comparable to numbers from the reference harness."""
     ious, parsed = [], 0
     n = 0
     for batch in loader:
@@ -88,7 +93,12 @@ def evaluate_rec(
             gold = np.asarray(batch["box"][i])
             if pred is not None:
                 parsed += 1
-                ious.append(box_iou_3d(pred, gold))
+                ious.append(
+                    box_iou_3d(
+                        pred, gold,
+                        reference_compatible=reference_compatible,
+                    )
+                )
             else:
                 ious.append(0.0)
             n += 1

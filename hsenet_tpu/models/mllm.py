@@ -97,7 +97,9 @@ class HSENetVLM(nn.Module):
             from hsenet_tpu.models.segvol import SegVol
 
             self.seg_module = SegVol(seg_cfg, dtype=self.dtype, name="seg_module")
-            # Linear-ReLU-Linear-Dropout projector (lamed_arch.py:95-100)
+            # Linear-ReLU-Linear-Dropout projector (lamed_arch.py:91-96);
+            # the trailing Dropout(0.1) is applied in forward_with_seg so it
+            # can be gated by `deterministic`.
             self.seg_projector = nn.Sequential(
                 [
                     nn.Dense(cfg.llm.hidden_size, dtype=self.dtype),
@@ -106,6 +108,7 @@ class HSENetVLM(nn.Module):
                 ],
                 name="seg_projector",
             )
+            self.seg_dropout = nn.Dropout(0.1, name="seg_dropout")
 
     def encode_images(
         self,
@@ -226,6 +229,7 @@ class HSENetVLM(nn.Module):
         pooled = jnp.einsum("bs,bsh->bh", mask / denom, hidden)
         has_seg = mask.sum(axis=1) > 0
         prompt = self.seg_projector(pooled)
+        prompt = self.seg_dropout(prompt, deterministic=deterministic)
         prompt = jnp.where(has_seg[:, None], prompt, 0.0)
         seg_logits = self.seg_module(volume, text_embedding=prompt)
         return logits, seg_logits

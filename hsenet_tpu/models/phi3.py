@@ -207,13 +207,17 @@ class Phi3Block(nn.Module):
                     use_flash=False,
                 )
             else:
-                # prefill into an empty cache (lengths == 0): causal flash
+                # prefill: causal flash with per-row query offset = current
+                # cache lengths, so chunked prefill into a non-empty cache
+                # masks query i to cache columns <= lengths + i (lengths is
+                # 0 on the common fresh-cache path, reducing to plain causal)
                 attn = multi_head_attention(
                     q,
                     ck.astype(q.dtype),
                     cv.astype(q.dtype),
                     kv_lens=total,
                     causal=True,
+                    q_offset=lengths,
                 )
             new_kv = (ck, cv)
 

@@ -52,7 +52,10 @@ class TransformerTower(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
+    def __call__(
+        self, x, *, kv_lens=None, deterministic: bool = True,
+        skip_final_norm: bool = False,
+    ):
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(
@@ -82,6 +85,10 @@ class TransformerTower(nn.Module):
             ),
             x,
         )
+        if skip_final_norm:
+            # caller applies its own final norm (e.g. MaskedViT3D's
+            # norm_masked replaces the shared norm, reference vit.py:156-159)
+            return x
         return nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
 
 
@@ -235,12 +242,13 @@ class MaskedViT3D(nn.Module):
             _, top_idx = jax.lax.top_k(scores, unmasked_tokens)
             top_idx = jnp.sort(top_idx, axis=1)  # keep spatial order (:195)
             kept = jnp.take_along_axis(weighted, top_idx[..., None], axis=1)
-            # masked stream: same blocks, separate final norm
-            h = tower(with_cls(kept), deterministic=deterministic)
-            # tower applies the shared 'norm'; reference uses norm_masked —
-            # emulate by re-normalising the pre-norm residual? Instead run
-            # blocks only and norm separately: cheaper to apply a dedicated
-            # LayerNorm on top (LN of LN-ed features is a scale/shift away).
+            # masked stream: same blocks, but norm_masked *instead of* the
+            # shared final norm (reference vit.py:156-159) — weight-faithful
+            # for legacy-checkpoint conversion
+            h = tower(
+                with_cls(kept), deterministic=deterministic,
+                skip_final_norm=True,
+            )
             x_masked = nn.LayerNorm(dtype=jnp.float32, name="norm_masked")(h)
 
         x_full = tower(with_cls(x), deterministic=deterministic)

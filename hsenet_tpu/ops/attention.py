@@ -32,13 +32,14 @@ def sdpa_reference(
     *,
     kv_lens: Optional[jax.Array] = None,
     causal: bool = False,
-    q_offset: int = 0,
+    q_offset=0,
     sm_scale: Optional[float] = None,
 ) -> jax.Array:
     """Plain scaled-dot-product attention (B, H, S, D); softmax in f32.
 
     Matches the reference math (`vit.py:25-33`): scores / sqrt(d), additive
-    -inf masking, softmax, weighted sum.
+    -inf masking, softmax, weighted sum. `q_offset` may be an int or a (B,)
+    array of per-row causal offsets (chunked prefill into a non-empty cache).
     """
     d = q.shape[-1]
     if sm_scale is None:
@@ -54,7 +55,10 @@ def sdpa_reference(
     if causal:
         col = jnp.arange(skv)[None, None, None, :]
         row = jnp.arange(sq)[None, None, :, None]
-        s = jnp.where(col <= row + q_offset, s, -1e30)
+        q_off = jnp.broadcast_to(
+            jnp.asarray(q_offset, jnp.int32), (q.shape[0],)
+        )[:, None, None, None]
+        s = jnp.where(col <= row + q_off, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
@@ -66,11 +70,13 @@ def multi_head_attention(
     *,
     kv_lens: Optional[jax.Array] = None,
     causal: bool = False,
-    q_offset: int = 0,
+    q_offset=0,
     sm_scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
 ) -> jax.Array:
-    """Attention over (B, H|Hkv, S, D) with GQA support and flash dispatch."""
+    """Attention over (B, H|Hkv, S, D) with GQA support and flash dispatch.
+
+    `q_offset`: int or (B,) array of per-row causal query offsets."""
     heads, kv_heads = q.shape[1], k.shape[1]
     if kv_heads != heads:
         assert heads % kv_heads == 0

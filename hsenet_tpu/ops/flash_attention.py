@@ -50,7 +50,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _flash_kernel(
     kv_len_ref,  # (B,) i32 scalar-prefetch: valid kv length per batch row
-    q_off_ref,  # (1,) i32 scalar-prefetch: causal query offset
+    q_off_ref,  # (B,) i32 scalar-prefetch: per-row causal query offset
     q_ref,  # (1, 1, BQ, D)
     k_ref,  # (1, 1, Skv, D)
     v_ref,  # (1, 1, Skv, D)
@@ -67,7 +67,7 @@ def _flash_kernel(
     skv = k_ref.shape[2]
     block_q, d = q_ref.shape[2], q_ref.shape[3]
     kv_len = kv_len_ref[b]
-    q_off = q_off_ref[0]
+    q_off = q_off_ref[b]
 
     # Inputs stay in their storage dtype (bf16 on the production path): the
     # MXU multiplies bf16 natively with f32 accumulation via
@@ -170,9 +170,9 @@ def _flash_forward(
     k: jax.Array,
     v: jax.Array,
     kv_lens: jax.Array,
+    q_off: jax.Array,  # (B,) i32 per-row causal query offsets
     *,
     causal: bool,
-    q_offset: int,
     sm_scale: float,
     block_q: int,
     block_k: int,
@@ -195,7 +195,6 @@ def _flash_forward(
         v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)))
 
     kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), skv)
-    q_off = jnp.array([q_offset], jnp.int32)
 
     grid = (batch, heads, sq_pad // block_q)
     if with_lse:
@@ -284,7 +283,7 @@ def _bwd_dq_kernel(
     skv = k_ref.shape[2]
     block_q, d = q_ref.shape[2], q_ref.shape[3]
     kv_len = kv_len_ref[b]
-    q_off = q_off_ref[0]
+    q_off = q_off_ref[b]
 
     q = q_ref[0, 0]
     do = do_ref[0, 0]
@@ -344,7 +343,7 @@ def _bwd_dkv_kernel(
     sq = q_ref.shape[2]
     block_k, d = k_ref.shape[2], k_ref.shape[3]
     kv_len = kv_len_ref[b]
-    q_off = q_off_ref[0]
+    q_off = q_off_ref[b]
 
     k_blk = k_ref[0, 0]
     v_blk = v_ref[0, 0]
@@ -392,8 +391,8 @@ def _bwd_dkv_kernel(
 
 
 def _flash_backward(
-    q, k, v, o, lse, do, kv_lens,
-    *, causal, q_offset, sm_scale, block_q, block_k, interpret,
+    q, k, v, o, lse, do, kv_lens, q_off,
+    *, causal, sm_scale, block_q, block_k, interpret,
 ):
     batch, heads, sq, d = q.shape
     skv = k.shape[2]
@@ -421,7 +420,6 @@ def _flash_backward(
     q_p, do_p = pad_q(q), pad_q(do)
     k_p, v_p = pad_k(k), pad_k(v)
     kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), skv)
-    q_off = jnp.array([q_offset], jnp.int32)
 
     qspec = pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, i, *_: (b, h, i, 0))
     qfull = pl.BlockSpec((1, 1, sq_pad, d_pad), lambda b, h, i, *_: (b, h, 0, 0))
@@ -467,8 +465,10 @@ def _flash_backward(
     return dq, dk, dv
 
 
-def _xla_attention(q, k, v, kv_lens, *, causal, q_offset, sm_scale):
-    """Reference attention used for the recompute backward (and CPU path)."""
+def _xla_attention(q, k, v, kv_lens, q_off, *, causal, sm_scale):
+    """Reference attention used for the recompute backward (and CPU path).
+
+    `q_off` is a (B,) per-row causal query offset (0 for plain causal)."""
     batch, _, sq, _ = q.shape
     skv = k.shape[2]
     s = jnp.einsum(
@@ -479,7 +479,9 @@ def _xla_attention(q, k, v, kv_lens, *, causal, q_offset, sm_scale):
     mask = col < kv_lens[:, None, None, None]
     if causal:
         row = jnp.arange(sq)[None, None, :, None]
-        mask = jnp.logical_and(mask, col <= row + q_offset)
+        mask = jnp.logical_and(
+            mask, col <= row + q_off[:, None, None, None]
+        )
     s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
@@ -487,10 +489,10 @@ def _xla_attention(q, k, v, kv_lens, *, causal, q_offset, sm_scale):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
 def _flash_attention_core(
-    q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k, interpret,
+    q, k, v, kv_lens, q_off, causal, sm_scale, block_q, block_k, interpret,
     use_pallas_bwd,
 ):
     return _flash_forward(
@@ -498,8 +500,8 @@ def _flash_attention_core(
         k,
         v,
         kv_lens,
+        q_off,
         causal=causal,
-        q_offset=q_offset,
         sm_scale=sm_scale,
         block_q=block_q,
         block_k=block_k,
@@ -508,46 +510,46 @@ def _flash_attention_core(
 
 
 def _core_fwd(
-    q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k, interpret,
+    q, k, v, kv_lens, q_off, causal, sm_scale, block_q, block_k, interpret,
     use_pallas_bwd,
 ):
     if use_pallas_bwd:
         out, lse = _flash_forward(
-            q, k, v, kv_lens, causal=causal, q_offset=q_offset,
+            q, k, v, kv_lens, q_off, causal=causal,
             sm_scale=sm_scale, block_q=block_q, block_k=block_k,
             interpret=interpret, with_lse=True,
         )
-        return out, (q, k, v, kv_lens, out, lse)
+        return out, (q, k, v, kv_lens, q_off, out, lse)
     out = _flash_attention_core(
-        q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k,
+        q, k, v, kv_lens, q_off, causal, sm_scale, block_q, block_k,
         interpret, use_pallas_bwd,
     )
-    return out, (q, k, v, kv_lens, None, None)
+    return out, (q, k, v, kv_lens, q_off, None, None)
 
 
 def _core_bwd(
-    causal, q_offset, sm_scale, block_q, block_k, interpret, use_pallas_bwd,
+    causal, sm_scale, block_q, block_k, interpret, use_pallas_bwd,
     res, g,
 ):
-    q, k, v, kv_lens, o, lse = res
+    q, k, v, kv_lens, q_off, o, lse = res
     if use_pallas_bwd:
         dq, dk, dv = _flash_backward(
-            q, k, v, o, lse, g, kv_lens,
-            causal=causal, q_offset=q_offset, sm_scale=sm_scale,
+            q, k, v, o, lse, g, kv_lens, q_off,
+            causal=causal, sm_scale=sm_scale,
             block_q=block_q, block_k=block_k, interpret=interpret,
         )
-        return dq, dk, dv, None
+        return dq, dk, dv, None, None
 
     # Recompute-based fallback: grads of the mathematically-identical XLA
     # attention. O(S^2) HBM only inside backward, like jax.remat.
     def f(q, k, v):
         return _xla_attention(
-            q, k, v, kv_lens, causal=causal, q_offset=q_offset, sm_scale=sm_scale
+            q, k, v, kv_lens, q_off, causal=causal, sm_scale=sm_scale
         )
 
     _, vjp = jax.vjp(f, q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
@@ -560,7 +562,7 @@ def flash_attention(
     *,
     kv_lens: Optional[jax.Array] = None,
     causal: bool = False,
-    q_offset: int = 0,
+    q_offset=0,
     sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
@@ -576,6 +578,8 @@ def flash_attention(
       kv_lens: optional (B,) valid KV lengths (padding mask). Defaults to Skv.
       causal: lower-triangular masking, offset by `q_offset` (for prefill
         where queries start at position q_offset in the KV sequence).
+      q_offset: int or (B,) int array — per-row causal query offset, e.g.
+        the per-row cache lengths for chunked prefill into a non-empty cache.
       sm_scale: softmax scale, default 1/sqrt(D).
     """
     batch, heads, _, d = q.shape
@@ -586,9 +590,12 @@ def flash_attention(
         kv_lens = jnp.full((batch,), skv, jnp.int32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    q_off = jnp.broadcast_to(
+        jnp.asarray(q_offset, jnp.int32), (batch,)
+    )
     block_q = min(block_q, _round_up(q.shape[2], 128))
     block_k = min(block_k, _round_up(skv, 128))
     return _flash_attention_core(
-        q, k, v, kv_lens, causal, q_offset, sm_scale, block_q, block_k,
+        q, k, v, kv_lens, q_off, causal, sm_scale, block_q, block_k,
         interpret, use_pallas_bwd,
     )

@@ -40,6 +40,32 @@ def test_flash_causal_with_offset(key):
     np.testing.assert_allclose(out_flash, out_ref, atol=2e-5, rtol=2e-5)
 
 
+def test_flash_causal_per_row_offset(key):
+    """Chunked prefill: each row carries its own cache length as q_offset;
+    forward and grads must match the reference mask col <= row + off[b]."""
+    q, k, v = _rand_qkv(key, 3, 2, 64, 192, 64)
+    offs = jnp.asarray([0, 37, 100], jnp.int32)
+    kv_lens = offs + 64
+    out_flash = flash_attention(
+        q, k, v, causal=True, q_offset=offs, kv_lens=kv_lens
+    )
+    out_ref = sdpa_reference(
+        q, k, v, causal=True, q_offset=offs, kv_lens=kv_lens
+    )
+    np.testing.assert_allclose(out_flash, out_ref, atol=2e-5, rtol=2e-5)
+
+    def loss(fn):
+        def f(q, k, v):
+            o = fn(q, k, v, causal=True, q_offset=offs, kv_lens=kv_lens)
+            return (o.astype(jnp.float32) ** 2).sum()
+        return f
+
+    gf = jax.grad(loss(flash_attention), (0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(sdpa_reference), (0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
 def test_flash_variable_kv_lens(key):
     q, k, v = _rand_qkv(key, 3, 2, 128, 256, 32)
     kv_lens = jnp.array([256, 100, 1], jnp.int32)

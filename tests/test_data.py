@@ -108,6 +108,68 @@ def test_preprocess_matches_reference_chain():
     assert corr > 0.95
 
 
+def test_preprocess_faithful_matches_reference_chain():
+    """The two-interpolation device mode must reproduce the host oracle
+    near-exactly at a non-trivial voxel spacing (both run the same chain:
+    spacing resample -> minmax -> crop-foreground -> trilinear resize)."""
+    from hsenet_tpu.data.preprocess import (
+        preprocess_volume_faithful,
+        spacing_resample_shape,
+    )
+
+    raw = _synthetic_ct((20, 48, 40), smooth=True)
+    cfg = PreprocessConfig(target_shape=(16, 32, 32))
+    spacing = (2.5, 1.0, 1.2)  # != target_spacing -> real first resample
+    inter = spacing_resample_shape(raw.shape, spacing, cfg)
+    dev = np.asarray(
+        preprocess_volume_faithful(
+            jnp.asarray(raw), jnp.float32(1.0), jnp.float32(0.0), inter, cfg
+        )
+    )
+    ref = reference_preprocess(raw, 1.0, 0.0, spacing, cfg)
+    assert dev.shape == ref.shape
+    np.testing.assert_allclose(dev, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_trilinear_resize_matches_torch():
+    """trilinear_resize == F.interpolate(mode='trilinear',
+    align_corners=False), the reference's resampler."""
+    torch = pytest.importorskip("torch")
+    from hsenet_tpu.data.preprocess import trilinear_resize
+
+    rng = np.random.default_rng(3)
+    vol = rng.standard_normal((7, 12, 9)).astype(np.float32)
+    out_shape = (16, 8, 13)
+    ours = np.asarray(trilinear_resize(jnp.asarray(vol), out_shape))
+    theirs = (
+        torch.nn.functional.interpolate(
+            torch.tensor(vol)[None, None],
+            size=out_shape,
+            mode="trilinear",
+            align_corners=False,
+        )[0, 0]
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-5)
+
+
+def test_extract_slices_thin_scan_zupsample():
+    """depth < num_slices must trilinear-upsample along z (reference
+    :216-221), not index-repeat: consecutive output slices interpolate."""
+    d, n = 5, 8
+    rng = np.random.default_rng(7)
+    raw = rng.uniform(-800, 800, (d, 16, 16)).astype(np.float32)
+    cfg = PreprocessConfig(num_slices=n, slice_size=16)
+    out = np.asarray(
+        extract_slices(jnp.asarray(raw), jnp.float32(1.0), jnp.float32(0.0), cfg)
+    )
+    assert out.shape == (n, 16, 16, 3)
+    # index-repeat reproduces at most d distinct slice patterns; trilinear
+    # produces n distinct interpolated blends
+    patterns = {tuple(np.round(out[i, ..., 0].ravel(), 4)) for i in range(n)}
+    assert len(patterns) > d
+
+
 def test_preprocess_hu_windowing():
     # positives at opposite corners -> foreground bbox spans the full volume,
     # so the resize is identity and clamping is directly observable

@@ -103,6 +103,32 @@ def test_phi3_prefill_decode_matches_full_forward(hf_phi3, rng):
     assert (np.asarray(cache.lengths) == prompt_len + extra).all()
 
 
+def test_phi3_chunked_prefill_matches_one_shot(rng, key):
+    """Prefill in two chunks into the same cache == one-shot prefill:
+    the second chunk's causal mask must be offset by the cache lengths
+    (q_offset=lengths in Phi3Block's s>1 cache branch)."""
+    model = _jax_model()
+    b, n1, n2 = 2, 5, 4
+    ids = rng.integers(1, TINY.vocab_size, size=(b, n1 + n2))
+    params = model.init(key, jnp.asarray(ids))
+
+    cache = KVCache.create(TINY, b, 32, dtype=jnp.float32)
+    one_shot, _ = model.apply(params, jnp.asarray(ids), cache=cache)
+
+    cache = KVCache.create(TINY, b, 32, dtype=jnp.float32)
+    first, cache = model.apply(params, jnp.asarray(ids[:, :n1]), cache=cache)
+    assert (np.asarray(cache.lengths) == n1).all()
+    second, cache = model.apply(params, jnp.asarray(ids[:, n1:]), cache=cache)
+    assert (np.asarray(cache.lengths) == n1 + n2).all()
+
+    np.testing.assert_allclose(
+        np.asarray(first), np.asarray(one_shot[:, :n1]), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(second), np.asarray(one_shot[:, n1:]), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_phi3_ragged_prompts_prefill(rng, key):
     """Right-padded prompts: per-row kv_lens must give each row the same
     logits it would get unpadded."""
