@@ -421,13 +421,20 @@ _TENSOR_KEYS = {
     "input_ids",
     "attention_mask",
     "labels",
+    "seg",
+    "box",
 }
 
 
 def collate(samples: List[dict]) -> Dict[str, np.ndarray]:
-    """Stack tensor fields; keep string fields as lists."""
+    """Stack tensor fields; keep string fields as lists. Keys missing from
+    some samples (e.g. `box` on absent-target REC rows) are dropped — mixed
+    task batches only share the common fields, like the reference's
+    per-entry-point collators (train_VLM.py:266-312)."""
     out: Dict[str, Any] = {}
     for key in samples[0]:
+        if not all(key in s for s in samples):
+            continue
         vals = [s[key] for s in samples]
         if key in _TENSOR_KEYS:
             out[key] = np.stack(vals)
@@ -653,35 +660,29 @@ class ClosedVQADataset(_RetryDataset):
         return ret
 
 
-class PosRECDataset(_RetryDataset):
-    """Referring-expression comprehension: target name -> 3D box answer
-    (reference PosRECDataset, multi_dataset.py:1003-1173)."""
+class M3DCapDataset(_RetryDataset):
+    """M3D-Cap caption finetune (reference CapDataset,
+    multi_dataset.py:648-760): JSON with per-split entry lists; each entry's
+    `text` is a path to a raw report .txt (no cleaning / sentence sampling,
+    unlike the CT-RATE caption dataset), `image` a normalized npy."""
 
-    def __init__(self, args: DataArgs, tokenizer, manifest: str, split="train",
-                 templates=None):
-        from hsenet_tpu.data.prompts import PosREC_templates
-
+    def __init__(self, args: DataArgs, tokenizer, cap_data_path: str,
+                 split="train", templates=None, seed=0):
         self.args = args
         self.tokenizer = tokenizer
-        self.data_list = _load_manifest(manifest, split, args.val_limit)
-        self.templates = list(templates or PosREC_templates)
+        with open(cap_data_path) as f:
+            self.data_list = json.load(f)[split]
+        self.templates = list(templates or Caption_templates)
         self.image_tokens = IM_PATCH_TOKEN * args.proj_out_num
-        self._rng = random.Random(0)
+        self.seed = seed
 
     def get(self, idx):
-        from hsenet_tpu.utils.boxes import format_box, mask2box
-
         entry = self.data_list[idx]
+        rng = random.Random(self.seed * 1_000_003 + idx)
         image = np.load(os.path.join(self.args.data_root, entry["image"]))
-        seg = np.load(os.path.join(self.args.data_root, entry["seg"]))
-        box = mask2box(seg[0] if seg.ndim == 4 else seg)
-        if box is None:
-            raise ValueError(f"empty mask for entry {idx}")
-        target = entry["target"]
-        question = self.image_tokens + self._rng.choice(self.templates).format(
-            target=target
-        )
-        answer = format_box(box)
+        with open(os.path.join(self.args.data_root, entry["text"])) as f:
+            answer = f.read()
+        question = self.image_tokens + rng.choice(self.templates)
         tok = tokenize_qa_sample(
             self.tokenizer, question, answer, self.args.max_length
         )
@@ -692,38 +693,64 @@ class PosRECDataset(_RetryDataset):
             "labels": tok["labels"],
             "question": question,
             "answer": answer,
-            "box": box,
+            "question_type": "Caption",
         }
 
 
-class PosREGDataset(_RetryDataset):
-    """Region grounding: box in the question -> target name answer
-    (reference PosREGDataset, multi_dataset.py:1176-1352)."""
+def _read_csv_rows(path: str, limit: Optional[int] = None) -> List[dict]:
+    import csv
 
-    def __init__(self, args: DataArgs, tokenizer, manifest: str, split="train",
-                 templates=None):
-        from hsenet_tpu.data.prompts import PosREG_templates
+    rows = []
+    with open(path, newline="") as f:
+        for i, row in enumerate(csv.DictReader(f)):
+            if limit is not None and i >= limit:
+                break
+            rows.append(row)
+    return rows
 
+
+class M3DVQADataset(_RetryDataset):
+    """M3D-VQA CSV variant (reference VQADataset, multi_dataset.py:762-888).
+
+    CSV columns: `Image Path`, `Question`, `Choice A`..`Choice D`,
+    `Answer Choice`, `Answer`, `Question Type`. Closed-ended builds the
+    "Choices: A. .. B. .. C. .. D. .." string and answers
+    "<letter>. <answer>"; open-ended answers the raw text. Validation reads
+    the first `val_rows` rows (reference nrows=2048)."""
+
+    question_type_key = "Question Type"
+
+    def __init__(self, args: DataArgs, tokenizer, csv_path: str,
+                 close_ended: bool = True, split="train", val_rows=2048,
+                 seed=0):
         self.args = args
         self.tokenizer = tokenizer
-        self.data_list = _load_manifest(manifest, split, args.val_limit)
-        self.templates = list(templates or PosREG_templates)
+        limit = val_rows if split == "validation" else None
+        self.data_list = _read_csv_rows(csv_path, limit)
+        self.close_ended = close_ended
         self.image_tokens = IM_PATCH_TOKEN * args.proj_out_num
-        self._rng = random.Random(0)
+        self.seed = seed
+
+    def _qa(self, row):
+        if self.close_ended:
+            choices = "Choices: A. {} B. {} C. {} D. {}".format(
+                row["Choice A"], row["Choice B"], row["Choice C"],
+                row["Choice D"],
+            )
+            question = row["Question"] + " " + choices
+            answer = "{}. {}".format(row["Answer Choice"], row["Answer"])
+        else:
+            question = row["Question"]
+            answer = str(row["Answer"])
+        return question, answer
 
     def get(self, idx):
-        from hsenet_tpu.utils.boxes import format_box, mask2box
-
-        entry = self.data_list[idx]
-        image = np.load(os.path.join(self.args.data_root, entry["image"]))
-        seg = np.load(os.path.join(self.args.data_root, entry["seg"]))
-        box = mask2box(seg[0] if seg.ndim == 4 else seg)
-        if box is None:
-            raise ValueError(f"empty mask for entry {idx}")
-        question = self.image_tokens + self._rng.choice(self.templates).format(
-            box=format_box(box)
+        row = self.data_list[idx]
+        image = np.load(
+            os.path.join(self.args.data_root, row["Image Path"])
         )
-        answer = entry["target"]
+        question, answer = self._qa(row)
+        question = self.image_tokens + " " + question
         tok = tokenize_qa_sample(
             self.tokenizer, question, answer, self.args.max_length
         )
@@ -734,46 +761,209 @@ class PosREGDataset(_RetryDataset):
             "labels": tok["labels"],
             "question": question,
             "answer": answer,
+            "answer_choice": row.get("Answer Choice", ""),
+            "question_type": row.get(self.question_type_key, ""),
         }
 
 
-class SegQADataset(_RetryDataset):
-    """Segmentation Q&A with [SEG]-token answers + real masks
-    (reference SegDataset/RefSegDataset, multi_dataset.py:1354-1631)."""
+class M3DVQAYNDataset(M3DVQADataset):
+    """M3D-VQA yes/no CSV variant (reference VQAYNDataset,
+    multi_dataset.py:891-999): raw question, raw yes/no answer."""
+
+    def __init__(self, args: DataArgs, tokenizer, csv_path: str,
+                 split="train", val_rows=2048, seed=0):
+        super().__init__(args, tokenizer, csv_path, close_ended=False,
+                         split=split, val_rows=val_rows, seed=seed)
+
+    def _qa(self, row):
+        return row["Question"], str(row["Answer"])
+
+
+class _GroundingDataset(_RetryDataset):
+    """Shared machinery of the Pos/Seg grounding datasets (reference
+    multi_dataset.py:1003-1631): manifest loading, class-list resolution,
+    plain vs description mode, per-sample RNG, empty-mask "no" answers.
+
+    Manifest entries carry image/seg paths and either an explicit `target`
+    name or a `cls_id` index into `classes` (the registry entry for the
+    corpus code, like the reference's `dataset_info[tag][cls_id]`)."""
 
     def __init__(self, args: DataArgs, tokenizer, manifest: str, split="train",
-                 templates=None):
-        from hsenet_tpu.data.prompts import Seg_templates
-
+                 templates=None, classes: Optional[List[str]] = None,
+                 description: bool = False, term_dictionary=None, seed=0):
         self.args = args
         self.tokenizer = tokenizer
         self.data_list = _load_manifest(manifest, split, args.val_limit)
-        self.templates = list(templates or Seg_templates)
+        self.templates = dict(templates or self.default_templates())
+        self.classes = classes
+        self.description = description
+        self.term_dictionary = term_dictionary
         self.image_tokens = IM_PATCH_TOKEN * args.proj_out_num
-        self._rng = random.Random(0)
+        self.seed = seed
 
-    def get(self, idx):
-        entry = self.data_list[idx]
+    def default_templates(self):
+        raise NotImplementedError
+
+    def _target(self, entry) -> str:
+        if "target" in entry:
+            return entry["target"]
+        if self.classes is None:
+            raise ValueError("entry has cls_id but dataset got no classes")
+        return self.classes[int(entry["cls_id"])]
+
+    def _describe(self, target: str, rng: random.Random) -> str:
+        from hsenet_tpu.data.term_dictionary import describe, term_dict
+
+        return describe(target, rng, self.term_dictionary or term_dict)
+
+    def _pick(self, group: str, rng: random.Random) -> str:
+        return rng.choice(self.templates[group])
+
+    def _load_pair(self, entry):
         image = np.load(os.path.join(self.args.data_root, entry["image"]))
         seg = np.load(os.path.join(self.args.data_root, entry["seg"]))
         if seg.ndim == 3:
             seg = seg[None]
-        question = self.image_tokens + self._rng.choice(self.templates).format(
-            target=entry["target"]
-        )
-        answer = "[SEG]"
+        return image.astype(np.float32), seg
+
+    def _pack(self, image, question, answer, extra=None):
         tok = tokenize_qa_sample(
             self.tokenizer, question, answer, self.args.max_length
         )
-        return {
-            "image": image.astype(np.float32),
-            "seg": seg.astype(np.float32),
+        ret = {
+            "image": image,
             "input_ids": tok["input_ids"],
             "attention_mask": tok["attention_mask"],
             "labels": tok["labels"],
             "question": question,
             "answer": answer,
         }
+        if extra:
+            ret.update(extra)
+        return ret
+
+
+class PosRECDataset(_GroundingDataset):
+    """Referring-expression comprehension: target name (or description) ->
+    3D box answer (reference PosRECDataset, multi_dataset.py:1003-1173).
+    Description mode asks with a term-dictionary synonym and answers with
+    name + box; absent targets get "no" answers."""
+
+    question_type = "REC"
+
+    def default_templates(self):
+        from hsenet_tpu.data.prompts import PosREC_templates
+
+        return PosREC_templates
+
+    def get(self, idx):
+        from hsenet_tpu.utils.boxes import format_box, mask2box
+
+        entry = self.data_list[idx]
+        rng = random.Random(self.seed * 1_000_003 + idx)
+        image, seg = self._load_pair(entry)
+        target = self._target(entry)
+        box = mask2box(seg[0])
+        if self.description:
+            question = self._pick("des_questions", rng).format(
+                self._describe(target, rng)
+            )
+        else:
+            question = self._pick("cls_questions", rng).format(target)
+        question = self.image_tokens + question
+        extra = {}
+        if box is not None:
+            box_text = format_box(box)
+            if self.description:
+                answer = self._pick("des_answers", rng).format(target, box_text)
+            else:
+                answer = self._pick("cls_answers", rng).format(box_text)
+            extra["box"] = box
+        else:
+            group = "des_no_answers" if self.description else "cls_no_answers"
+            answer = self._pick(group, rng).format(target)
+        return self._pack(image, question, answer, extra)
+
+
+class PosREGDataset(_GroundingDataset):
+    """Region grounding: box in the question -> target name answer
+    (reference PosREGDataset, multi_dataset.py:1176-1352). Description mode
+    answers with name + term-dictionary description; absent targets swap in
+    name-slot "no" questions (the reference's cls/des_no_questions)."""
+
+    question_type = "REG"
+
+    def default_templates(self):
+        from hsenet_tpu.data.prompts import PosREG_templates
+
+        return PosREG_templates
+
+    def get(self, idx):
+        from hsenet_tpu.utils.boxes import format_box, mask2box
+
+        entry = self.data_list[idx]
+        rng = random.Random(self.seed * 1_000_003 + idx)
+        image, seg = self._load_pair(entry)
+        target = self._target(entry)
+        box = mask2box(seg[0])
+        if box is not None:
+            box_text = format_box(box)
+            if self.description:
+                question = self._pick("des_questions", rng).format(box_text)
+                answer = self._pick("des_answers", rng).format(
+                    target, self._describe(target, rng)
+                )
+            else:
+                question = self._pick("cls_questions", rng).format(box_text)
+                answer = self._pick("cls_answers", rng).format(target)
+        else:
+            if self.description:
+                question = self._pick("des_no_questions", rng).format(
+                    self._describe(target, rng)
+                )
+                answer = self._pick("des_no_answers", rng).format(target)
+            else:
+                question = self._pick("cls_no_questions", rng).format(target)
+                answer = self._pick("cls_no_answers", rng).format(target)
+        question = self.image_tokens + question
+        return self._pack(image, question, answer)
+
+
+class SegQADataset(_GroundingDataset):
+    """Segmentation Q&A with [SEG]-token answers + real masks
+    (reference SegDataset/RefSegDataset, multi_dataset.py:1354-1631)."""
+
+    question_type = "SEG"
+
+    def default_templates(self):
+        from hsenet_tpu.data.prompts import Seg_templates
+
+        return Seg_templates
+
+    def get(self, idx):
+        entry = self.data_list[idx]
+        rng = random.Random(self.seed * 1_000_003 + idx)
+        image, seg = self._load_pair(entry)
+        target = self._target(entry)
+        has_mask = bool(np.any(seg))
+        if self.description:
+            question = self._pick("des_questions", rng).format(
+                self._describe(target, rng)
+            )
+        else:
+            question = self._pick("cls_questions", rng).format(target)
+        question = self.image_tokens + question
+        if has_mask:
+            if self.description:
+                answer = self._pick("des_answers", rng).format(target)
+            else:
+                answer = self._pick("cls_answers", rng)
+        else:
+            group = "des_no_answers" if self.description else "cls_no_answers"
+            answer = self._pick(group, rng).format(target)
+        return self._pack(
+            image, question, answer, {"seg": seg.astype(np.float32)}
+        )
 
 
 class MixDataset:
