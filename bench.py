@@ -1,20 +1,28 @@
-"""Benchmark: CT volume encode throughput on one TPU chip.
+"""Benchmark: CT-volume encode + greedy-decode throughput on one TPU chip.
 
-Primary metric (BASELINE.md north star): CT volumes/sec/chip through the
-flagship encode path — BOTH production 3D ViT-B towers (2048 patch tokens
-each, slice-guided scoring on tower 2) + dual spatial packers, bf16, Pallas
-flash attention. This is the per-volume compute of VLM
-inference/finetuning's vision side (SURVEY.md §3.3).
+Both BASELINE.md co-primary metrics, one JSON line each:
+  * `ct_volumes_per_sec_per_chip_encode` — the flagship encode path: BOTH
+    production 3D ViT-B towers (2048 patch tokens each, slice-guided
+    scoring on tower 2) + dual spatial packers, bf16, Pallas flash
+    attention (the vision side of VLM inference/finetune, SURVEY.md §3.3).
+  * `tokens_per_sec_decode` — Phi-4-mini-shape (3.8B, 32 layers) greedy
+    decode, int8 weight-only projections (the analog of the reference's
+    bitsandbytes 8-bit base model), batch 1, prompt 320.
 
-`vs_baseline` is measured-ours / estimated-reference. The reference repo
-publishes no numbers (BASELINE.md); the denominator is an analytic estimate
-of the PyTorch reference on one A100-80GB: the dual-tower forward is
-~1.5 TFLOP/volume; eager MONAI blocks materialise 2049^2 attention in fp32
-autocast (no flash path in the pinned monai==1.3.0 SABlock), which lands
-around 25-30% MFU on A100 312 TFLOPs bf16 -> ~55 vol/s optimistic, ~15-20
-vol/s as-written (fp32 master weights, eager launch overhead, per-block
-Python). We use 20 vol/s as the documented denominator until a real A100
-measurement replaces it.
+`vs_baseline` is measured-ours / ESTIMATED-reference (`baseline_source`
+says so in the artifact). The reference repo publishes no numbers
+(BASELINE.md) and this environment has no GPU to measure it, so the
+denominators are analytic estimates of the PyTorch reference on one
+A100-80GB:
+  * encode 20 vol/s: the dual-tower forward is ~1.5 TFLOP/volume; eager
+    MONAI blocks materialise 2049^2 attention in fp32 autocast (no flash
+    path in the pinned monai==1.3.0 SABlock) -> 25-30% MFU of 312 TFLOPs
+    gives ~55 vol/s optimistic, ~15-20 vol/s as-written (fp32 master
+    weights, eager per-block Python, launch overhead).
+  * decode 30 tok/s: HF `generate` over a bitsandbytes-int8 3.8B model is
+    dominated by the int8 matmul dequant kernels and Python decode loop;
+    published bnb-int8 numbers for 3-7B models on A100 land at 20-40 tok/s
+    batch 1. Replace both with real A100 measurements when available.
 """
 
 import json
@@ -25,6 +33,46 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_VOL_PER_SEC_ESTIMATE = 20.0
+A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE = 30.0
+
+
+def bench_decode():
+    """Batch-1 greedy decode tokens/s, 3.8B int8, jitted scan loop."""
+    from hsenet_tpu.configs import Phi3Config
+    from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+
+    cfg = Phi3Config(num_layers=32, quant_int8=True)
+    model = Phi3ForCausalLM(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.ones((1, 8), jnp.int32))
+
+    @jax.jit
+    def materialise():
+        def fill(s):
+            if s.dtype == jnp.int8:
+                return jnp.ones(s.shape, jnp.int8)
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                return jnp.full(s.shape, 0.01, jnp.bfloat16)
+            return jnp.zeros(s.shape, s.dtype)
+
+        return jax.tree.map(fill, shapes)
+
+    params = materialise()
+    new_tokens, prompt_len = 64, 320
+    gen = make_greedy_generate_llm_only(
+        model, max_new_tokens=new_tokens, eos_token_id=-1
+    )
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 1000, (1, prompt_len)))
+    kv = jnp.full((1,), prompt_len, jnp.int32)
+    out = gen(params, ids, kv)
+    _ = np.asarray(out[:, -1])  # compile + run (scalar fetch = sync)
+    t0 = time.perf_counter()
+    out = gen(params, ids, kv)
+    _ = np.asarray(out[:, -1])
+    dt = time.perf_counter() - t0
+    return new_tokens / dt
 
 
 def main():
@@ -99,8 +147,26 @@ def main():
                 "value": round(best, 2),
                 "unit": "volumes/s/chip",
                 "vs_baseline": round(best / A100_REFERENCE_VOL_PER_SEC_ESTIMATE, 2),
+                "baseline_source": "analytic estimate (20 vol/s A100 eager PyTorch; no GPU in env to measure)",
             }
-        )
+        ),
+        flush=True,
+    )
+
+    tps = bench_decode()
+    print(
+        json.dumps(
+            {
+                "metric": "tokens_per_sec_decode",
+                "value": round(tps, 1),
+                "unit": "tokens/s (batch 1, 3.8B int8)",
+                "vs_baseline": round(
+                    tps / A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE, 2
+                ),
+                "baseline_source": "analytic estimate (30 tok/s A100 bnb-int8 HF generate)",
+            }
+        ),
+        flush=True,
     )
 
 

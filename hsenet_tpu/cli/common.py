@@ -26,6 +26,8 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dp", type=int, default=-1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state over the dp axis (ZeRO-1)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--remat", action="store_true", default=None,
@@ -46,6 +48,38 @@ def train_config_from_args(args) -> TrainConfig:
         seed=args.seed,
         log_every=args.log_every,
         checkpoint_every=args.checkpoint_every,
+    )
+
+
+def maybe_zero1(state, args, mesh):
+    """Commit the train state to the mesh; apply ZeRO-1 when --zero1 is set.
+
+    Every leaf not already deliberately sharded on this mesh (e.g. tp
+    weights placed by shard_params) is replicated, so jit never sees a mix
+    of single-device and mesh-committed arguments. With --zero1 the Adam
+    m/v leaves are instead sharded over dp (parallel/zero.py) and XLA
+    inserts the reduce-scatter/all-gather around the update."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+
+    def keep_or_replicate(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+            return x
+        return jax.device_put(x, repl)
+
+    if getattr(args, "zero1", False):
+        from hsenet_tpu.parallel.zero import shard_opt_state
+
+        opt_state = shard_opt_state(state.opt_state, mesh)
+    else:
+        opt_state = jax.tree.map(keep_or_replicate, state.opt_state)
+    return state.replace(
+        step=jax.device_put(state.step, repl),
+        params=jax.tree.map(keep_or_replicate, state.params),
+        opt_state=opt_state,
     )
 
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from hsenet_tpu.cli.common import (
+    maybe_zero1,
     add_train_args,
     dtype_from_args,
     dump_config,
@@ -122,6 +123,7 @@ def main(argv=None):
     )
     tx = make_optimizer(train_cfg)
     state = TrainState.create(params, tx)
+    state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir)
     if args.resume:
         state = CheckpointManager(args.resume).restore(state)

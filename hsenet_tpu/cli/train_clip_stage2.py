@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from hsenet_tpu.cli.common import (
+    maybe_zero1,
     add_train_args,
     dtype_from_args,
     dump_config,
@@ -154,6 +155,7 @@ def main(argv=None):
 
     tx = make_optimizer(train_cfg)
     state = TrainState.create(student_params, tx)
+    state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir)
     dump_config(args.output_dir, student_cfg, train_cfg)
     step_fn = make_stage2_train_step(

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from hsenet_tpu.cli.common import (
+    maybe_zero1,
     add_train_args,
     dtype_from_args,
     dump_config,
@@ -163,9 +164,16 @@ def main(argv=None):
 
         params = load_vlm_deltas(args.resume_mllm, params)
 
+    # tensor-parallel placement (Megatron rules; replicates everything else)
+    from hsenet_tpu.parallel.sharding import shard_params, validate_divisibility
+
+    validate_divisibility(params["params"], mesh)
+    params = shard_params(params, mesh)
+
     mask = vlm_trainable_mask(params)
     tx = make_optimizer(train_cfg, trainable_mask=mask)
     state = TrainState.create(params, tx)
+    state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir)
     dump_config(args.output_dir, cfg, train_cfg)
     step_fn = make_vlm_train_step(model, tx, mesh)

@@ -155,9 +155,11 @@ class PackerConfig:
     in_dim: int = 768
     out_dim: int = 3072
     dropout_rate: float = 0.1
-    projector_type: str = "packer_v3"  # {packer_v3, spatial_pooling, mlp}
+    # {packer_v3, spatial_pooling, mlp, qformer, med2e3}
+    projector_type: str = "packer_v3"
     pooling_size: int = 2  # for spatial_pooling baseline
     mlp_depth: int = 2
+    num_queries: int = 32  # for the qformer ablation head
 
     @property
     def out_grid(self) -> Tuple[int, int, int]:
@@ -165,6 +167,11 @@ class PackerConfig:
 
     @property
     def proj_out_num(self) -> int:
+        if self.projector_type == "qformer":
+            return self.num_queries
+        if self.projector_type == "mlp":
+            a, b, c = self.grid
+            return a * b * c  # per-token head: no pooling
         a, b, c = self.out_grid
         return a * b * c
 
@@ -305,6 +312,9 @@ class VLMConfig:
         n = self.packer.proj_out_num
         if self.tower_mode == "dual_vits":
             return 2 * n
+        if self.tower_mode == "med2e3":
+            # [pooled 3D tokens | score-weighted slice tokens]
+            return n + self.vision.num_slices
         return n
 
 

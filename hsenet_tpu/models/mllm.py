@@ -59,17 +59,30 @@ class HSENetVLM(nn.Module):
 
     def setup(self):
         cfg = self.config
+        # med2e3 mode runs the plain 3D tower; the projector consumes the
+        # raw 2D slice features + prompt embeddings (lamed_arch.py:134-136)
+        tower_mode = "3d_vit" if cfg.tower_mode == "med2e3" else cfg.tower_mode
         self.vision_tower = DualVisionTower(
             cfg.vision,
-            tower_mode=cfg.tower_mode,
+            tower_mode=tower_mode,
             select_feature=cfg.select_feature,
             dtype=self.dtype,
             remat=self.remat,
             name="vision_tower",
         )
-        self.mm_projector = build_projector(
-            cfg.packer, dtype=self.dtype, name="mm_projector"
-        )
+        if cfg.tower_mode == "med2e3":
+            from hsenet_tpu.models.projector import Med2E3Projector
+
+            self.mm_projector = Med2E3Projector(
+                cfg.packer,
+                num_slices=cfg.vision.num_slices,
+                dtype=self.dtype,
+                name="mm_projector",
+            )
+        else:
+            self.mm_projector = build_projector(
+                cfg.packer, dtype=self.dtype, name="mm_projector"
+            )
         if cfg.tower_mode == "dual_vits":
             if cfg.use_parallel_projector:
                 self.mm_projector2 = build_projector(
@@ -115,6 +128,7 @@ class HSENetVLM(nn.Module):
         volume: jax.Array,
         slice_features: Optional[jax.Array] = None,
         *,
+        text_embeds: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.config
@@ -133,6 +147,13 @@ class HSENetVLM(nn.Module):
             proj2 = self.mm_projector2 or self.mm_projector
             p2 = proj2(f2, deterministic=deterministic)
             return jnp.concatenate([p1, p2], axis=1)
+        if cfg.tower_mode == "med2e3":
+            # text-guided slice scoring needs the prompt embeddings
+            # (lamed_arch.py:134-136 med2e3 dispatch)
+            return self.mm_projector(
+                feats, slice_features, text_embeds,
+                deterministic=deterministic,
+            )
         return self.mm_projector(feats, deterministic=deterministic)
 
     def multimodal_embeds(
@@ -147,7 +168,8 @@ class HSENetVLM(nn.Module):
         if volume is None:
             return embeds
         image_feats = self.encode_images(
-            volume, slice_features, deterministic=deterministic
+            volume, slice_features, text_embeds=embeds,
+            deterministic=deterministic,
         )
         return splice_image_embeds(embeds, image_feats)
 

@@ -130,7 +130,9 @@ def build_projector(config: PackerConfig, dtype=jnp.float32, name=None):
     if config.projector_type == "mlp":
         return MLPProjector(config, dtype=dtype, name=name)
     if config.projector_type == "qformer":
-        return QFormerProjector(config, dtype=dtype, name=name)
+        return QFormerProjector(
+            config, num_queries=config.num_queries, dtype=dtype, name=name
+        )
     if config.projector_type == "med2e3":
         return Med2E3Projector(config, dtype=dtype, name=name)
     raise ValueError(f"Unknown projector type: {config.projector_type}")

@@ -83,8 +83,13 @@ def _flash_kernel(
         # Single-block fast path (the 2049-token ViT case): direct softmax,
         # no online-softmax carries, no loop. The kernel is VPU-bound at
         # this size, so elementwise passes over the (BQ, SKV) scores are
-        # minimised: sm_scale folds into q (a (BQ, D) op), and the padding
-        # mask is a broadcast row vector instead of a full iota matrix.
+        # minimised: sm_scale folds into q (a (BQ, D) op); the stabilizer
+        # is the UNMASKED row max (any upper bound is a valid stabilizer,
+        # and padded columns score qk=0 after jnp.pad, so max(s) >= masked
+        # max) which lets the mask fold into the exp pass —
+        # where(mask, exp(s-m), 0) — instead of a separate select over s;
+        # on the no-lse (inference) path the exp runs in bf16 (2x VPU rate)
+        # which also deletes the pre-matmul cast pass.
         k_blk = k_ref[0, 0]
         v_blk = v_ref[0, 0]
         q_scaled = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
@@ -103,14 +108,21 @@ def _flash_kernel(
             mask = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) < kv_len
             )
-        s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        fast_exp = lse_ref is None and v_blk.dtype == jnp.bfloat16
+        if fast_exp:
+            p = jnp.where(
+                mask, jnp.exp((s - m).astype(jnp.bfloat16)), jnp.bfloat16(0)
+            )
+            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+        else:
+            p = jnp.where(mask, jnp.exp(s - m), 0.0)
+            l = jnp.sum(p, axis=1, keepdims=True)
         empty = l == 0.0
         l = jnp.where(empty, 1.0, l)
         acc = jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            p if fast_exp else p.astype(v_blk.dtype), v_blk,
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, 0] = (acc / l).astype(o_ref.dtype)

@@ -95,3 +95,84 @@ def test_three_stage_pipeline(tmp_path):
         np.asarray(s1_tower["patch_embed"]["proj"]["kernel"]),
         atol=1e-6,
     )
+
+
+def test_three_stage_pipeline_dp4_tp2_zero1(tmp_path):
+    """The full three-stage recipe on a dp=4 x tp=2 mesh with ZeRO-1
+    optimizer-state sharding — the multi-chip path of all three entry
+    points (the reference can only test distributed by launching 8 real
+    GPUs, SURVEY.md §4)."""
+    import os
+
+    mesh_args = ["--dp", "4", "--tp", "2", "--zero1"]
+    out1 = str(tmp_path / "stage1")
+    out2 = str(tmp_path / "stage2")
+    out3 = str(tmp_path / "vlm")
+
+    from hsenet_tpu.cli.train_clip_stage1 import main as stage1
+
+    state1 = stage1(
+        TINY_ARGS + mesh_args + ["--total-steps", "2", "--output-dir", out1]
+    )
+    assert int(state1.step) == 2
+    assert np.isfinite(float(np.asarray(state1.step)))
+    assert os.path.exists(f"{out1}/clip_params")
+
+    from hsenet_tpu.cli.train_clip_stage2 import main as stage2
+
+    state2 = stage2(
+        TINY_ARGS + mesh_args + [
+            "--total-steps", "2",
+            "--output-dir", out2,
+            "--stage1-checkpoint", f"{out1}/clip_params",
+        ]
+    )
+    assert int(state2.step) == 2
+
+    from hsenet_tpu.cli.train_vlm import main as vlm
+
+    state3 = vlm(
+        [
+            "--synthetic",
+            "--task", "mrg",
+            "--total-steps", "2",
+            "--batch-size", "4",
+            "--log-every", "1",
+            "--checkpoint-every", "1000",
+            "--dtype", "float32",
+            "--output-dir", out3,
+            "--clip-stage1-checkpoint", f"{out1}/tower_params",
+            "--clip-stage2-checkpoint", f"{out2}/tower_params",
+        ] + mesh_args
+    )
+    assert int(state3.step) == 2
+    # ZeRO-1 actually took: some Adam moment leaf is dp-sharded, and the
+    # params stayed usable (finite)
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    leaves = jax.tree.leaves(state3.opt_state)
+    specs = {
+        getattr(getattr(l, "sharding", None), "spec", None) for l in leaves
+    }
+    assert any(s is not None and "dp" in str(s) for s in specs), specs
+    flat = jax.tree.leaves(state3.params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat[:3])
+
+
+def test_create_multihost_mesh_single_process():
+    """Single-process degeneration: no coordinator -> a plain (dp, tp) mesh
+    over the local devices via mesh_utils."""
+    import jax
+
+    from hsenet_tpu.configs import MeshConfig
+    from hsenet_tpu.parallel.mesh import create_multihost_mesh
+
+    mesh = create_multihost_mesh(MeshConfig(dp=4, tp=2))
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.devices.shape == (4, 2)
+    assert {d.platform for d in mesh.devices.ravel()} == {"cpu"}
+
+    # dp inferred from device count when unset
+    mesh2 = create_multihost_mesh(MeshConfig(dp=-1, tp=2))
+    assert mesh2.devices.shape == (len(jax.devices()) // 2, 2)

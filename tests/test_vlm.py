@@ -244,3 +244,38 @@ def test_online_slice_features_mode(key):
         s = "/".join(str(getattr(p, "key", p)) for p in path)
         if "slice_encoder" in s:
             assert not trainable, s
+
+
+@pytest.mark.parametrize("mode", ["qformer", "med2e3"])
+def test_ablation_projectors_inside_vlm_forward(key, mode):
+    """QFormer and Med2E3 projector heads running inside a full VLM forward
+    (not just unit-level): correct token counts, finite logits, and image
+    sensitivity."""
+    if mode == "qformer":
+        packer = dataclasses.replace(TINY_PACKER, projector_type="qformer")
+        cfg = dataclasses.replace(TINY_VLM, packer=packer, tower_mode="3d_vit")
+    else:
+        cfg = dataclasses.replace(TINY_VLM, tower_mode="med2e3")
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    n_img = cfg.num_image_tokens
+    if mode == "qformer":
+        assert n_img == 32  # 32 learned queries
+    else:
+        assert n_img == TINY_PACKER.proj_out_num + TINY_VIT.num_slices
+
+    rng = np.random.default_rng(0)
+    b, seq = 2, n_img + 8
+    ids = rng.integers(3, 64, (b, seq))
+    ids[:, 0] = 1
+    vol = jnp.asarray(rng.random((b, 1, 4, 16, 16), np.float32))
+    slices = jnp.asarray(rng.random((b, 2, 16), np.float32))
+    params = model.init(key, jnp.asarray(ids), vol, slices)
+    logits = model.apply(params, jnp.asarray(ids), vol, slices)
+    assert logits.shape == (b, seq, TINY_LLM.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    # a different volume must change post-image logits
+    logits2 = model.apply(
+        params, jnp.asarray(ids), vol + 0.5, slices
+    )
+    assert float(jnp.abs(logits - logits2)[:, n_img + 1 :].max()) > 1e-6
