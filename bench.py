@@ -59,20 +59,25 @@ def bench_decode():
         return jax.tree.map(fill, shapes)
 
     params = materialise()
-    new_tokens, prompt_len = 64, 320
-    gen = make_greedy_generate_llm_only(
-        model, max_new_tokens=new_tokens, eos_token_id=-1
-    )
+    prompt_len = 320
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(3, 1000, (1, prompt_len)))
     kv = jnp.full((1,), prompt_len, jnp.int32)
-    out = gen(params, ids, kv)
-    _ = np.asarray(out[:, -1])  # compile + run (scalar fetch = sync)
-    t0 = time.perf_counter()
-    out = gen(params, ids, kv)
-    _ = np.asarray(out[:, -1])
-    dt = time.perf_counter() - t0
-    return new_tokens / dt
+    # two-point: time 64- and 192-token generations and take the slope,
+    # cancelling the relay's fixed ~47 ms per-invocation cost (plus the
+    # shared prefill)
+    times = {}
+    for new_tokens in (64, 192):
+        gen = make_greedy_generate_llm_only(
+            model, max_new_tokens=new_tokens, eos_token_id=-1
+        )
+        out = gen(params, ids, kv)
+        _ = np.asarray(out[:, -1])  # compile + run (scalar fetch = sync)
+        t0 = time.perf_counter()
+        out = gen(params, ids, kv)
+        _ = np.asarray(out[:, -1])
+        times[new_tokens] = time.perf_counter() - t0
+    return (192 - 64) / (times[192] - times[64])
 
 
 def main():
@@ -108,7 +113,7 @@ def main():
     best = 0.0
     params = None
     f = jax.jit(model.apply)
-    for batch in (4, 8, 16):  # batch 32 measured no better (~64 vol/s)
+    for batch in (4, 8, 16):  # 32 measured no better
         volume = jnp.asarray(
             rng.random((batch, 1, 32, 256, 256), np.float32), jnp.bfloat16
         )
@@ -116,27 +121,32 @@ def main():
         if params is None:
             params = jax.jit(model.init)(key, volume[:1], slices[:1])
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-        # Amortized in-graph timing: the remote-relay TPU backend does not
-        # reliably block in block_until_ready, so we chain N dependent
-        # encodes inside ONE jit and synchronise via a scalar fetch.
-        N = 10
+        # Two-point amortized in-graph timing: the remote-relay TPU backend
+        # does not reliably block in block_until_ready AND adds a fixed
+        # ~47 ms round-trip per jit invocation, so we chain N dependent
+        # encodes inside ONE jit (full-output reduction carried so nothing
+        # is dead-code-eliminated, scalar fetch to sync) and take the SLOPE
+        # between two loop lengths, which cancels the fixed cost.
+        import functools
 
-        def chained(params, volume, slices):
+        def chained(N, params, volume, slices):
             def body(i, carry):
                 out = model.apply(params, volume + carry, slices)
-                # full-output reduction: every token of BOTH packers feeds
-                # the carry, so nothing is dead-code-eliminated
                 return jnp.mean(out.astype(jnp.float32)) * 1e-9
 
             return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
 
-        g = jax.jit(chained)
-        s = float(g(params, volume, slices))  # compile + run
-        assert np.isfinite(s)
-        t0 = time.perf_counter()
-        s = float(g(params, volume, slices))
-        dt = (time.perf_counter() - t0) / N
-        assert np.isfinite(s)
+        n1, n2 = 4, 16
+        times = {}
+        for n in (n1, n2):
+            g = jax.jit(functools.partial(chained, n))
+            s = float(g(params, volume, slices))  # compile + run
+            assert np.isfinite(s)
+            t0 = time.perf_counter()
+            s = float(g(params, volume, slices))
+            times[n] = time.perf_counter() - t0
+            assert np.isfinite(s)
+        dt = (times[n2] - times[n1]) / (n2 - n1)
         vps = batch / dt
         best = max(best, vps)
 

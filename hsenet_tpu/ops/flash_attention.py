@@ -35,7 +35,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_Q = 1152  # 2 grid cells per (b, h) at the 2049-token ViT
+# shape, softmax pipelined across 4 row-chunks of 288 inside the fast
+# path. A whole-sequence block (2176) measured ~6% faster in isolation but
+# exceeds the 16 MB scoped-VMEM budget inside larger fused programs; 1152
+# keeps ~5 MB of score buffers live. The backward caps its own q-block
+# separately (see _flash_backward).
 # One K/V block per grid cell whenever the sequence fits the VMEM budget:
 # measured on v5e, full-K (no inner loop, degenerate online softmax) runs the
 # 2049-token ViT attention ~1.75x faster than 256-wide K streaming. Longer
@@ -81,54 +86,72 @@ def _flash_kernel(
 
     if num_k_blocks == 1:
         # Single-block fast path (the 2049-token ViT case): direct softmax,
-        # no online-softmax carries, no loop. The kernel is VPU-bound at
-        # this size, so elementwise passes over the (BQ, SKV) scores are
-        # minimised: sm_scale folds into q (a (BQ, D) op); the stabilizer
-        # is the UNMASKED row max (any upper bound is a valid stabilizer,
-        # and padded columns score qk=0 after jnp.pad, so max(s) >= masked
-        # max) which lets the mask fold into the exp pass —
-        # where(mask, exp(s-m), 0) — instead of a separate select over s;
-        # on the no-lse (inference) path the exp runs in bf16 (2x VPU rate)
-        # which also deletes the pre-matmul cast pass.
+        # no online-softmax carries. The query block is processed in
+        # row-CHUNKS, software-pipelined so chunk j+1's score matmul (MXU,
+        # async) is issued before chunk j's softmax (VPU) and p@v — the VPU
+        # work hides under the MXU instead of serializing after it.
+        # Measured at B8xH12x2049x64 with fixed-overhead-cancelling
+        # two-point timing: matmuls alone 1.55 ms (84 TF/s, ~86% of the
+        # D=64 shape cap: K=64 contraction and N=64 output each halve MXU
+        # utilization), monolithic softmax +0.33 ms, chunked pipeline
+        # recovers ~0.26 ms of that (1.88 -> 1.62 ms). Other variants
+        # measured and rejected: online-softmax K streaming (slower),
+        # bf16 exp (no gain), flat (B*H) grid (no gain).
         k_blk = k_ref[0, 0]
         v_blk = v_ref[0, 0]
         q_scaled = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
-        s = jax.lax.dot_general(
-            q_scaled, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if causal:
-            col_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
+
+        # largest row-chunk count that keeps chunks sublane-aligned
+        n_chunks = 1
+        for c in (8, 4, 2):
+            if block_q % c == 0 and (block_q // c) % 8 == 0:
+                n_chunks = c
+                break
+        hq = block_q // n_chunks
+
+        col_row = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        pad_mask = col_row < kv_len  # (1, SKV) broadcast row
+
+        def mm1(j):
+            return jax.lax.dot_general(
+                q_scaled[j * hq:(j + 1) * hq, :], k_blk,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            mask = jnp.logical_and(
-                col_ids < kv_len, col_ids <= row_ids + q_off
-            )
-        else:
-            mask = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) < kv_len
-            )
-        m = jnp.max(s, axis=1, keepdims=True)
-        fast_exp = lse_ref is None and v_blk.dtype == jnp.bfloat16
-        if fast_exp:
-            p = jnp.where(
-                mask, jnp.exp((s - m).astype(jnp.bfloat16)), jnp.bfloat16(0)
-            )
-            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
-        else:
-            p = jnp.where(mask, jnp.exp(s - m), 0.0)
+
+        s_cur = mm1(0)
+        for j in range(n_chunks):
+            s_next = mm1(j + 1) if j + 1 < n_chunks else None
+            if causal:
+                rows = (
+                    qi * block_q + j * hq
+                    + jax.lax.broadcasted_iota(jnp.int32, (hq, block_k), 0)
+                )
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (hq, block_k), 1
+                )
+                mask = jnp.logical_and(
+                    cols < kv_len, cols <= rows + q_off
+                )
+            else:
+                mask = pad_mask
+            m = jnp.max(s_cur, axis=1, keepdims=True)
+            p = jnp.where(mask, jnp.exp(s_cur - m), 0.0)
             l = jnp.sum(p, axis=1, keepdims=True)
-        empty = l == 0.0
-        l = jnp.where(empty, 1.0, l)
-        acc = jax.lax.dot_general(
-            p if fast_exp else p.astype(v_blk.dtype), v_blk,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
-        if lse_ref is not None:
-            lse = jnp.where(empty, -NEG_INF, m + jnp.log(l))
-            lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, 8))
+            empty = l == 0.0
+            l = jnp.where(empty, 1.0, l)
+            acc = jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, 0, pl.ds(j * hq, hq), :] = (acc / l).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse = jnp.where(empty, -NEG_INF, m + jnp.log(l))
+                lse_ref[0, 0, pl.ds(j * hq, hq), :] = jnp.broadcast_to(
+                    lse, (hq, 8)
+                )
+            s_cur = s_next
         return
 
     def body(j, carry):
@@ -406,6 +429,10 @@ def _flash_backward(
     q, k, v, o, lse, do, kv_lens, q_off,
     *, causal, sm_scale, block_q, block_k, interpret,
 ):
+    # the bwd kernels keep the whole (BQ, SKV) score block live with no
+    # chunking, so a fwd-sized q block (2176+) would blow VMEM; cap at 512
+    # (lse is re-padded below when the fwd used a different sq_pad)
+    block_q = min(block_q, 512)
     batch, heads, sq, d = q.shape
     skv = k.shape[2]
     sq_pad = _round_up(sq, block_q)
@@ -417,6 +444,18 @@ def _flash_backward(
 
     def pad_k(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)))
+
+    # lse arrives from the forward padded at the FWD's sq_pad, which can
+    # differ from ours (fwd and bwd use different q-block sizes): re-pad to
+    # this kernel's grid, +BIG on padding rows so exp(s - lse) == 0 there
+    if lse.shape[2] != sq_pad:
+        lse = lse[:, :, :sq_pad, :]
+        if lse.shape[2] < sq_pad:
+            lse = jnp.pad(
+                lse,
+                ((0, 0), (0, 0), (0, sq_pad - lse.shape[2]), (0, 0)),
+                constant_values=-NEG_INF,
+            )
 
     # delta = rowsum(do * o): tiny elementwise pass stays in XLA; lse arrives
     # from the forward in column layout (B, H, sq_pad, 8)

@@ -19,22 +19,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def time_fn(f, *args, n=20):
-    def chained(*args):
+def time_fn(f, *args, n1=40, n2=200):
+    """Two-point amortized timing: the axon relay adds a FIXED ~47 ms
+    round-trip per jit invocation (measured constant across body sizes),
+    so per-iteration time is the SLOPE between two chained-loop lengths —
+    (t(n2) - t(n1)) / (n2 - n1) — which cancels the constant."""
+    import functools
+
+    def chained(n, *args):
         def body(i, carry):
             out = f(args[0] + carry.astype(args[0].dtype) * 1e-6, *args[1:])
             return jnp.mean(out.astype(jnp.float32))
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    g = jax.jit(chained)
-    s = float(g(*args))
-    assert np.isfinite(s), s
-    t0 = time.perf_counter()
-    s = float(g(*args))
-    dt = (time.perf_counter() - t0) / n
-    assert np.isfinite(s), s
-    return dt
+    times = {}
+    for n in (n1, n2):
+        g = jax.jit(functools.partial(chained, n))
+        s = float(g(*args))  # compile + run
+        assert np.isfinite(s), s
+        t0 = time.perf_counter()
+        s = float(g(*args))
+        times[n] = time.perf_counter() - t0
+        assert np.isfinite(s), s
+    return (times[n2] - times[n1]) / (n2 - n1)
 
 
 def main():
@@ -45,7 +53,8 @@ def main():
     p.add_argument("--h", type=int, default=12)
     p.add_argument("--s", type=int, default=2049)
     p.add_argument("--d", type=int, default=64)
-    p.add_argument("--block-q", type=int, nargs="+", default=[256])
+    p.add_argument("--block-q", type=int, nargs="+", default=[2304])
+    p.add_argument("--block-k", type=int, default=2304)
     args = p.parse_args()
 
     from hsenet_tpu.ops.flash_attention import flash_attention
@@ -62,21 +71,23 @@ def main():
             def f(q, k=k, v=v, bq=bq):
                 def loss(q, k, v):
                     o = flash_attention(
-                        q, k, v, causal=args.causal, block_q=bq
+                        q, k, v, causal=args.causal, block_q=bq,
+                        block_k=args.block_k,
                     )
                     return jnp.sum(o.astype(jnp.float32) ** 2)
 
                 return jax.grad(loss)(q, k, v)
 
-            dt = time_fn(f, q, n=10)
+            dt = time_fn(f, q, n1=10, n2=50)
             eff_flops = flops * 2.5
         else:
             def f(q, k=k, v=v, bq=bq):
                 return flash_attention(
-                    q, k, v, causal=args.causal, block_q=bq
+                    q, k, v, causal=args.causal, block_q=bq,
+                    block_k=args.block_k,
                 )
 
-            dt = time_fn(f, q, n=20)
+            dt = time_fn(f, q)
             eff_flops = flops
         print(
             f"block_q={bq:5d}: {dt*1e3:7.3f} ms  "
