@@ -49,7 +49,35 @@ class NiftiVolume:
         return (dz, dy, dx)
 
 
-def read_nifti(path: str) -> NiftiVolume:
+def read_nifti(path: str, native: str = "auto") -> NiftiVolume:
+    """Parse one NIfTI-1 volume.
+
+    native: 'auto' uses the C++ decoder (`hsenet_tpu.native`) when it
+    compiled — one fused inflate+convert pass, float32 out — and falls back
+    to this pure-Python parser; 'never' forces Python; 'require' raises if
+    the native library is unavailable.
+    """
+    if native in ("auto", "require"):
+        try:
+            from hsenet_tpu import native as native_mod
+
+            if native_mod.available():
+                data, spacing_zyx, slope, inter = native_mod.decode(path)
+                return NiftiVolume(
+                    # store (nx, ny, nz) like the Python path; transpose of
+                    # the zyx buffer is a view and zyx_data round-trips to
+                    # the original contiguous layout for free
+                    data=data.transpose(2, 1, 0),
+                    spacing=(spacing_zyx[2], spacing_zyx[1], spacing_zyx[0]),
+                    scl_slope=slope,
+                    scl_inter=inter,
+                )
+            if native == "require":
+                raise RuntimeError("native nifti decoder unavailable")
+        except ImportError:
+            if native == "require":
+                raise
+
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(path, "rb") as f:
         header = f.read(348)
