@@ -281,6 +281,8 @@ class CTRateCLIPDataset(_RetryDataset):
     """Stage-1 pairs: {image, input_ids, attention_mask, text}
     (CT_RateDataset, multi_dataset.py:167-277)."""
 
+    clean_text = True  # strip quotes/parens (multi_dataset.py:252-255)
+
     def __init__(self, args: DataArgs, tokenizer, manifest: str, split="train"):
         self.args = args
         self.tokenizer = tokenizer
@@ -291,7 +293,9 @@ class CTRateCLIPDataset(_RetryDataset):
     def get(self, idx):
         entry = self.data_list[idx]
         image = np.load(os.path.join(self.args.data_root, entry["image"]))
-        text = clean_report_text(_load_text(entry["text"], self.args.data_root))
+        text = _load_text(entry["text"], self.args.data_root)
+        if self.clean_text:
+            text = clean_report_text(text)
         text = truncate_text_sentence_sampling(
             self.tokenizer, text, self.args.max_text_len, self._rng
         )
@@ -307,6 +311,21 @@ class CTRateCLIPDataset(_RetryDataset):
             "attention_mask": tok["attention_mask"][0],
             "text": text,
         }
+
+
+class ITRDataset(CTRateCLIPDataset):
+    """Image-text retrieval pairs over raw report .txt files (reference
+    ITRDataset, multi_dataset.py:34-140): same pairs/truncation as the
+    CLIP dataset but WITHOUT the quote/paren cleanup — the reference's ITR
+    variant tokenizes the raw file text. Manifest entries point `text` at
+    a .txt path (inline strings also accepted via _load_text)."""
+
+    clean_text = False
+
+    def get(self, idx):
+        ret = super().get(idx)
+        ret["question_type"] = "Image_text_retrieval"
+        return ret
 
 
 class CTRateCLIPStage2Dataset(CTRateCLIPDataset):

@@ -293,6 +293,33 @@ def test_clip_dataset_and_loader(tmp_path):
     assert batches[0]["input_ids"].shape == (2, 16)
 
 
+def test_itr_dataset_raw_text_files(tmp_path):
+    """ITRDataset reads raw .txt reports with NO quote/paren cleanup
+    (reference multi_dataset.py:34-140 vs CT_RateDataset's :252-255)."""
+    from hsenet_tpu.data.datasets import ITRDataset
+
+    root, manifest = _write_manifest_dataset(tmp_path)
+    # rewrite entries to point at .txt files with quotes inside
+    with open(manifest) as f:
+        data = json.load(f)
+    for i, e in enumerate(data["train"]):
+        txt = f"r{i}.txt"
+        with open(os.path.join(root, txt), "w") as f2:
+            f2.write(f'Raw "quoted" report {i}.')
+        e["text"] = txt
+    with open(manifest, "w") as f:
+        json.dump(data, f)
+
+    args = DataArgs(data_root=root, max_text_len=16)
+    s = ITRDataset(args, SimpleTokenizer(), manifest, "train")[0]
+    assert '"quoted"' in s["text"]  # raw, not cleaned
+    assert s["question_type"] == "Image_text_retrieval"
+    assert s["input_ids"].shape == (16,)
+    # CLIP dataset over the same manifest DOES clean
+    c = CTRateCLIPDataset(args, SimpleTokenizer(), manifest, "train")[0]
+    assert '"' not in c["text"]
+
+
 def test_caption_dataset_batches(tmp_path):
     root, manifest = _write_manifest_dataset(tmp_path)
     tok = SimpleTokenizer()
