@@ -42,7 +42,7 @@ def bench_decode():
     from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
     from hsenet_tpu.models.phi3 import Phi3ForCausalLM
 
-    cfg = Phi3Config(num_layers=32, quant_int8=True)
+    cfg = Phi3Config(num_layers=32, quant_int8=True, quant_int8_embed=True)
     model = Phi3ForCausalLM(cfg, dtype=jnp.bfloat16)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
                             jnp.ones((1, 8), jnp.int32))

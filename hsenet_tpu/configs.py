@@ -69,6 +69,44 @@ class ViT3DConfig:
 
 
 @dataclass(frozen=True)
+class SwinConfig:
+    """Hierarchical 3D Swin encoder (reference `image_encoder_swin.py`:
+    SwinTransformer — windowed MHSA with relative position bias, shifted
+    windows every other block, PatchMerging between stages).
+
+    The reference vendors this as an alternative SAM image encoder but never
+    registers it (`sam_model_registry` only exposes 'vit', build_sam.py:46-48);
+    here it is a first-class SegVol encoder option. Defaults produce a
+    SegVol-compatible (4,16,16)x768 feature grid from (32,256,256) volumes:
+    patch (2,4,4) -> (16,64,64)@192, two merges -> (4,16,16)@768.
+    """
+
+    in_channels: int = 1
+    image_size: Tuple[int, int, int] = (32, 256, 256)
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    embed_dim: int = 192
+    window_size: Tuple[int, int, int] = (4, 4, 4)
+    depths: Tuple[int, ...] = (2, 2, 2)
+    num_heads: Tuple[int, ...] = (6, 12, 24)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True  # reference SwinTransformer default
+    dropout_rate: float = 0.0
+    patch_norm: bool = False
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        """Final-stage feature grid (each merge halves every axis)."""
+        scale = 2 ** (len(self.depths) - 1)
+        return tuple(
+            i // p // scale for i, p in zip(self.image_size, self.patch_size)
+        )  # type: ignore[return-value]
+
+    @property
+    def out_dim(self) -> int:
+        return self.embed_dim * 2 ** (len(self.depths) - 1)
+
+
+@dataclass(frozen=True)
 class ViT2DConfig:
     """2D ViT trunk (BiomedCLIP ViT-B/16-compatible) for online slice features.
 
@@ -237,6 +275,11 @@ class Phi3Config:
     # int8 weight-only projections (the reference serves 8-bit via
     # bitsandbytes); convert params with models.lora.quantize_kernels_int8
     quant_int8: bool = False
+    # int8 weight-only embedding/LM-head table (per-vocab-row scales). The
+    # tied 200k x 3072 bf16 table is 1.23 GB of HBM read per decoded token —
+    # a quarter of all decode traffic; int8 halves it. Convert params with
+    # models.lora.quantize_embed_int8.
+    quant_int8_embed: bool = False
 
     @property
     def q_dim(self) -> int:

@@ -83,6 +83,63 @@ class LoRADense(nn.Module):
         return y
 
 
+class QuantEmbed(nn.Module):
+    """int8 weight-only embedding with a tied LM head (`attend`).
+
+    Per-vocab-row symmetric scales: lookup gathers int8 rows and rescales
+    (exact per-row relative error <= 1/254); `attend` runs the (D, V) matmul
+    on the int8 table (XLA fuses the convert into the MXU feed, so HBM reads
+    stay int8) and scales the logits. Halves the dominant decode HBM stream
+    (the tied Phi-4-mini table is 1.23 GB in bf16, read once per token)."""
+
+    vocab_size: int
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.embedding_q = self.param(
+            "embedding_q",
+            nn.initializers.zeros,
+            (self.vocab_size, self.features),
+            jnp.int8,
+        )
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.vocab_size,), jnp.float32
+        )
+
+    def __call__(self, ids):
+        rows = jnp.take(self.embedding_q, ids, axis=0).astype(self.dtype)
+        s = jnp.take(self.scale, ids, axis=0).astype(self.dtype)
+        return rows * s[..., None]
+
+    def attend(self, hidden):
+        logits = jnp.dot(hidden, self.embedding_q.T.astype(self.dtype))
+        return logits * self.scale.astype(self.dtype)
+
+
+def quantize_embed_int8(params, embed_name="embed"):
+    """{embedding: (V, D) float} -> {embedding_q: int8, scale: (V,)} under
+    the named module, producing the tree a `quant_int8_embed=True` model
+    expects. Rows are quantized symmetrically to their own max."""
+    import numpy as np
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            if name == embed_name and "embedding" in node:
+                w = np.asarray(node["embedding"], np.float32)
+                scale = np.abs(w).max(axis=-1, keepdims=True) / 127.0
+                scale = np.maximum(scale, 1e-8)
+                q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+                out = {k: v for k, v in node.items() if k != "embedding"}
+                out["embedding_q"] = q
+                out["scale"] = np.squeeze(scale, axis=-1)
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 def lora_trainable_mask(params, extra_trainable=()):
     """Boolean mask pytree: True for lora_a/lora_b leaves and any path
     containing one of `extra_trainable` substrings (e.g. 'projector')."""

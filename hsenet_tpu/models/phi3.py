@@ -353,13 +353,20 @@ class Phi3ForCausalLM(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.embed = nn.Embed(
-            cfg.vocab_size,
-            cfg.hidden_size,
-            dtype=self.dtype,
-            embedding_init=nn.initializers.normal(stddev=0.02),
-            name="embed",
-        )
+        if cfg.quant_int8_embed:
+            from hsenet_tpu.models.lora import QuantEmbed
+
+            self.embed = QuantEmbed(
+                cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="embed"
+            )
+        else:
+            self.embed = nn.Embed(
+                cfg.vocab_size,
+                cfg.hidden_size,
+                dtype=self.dtype,
+                embedding_init=nn.initializers.normal(stddev=0.02),
+                name="embed",
+            )
         self.decoder = Phi3Decoder(
             cfg, dtype=self.dtype, remat=self.remat, name="decoder"
         )

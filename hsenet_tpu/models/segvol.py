@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
-from hsenet_tpu.configs import ViT3DConfig
+from hsenet_tpu.configs import SwinConfig, ViT3DConfig
 from hsenet_tpu.models.vit import ViT3D
 
 Dtype = Any
@@ -335,9 +335,17 @@ class MaskDecoder3D(nn.Module):
 
 
 class SegVol(nn.Module):
-    """Full SegVol: encoder -> prompt encoder -> decoder -> input-res logits."""
+    """Full SegVol: encoder -> prompt encoder -> decoder -> input-res logits.
+
+    `swin` selects the hierarchical 3D Swin encoder variant the reference
+    vendors but never registers (image_encoder_swin.py; sam_model_registry
+    exposes only 'vit', build_sam.py:46-48) — here a first-class option.
+    The default SwinConfig emits a (4,16,16)x768 grid, matching the
+    decoder/prompt dims of the ViT path.
+    """
 
     vision: ViT3DConfig
+    swin: Optional[SwinConfig] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -352,20 +360,28 @@ class SegVol(nn.Module):
         import dataclasses
 
         cfg = dataclasses.replace(self.vision, classification=False)
-        feats = ViT3D(cfg, dtype=self.dtype, name="image_encoder")(volume)
-        gd, gh, gw = cfg.grid
-        grid_feats = feats.reshape(
-            feats.shape[0], gd, gh, gw, cfg.hidden_size
-        )
+        if self.swin is not None:
+            from hsenet_tpu.models.swin import SwinTransformer3D
+
+            grid_feats = SwinTransformer3D(
+                self.swin, dtype=self.dtype, name="image_encoder"
+            )(volume)
+            gd, gh, gw = self.swin.grid
+            embed_dim = self.swin.out_dim
+        else:
+            feats = ViT3D(cfg, dtype=self.dtype, name="image_encoder")(volume)
+            gd, gh, gw = cfg.grid
+            embed_dim = cfg.hidden_size
+            grid_feats = feats.reshape(feats.shape[0], gd, gh, gw, embed_dim)
         prompt_enc = PromptEncoder3D(
-            embed_dim=cfg.hidden_size, grid=(gd, gh, gw), dtype=self.dtype,
+            embed_dim=embed_dim, grid=(gd, gh, gw), dtype=self.dtype,
             name="prompt_encoder",
         )
         sparse, dense = prompt_enc(
             text_embedding=text_embedding, boxes=boxes, points=points
         )
         masks, iou_pred = MaskDecoder3D(
-            embed_dim=cfg.hidden_size, dtype=self.dtype, name="mask_decoder"
+            embed_dim=embed_dim, dtype=self.dtype, name="mask_decoder"
         )(grid_feats, prompt_enc.dense_pe(), sparse, dense, text_embedding)
         masks = masks[:, 1:] if multimask_output else masks[:, :1]
         _, _, d, h, w = volume.shape

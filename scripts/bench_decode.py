@@ -29,13 +29,16 @@ def main():
     p.add_argument("--new-tokens", type=int, default=64)
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only projections (bitsandbytes parity)")
+    p.add_argument("--int8-embed", action="store_true",
+                   help="int8 embedding/tied-LM-head table too")
     args = p.parse_args()
 
     from hsenet_tpu.configs import Phi3Config
     from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
     from hsenet_tpu.models.phi3 import Phi3ForCausalLM
 
-    cfg = Phi3Config(num_layers=args.layers, quant_int8=args.int8)
+    cfg = Phi3Config(num_layers=args.layers, quant_int8=args.int8,
+                     quant_int8_embed=args.int8_embed)
     model = Phi3ForCausalLM(cfg, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     ids0 = jnp.ones((1, 8), jnp.int32)

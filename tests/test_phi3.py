@@ -252,6 +252,34 @@ def test_int8_quantized_decoder_close_to_full(key, rng):
     assert bool(jnp.all(jnp.isfinite(step_logits)))
 
 
+def test_int8_quantized_embed_close_to_full(key, rng):
+    """int8 embedding/tied-LM-head (per-vocab-row scales) stays close to
+    the full-precision model on both the lookup and the attend path."""
+    import flax
+
+    from hsenet_tpu.models.lora import quantize_embed_int8
+
+    ids = jnp.asarray(rng.integers(0, TINY.vocab_size, size=(2, 8)))
+    full = _jax_model()
+    params = full.init(key, ids)
+    ref_logits, _ = full.apply(params, ids)
+
+    qcfg = dataclasses.replace(TINY, quant_int8_embed=True)
+    qmodel = Phi3ForCausalLM(qcfg, dtype=jnp.float32)
+    qparams = {"params": quantize_embed_int8(
+        flax.core.unfreeze(params)["params"]
+    )}
+    q_logits, _ = qmodel.apply(qparams, ids)
+    err = np.abs(np.asarray(q_logits) - np.asarray(ref_logits))
+    rel = err.max() / (np.abs(np.asarray(ref_logits)).max() + 1e-9)
+    assert rel < 0.05, rel
+    # decode path: greedy tokens from the quantized-embed model still decode
+    cache = KVCache.create(qcfg, 2, 16, dtype=jnp.float32)
+    logits, cache = qmodel.apply(qparams, ids, cache=cache)
+    step_logits, cache = qmodel.apply(qparams, ids[:, :1], cache=cache)
+    assert bool(jnp.all(jnp.isfinite(step_logits)))
+
+
 def test_longrope_matches_hf(rng):
     """Phi-4-mini-style longrope scaling: logits parity vs HF torch."""
     rd = TINY.rotary_dim // 2  # number of frequency factors
