@@ -23,14 +23,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (regex, spec) — first match wins; paths look like
 # "llm/decoder/layers/q_proj/kernel" or "vision_tower/.../mlp/fc1/kernel".
 LLM_PARTITION_RULES: List[Tuple[str, P]] = [
-    # column-parallel: output dim sharded
-    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P(None, None, "tp")),
-    # row-parallel: input dim sharded
-    (r".*(o_proj|down_proj)/kernel$", P(None, "tp", None)),
+    # column-parallel: output dim sharded (float and int8 weight-only
+    # variants; per-output-channel scales shard with the output dim)
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel(_q)?$",
+     P(None, None, "tp")),
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel_scale$",
+     P(None, "tp")),
+    # row-parallel: input dim sharded; scales follow the (replicated) output
+    (r".*(o_proj|down_proj)/kernel(_q)?$", P(None, "tp", None)),
+    (r".*(o_proj|down_proj)/kernel_scale$", P()),
     # LoRA adapters: tiny, replicate
     (r".*lora_[ab]$", P()),
-    # embeddings + tied head: vocab-sharded
-    (r".*embed/embedding$", P("tp", None)),
+    # embeddings + tied head: vocab-sharded (+ int8 per-vocab-row scales)
+    (r".*embed/embedding(_q)?$", P("tp", None)),
+    (r".*embed/scale$", P("tp")),
     (r".*lm_head/kernel$", P(None, "tp")),
     # norms, biases, everything else small: replicate
     (r".*", P()),

@@ -50,7 +50,25 @@ def main():
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--num-layers", type=int, default=12)
+    p.add_argument(
+        "--quant-int8", action="store_true",
+        help="after conversion, int8-quantize LLM projections and the "
+        "embedding/LM-head table (serving analog of the reference's "
+        "bitsandbytes 8-bit load, train_VLM.py:376-380); phi3/llama only",
+    )
+    p.add_argument(
+        "--config-json", default=None,
+        help="JSON dict of config-field overrides for phi3/llama "
+        '(e.g. \'{"num_layers": 2, "vocab_size": 64}\'); '
+        "defaults are Phi-4-mini / Llama-3-8B shapes",
+    )
     args = p.parse_args()
+
+    def build_config(cls):
+        import json
+
+        overrides = json.loads(args.config_json) if args.config_json else {}
+        return cls(**overrides)
 
     sd = load_state_dict(args.input)
     print(f"loaded {len(sd)} tensors from {args.input}")
@@ -77,12 +95,12 @@ def main():
         from hsenet_tpu.configs import Phi3Config
         from hsenet_tpu.models.phi3 import convert_hf_phi3
 
-        params = convert_hf_phi3(sd, Phi3Config())
+        params = convert_hf_phi3(sd, build_config(Phi3Config))
     elif args.kind == "llama":
         from hsenet_tpu.configs import LlamaConfig
         from hsenet_tpu.models.llama import convert_hf_llama
 
-        params = convert_hf_llama(sd, LlamaConfig())
+        params = convert_hf_llama(sd, build_config(LlamaConfig))
     elif args.kind == "biomedclip":
         from hsenet_tpu.utils.convert import convert_biomedclip_vit2d
 
@@ -102,6 +120,20 @@ def main():
             params["mm_projector2"] = convert_reference_packer(
                 sd, "model.mm_projector2."
             )
+
+    if args.quant_int8:
+        if args.kind not in ("phi3", "llama"):
+            p.error("--quant-int8 only applies to --kind phi3/llama")
+        from hsenet_tpu.models.lora import (
+            quantize_embed_int8,
+            quantize_kernels_int8,
+        )
+
+        params = {"params": quantize_embed_int8(
+            quantize_kernels_int8(params["params"])
+        )}
+        print("quantized projections + embedding table to int8 "
+              "(load with Phi3Config(quant_int8=True, quant_int8_embed=True))")
 
     from hsenet_tpu.utils.checkpoint import save_params
 

@@ -65,6 +65,77 @@ def test_tp_sharded_logits_match_single_device(key, rng):
     assert q_spec == P(None, None, "tp")
 
 
+def test_tp_sharded_decode_matches_single_device(key, rng):
+    """Greedy generation under a (dp=2, tp=4) mesh must emit the SAME token
+    ids as single-device decode — the multi-chip inference path (KV cache,
+    per-row lengths, vocab-sharded tied head) end to end."""
+    from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
+
+    model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 64, (2, 6)))
+    params = model.init(key, ids)
+    kv = jnp.full((2,), 6, jnp.int32)
+    gen = make_greedy_generate_llm_only(
+        model, max_new_tokens=8, eos_token_id=-1, cache_dtype=jnp.float32
+    )
+    ref_tokens = np.asarray(gen(params, ids, kv))
+
+    mesh = create_mesh(MeshConfig(dp=2, tp=4))
+    sharded = shard_params(params, mesh)
+    ids_sharded = jax.device_put(ids, NamedSharding(mesh, P("dp")))
+    tp_tokens = np.asarray(gen(sharded, ids_sharded, kv))
+    np.testing.assert_array_equal(tp_tokens, ref_tokens)
+
+
+def test_tp_rules_cover_int8_quantized_params(key, rng):
+    """int8 weight-only params (kernel_q/kernel_scale, embedding_q/scale)
+    shard consistently with their float counterparts, and the quantized
+    model decodes under tp to the same tokens as unsharded."""
+    import dataclasses
+
+    import flax
+
+    from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
+    from hsenet_tpu.models.lora import (
+        quantize_embed_int8,
+        quantize_kernels_int8,
+    )
+
+    assert partition_spec_for("llm/decoder/layers/up_proj/kernel_q") == P(
+        None, None, "tp"
+    )
+    assert partition_spec_for("llm/decoder/layers/up_proj/kernel_scale") == P(
+        None, "tp"
+    )
+    assert partition_spec_for("llm/decoder/layers/down_proj/kernel_q") == P(
+        None, "tp", None
+    )
+    assert partition_spec_for("llm/decoder/layers/down_proj/kernel_scale") == P()
+    assert partition_spec_for("llm/embed/embedding_q") == P("tp", None)
+    assert partition_spec_for("llm/embed/scale") == P("tp")
+    # RMSNorm scales must NOT be vocab-sharded
+    assert partition_spec_for("llm/decoder/norm/scale") == P()
+
+    qcfg = dataclasses.replace(TINY, quant_int8=True, quant_int8_embed=True)
+    model = Phi3ForCausalLM(qcfg, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 64, (2, 6)))
+    base = Phi3ForCausalLM(TINY, dtype=jnp.float32).init(key, ids)
+    qparams = {"params": quantize_embed_int8(
+        quantize_kernels_int8(flax.core.unfreeze(base)["params"])
+    )}
+    kv = jnp.full((2,), 6, jnp.int32)
+    gen = make_greedy_generate_llm_only(
+        model, max_new_tokens=6, eos_token_id=-1, cache_dtype=jnp.float32
+    )
+    ref_tokens = np.asarray(gen(qparams, ids, kv))
+
+    mesh = create_mesh(MeshConfig(dp=2, tp=4))
+    validate_divisibility(qparams["params"], mesh)
+    sharded = shard_params(qparams, mesh)
+    tp_tokens = np.asarray(gen(sharded, ids, kv))
+    np.testing.assert_array_equal(tp_tokens, ref_tokens)
+
+
 def test_tp_train_gradients_match_single_device(key, rng):
     """Grad of a masked-LM loss under tp sharding == single-device grads."""
     import optax
