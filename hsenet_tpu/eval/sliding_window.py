@@ -91,6 +91,69 @@ def make_segvol_predictor(
     return predict
 
 
+class SegVolPredictor:
+    """Cached-embedding prompt loop — the reference `SamPredictor` API
+    (predictor.py:17-262: set_image once, then many predict() calls reuse
+    the embedding; reset_image/get_image_embedding included).
+
+    The expensive image encoder runs once per volume; each prompt pays only
+    the prompt-encoder + mask-decoder + upsample (one jitted program per
+    prompt-kind combination).
+    """
+
+    def __init__(self, model, params):
+        from hsenet_tpu.models.segvol import SegVol
+
+        self._model = model
+        self._params = params
+        self._encode = jax.jit(
+            lambda p, v: model.apply(p, v, method=SegVol.encode_image)
+        )
+        self._decode = jax.jit(
+            lambda p, feats, shape, text, boxes, points, multi: model.apply(
+                p, feats, shape,
+                text_embedding=text, boxes=boxes, points=points,
+                multimask_output=multi, method=SegVol.decode,
+            ),
+            static_argnums=(2, 6),
+        )
+        self._features = None
+        self._out_shape = None
+
+    def set_image(self, volume: jax.Array) -> None:
+        """(B, 1, D, H, W): encode and cache the feature grid."""
+        self._features = self._encode(self._params, volume)
+        self._out_shape = tuple(int(s) for s in volume.shape[2:])
+
+    @property
+    def is_image_set(self) -> bool:
+        return self._features is not None
+
+    def get_image_embedding(self) -> jax.Array:
+        if self._features is None:
+            raise RuntimeError("set_image first (predictor.py:245-257)")
+        return self._features
+
+    def reset_image(self) -> None:
+        self._features = None
+        self._out_shape = None
+
+    def predict(
+        self,
+        text_embedding: Optional[jax.Array] = None,
+        boxes: Optional[jax.Array] = None,
+        points=None,
+        multimask_output: bool = False,
+    ) -> jax.Array:
+        """Mask logits at input resolution for the cached volume."""
+        if self._features is None:
+            raise RuntimeError("set_image first (predictor.py:102-105)")
+        return self._decode(
+            self._params, self._features, self._out_shape,
+            text_embedding, boxes, points, multimask_output,
+        )
+
+
 def automatic_mask_generation(
     model,
     params,

@@ -348,7 +348,64 @@ class SegVol(nn.Module):
     swin: Optional[SwinConfig] = None
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(self.vision, classification=False)
+        if self.swin is not None:
+            from hsenet_tpu.models.swin import SwinTransformer3D
+
+            self.image_encoder = SwinTransformer3D(self.swin, dtype=self.dtype)
+            self._grid = self.swin.grid
+            self._embed_dim = self.swin.out_dim
+        else:
+            self.image_encoder = ViT3D(cfg, dtype=self.dtype)
+            self._grid = cfg.grid
+            self._embed_dim = cfg.hidden_size
+        self.prompt_encoder = PromptEncoder3D(
+            embed_dim=self._embed_dim, grid=self._grid, dtype=self.dtype
+        )
+        self.mask_decoder = MaskDecoder3D(
+            embed_dim=self._embed_dim, dtype=self.dtype
+        )
+
+    def encode_image(self, volume: jax.Array) -> jax.Array:
+        """(B, 1, D, H, W) -> (B, gd, gh, gw, C) feature grid — the cacheable
+        half of inference (the reference predictor caches exactly this,
+        predictor.py:34-90 set_image)."""
+        feats = self.image_encoder(volume)
+        gd, gh, gw = self._grid
+        if feats.ndim == 3:  # ViT token stream; swin already returns a grid
+            feats = feats.reshape(feats.shape[0], gd, gh, gw, self._embed_dim)
+        return feats
+
+    def decode(
+        self,
+        grid_feats: jax.Array,  # (B, gd, gh, gw, C)
+        out_shape: Tuple[int, int, int],  # static (D, H, W) of the volume
+        text_embedding: Optional[jax.Array] = None,
+        boxes: Optional[jax.Array] = None,
+        points=None,
+        multimask_output: bool = False,
+    ) -> jax.Array:
+        """Prompt encode + mask decode + trilinear upsample to `out_shape`
+        (the per-prompt half; reference predictor.py:92-243 predict)."""
+        sparse, dense = self.prompt_encoder(
+            text_embedding=text_embedding, boxes=boxes, points=points
+        )
+        masks, iou_pred = self.mask_decoder(
+            grid_feats, self.prompt_encoder.dense_pe(), sparse, dense,
+            text_embedding,
+        )
+        masks = masks[:, 1:] if multimask_output else masks[:, :1]
+        d, h, w = out_shape
+        logits = jax.vmap(
+            lambda m: jax.image.resize(
+                m, (m.shape[0], d, h, w), method="trilinear"
+            )
+        )(masks.astype(jnp.float32))
+        return logits
+
     def __call__(
         self,
         volume: jax.Array,  # (B, 1, D, H, W)
@@ -357,40 +414,15 @@ class SegVol(nn.Module):
         points=None,
         multimask_output: bool = False,
     ) -> jax.Array:
-        import dataclasses
-
-        cfg = dataclasses.replace(self.vision, classification=False)
-        if self.swin is not None:
-            from hsenet_tpu.models.swin import SwinTransformer3D
-
-            grid_feats = SwinTransformer3D(
-                self.swin, dtype=self.dtype, name="image_encoder"
-            )(volume)
-            gd, gh, gw = self.swin.grid
-            embed_dim = self.swin.out_dim
-        else:
-            feats = ViT3D(cfg, dtype=self.dtype, name="image_encoder")(volume)
-            gd, gh, gw = cfg.grid
-            embed_dim = cfg.hidden_size
-            grid_feats = feats.reshape(feats.shape[0], gd, gh, gw, embed_dim)
-        prompt_enc = PromptEncoder3D(
-            embed_dim=embed_dim, grid=(gd, gh, gw), dtype=self.dtype,
-            name="prompt_encoder",
+        grid_feats = self.encode_image(volume)
+        return self.decode(
+            grid_feats,
+            tuple(volume.shape[2:]),
+            text_embedding=text_embedding,
+            boxes=boxes,
+            points=points,
+            multimask_output=multimask_output,
         )
-        sparse, dense = prompt_enc(
-            text_embedding=text_embedding, boxes=boxes, points=points
-        )
-        masks, iou_pred = MaskDecoder3D(
-            embed_dim=embed_dim, dtype=self.dtype, name="mask_decoder"
-        )(grid_feats, prompt_enc.dense_pe(), sparse, dense, text_embedding)
-        masks = masks[:, 1:] if multimask_output else masks[:, :1]
-        _, _, d, h, w = volume.shape
-        logits = jax.vmap(
-            lambda m: jax.image.resize(
-                m, (m.shape[0], d, h, w), method="trilinear"
-            )
-        )(masks.astype(jnp.float32))
-        return logits
 
 
 # -------------------------------------------------------------- losses

@@ -54,6 +54,39 @@ def test_segvol_text_conditions_output(key):
     assert not np.allclose(o1, o2)
 
 
+def test_segvol_predictor_caches_embedding(key):
+    """SegVolPredictor (reference SamPredictor API): set_image once, many
+    predicts; outputs must equal the one-shot SegVol forward."""
+    from hsenet_tpu.eval.sliding_window import SegVolPredictor
+
+    model = SegVol(TINY)
+    vol = jax.random.uniform(key, (1, 1, 8, 16, 16))
+    t1 = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
+    boxes = jnp.asarray([[0.1, 0.1, 0.1, 0.6, 0.6, 0.6]])
+    params = model.init(key, vol, t1, boxes)
+
+    pred = SegVolPredictor(model, params)
+    assert not pred.is_image_set
+    pred.set_image(vol)
+    assert pred.is_image_set and pred.get_image_embedding().ndim == 5
+
+    np.testing.assert_allclose(
+        np.asarray(pred.predict(text_embedding=t1)),
+        np.asarray(model.apply(params, vol, t1)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred.predict(text_embedding=t1, boxes=boxes,
+                                multimask_output=True)),
+        np.asarray(model.apply(params, vol, t1, boxes,
+                               multimask_output=True)),
+        atol=1e-5,
+    )
+    pred.reset_image()
+    with pytest.raises(RuntimeError):
+        pred.predict(text_embedding=t1)
+
+
 def test_dice_loss_values():
     perfect = jnp.full((1, 1, 4, 4, 4), 20.0)  # sigmoid ~ 1
     target = jnp.ones((1, 1, 4, 4, 4))
