@@ -47,6 +47,13 @@ class LoRADense(nn.Module):
                 (self.features,),
                 jnp.float32,
             )
+            # Plain XLA dequant-matmul. Measured (BENCH.md): inside the
+            # scanned decode stack XLA streams the scan-sliced int8 weights
+            # at ~698 GB/s (85% of HBM peak) — swapping in the Pallas matvec
+            # (ops/quant_matvec.py) here REGRESSED decode 161 -> 116 tok/s
+            # because the opaque pallas_call forces the per-layer weight
+            # slice to materialize and breaks XLA's cross-iteration
+            # prefetch pipelining.
             y = jnp.dot(x, kernel_q.astype(self.dtype)) * kernel_scale.astype(
                 self.dtype
             )

@@ -143,3 +143,40 @@ def test_pallas_backward_noncausal_multiblock(key):
     g_xla = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_pallas, g_xla):
         np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------- quant matvec
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 512), (4, 384, 256), (8, 128, 1024)])
+def test_quant_matvec_pallas_matches_xla(key, m, k, n):
+    """Pallas int8 matvec (decode path) == the XLA dequant expression."""
+    from hsenet_tpu.ops.quant_matvec import quant_matvec_int8
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (m, k), jnp.float32)
+    wq = jax.random.randint(k2, (k, n), -127, 128, jnp.int8)
+    scale = jax.random.uniform(k3, (n,), jnp.float32, 0.001, 0.02)
+    ref = np.asarray(jnp.dot(x, wq.astype(jnp.float32)) * scale)
+    out = np.asarray(quant_matvec_int8(x, wq, scale))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_quant_matvec_dispatch_rules(key):
+    """Large row counts and non-dividing N fall back to XLA (and stay
+    differentiable there); leading dims are preserved."""
+    from hsenet_tpu.ops.quant_matvec import quant_matvec_int8
+
+    k1, k2 = jax.random.split(key)
+    wq = jax.random.randint(k1, (64, 192), -127, 128, jnp.int8)  # N % 128 != 0
+    scale = jnp.full((192,), 0.01, jnp.float32)
+    x = jax.random.normal(k2, (2, 3, 64), jnp.float32)
+    out = quant_matvec_int8(x, wq, scale)
+    assert out.shape == (2, 3, 192)
+
+    # training-shaped input (M > MAX_KERNEL_ROWS) goes through XLA: grads work
+    x_big = jax.random.normal(k2, (16, 64), jnp.float32)
+    wq2 = jax.random.randint(k1, (64, 256), -127, 128, jnp.int8)
+    scale2 = jnp.full((256,), 0.01, jnp.float32)
+    g = jax.grad(lambda xx: quant_matvec_int8(xx, wq2, scale2).sum())(x_big)
+    assert g.shape == x_big.shape and bool(jnp.all(jnp.isfinite(g)))
