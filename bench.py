@@ -80,6 +80,72 @@ def bench_decode():
     return (192 - 64) / (times[192] - times[64])
 
 
+def bench_encode_int8():
+    """W8A8 serving-mode encode (int8 x int8 MXU block matmuls, measured
+    2x bf16 FLOPs on v5e): dual towers + packers, two-point timing."""
+    import dataclasses
+    import functools
+
+    import flax.linen as nn
+
+    from hsenet_tpu.configs import PackerConfig, ViT3DConfig
+    from hsenet_tpu.models.projector import build_projector
+    from hsenet_tpu.models.vit import DualVisionTower
+
+    vit_cfg = dataclasses.replace(ViT3DConfig(), quant_w8a8=True)
+    packer_cfg = PackerConfig()
+
+    class EncodePathInt8(nn.Module):
+        @nn.compact
+        def __call__(self, volume, slices):
+            f1, f2 = DualVisionTower(
+                vit_cfg, dtype=jnp.bfloat16, name="tower"
+            )(volume, slices)
+            p1 = build_projector(packer_cfg, dtype=jnp.bfloat16, name="p1")(f1)
+            p2 = build_projector(packer_cfg, dtype=jnp.bfloat16, name="p2")(f2)
+            return jnp.concatenate([p1, p2], axis=1)
+
+    model = EncodePathInt8()
+    rng = np.random.default_rng(0)
+    best = 0.0
+    params = None
+    for batch in (8, 16):
+        volume = jnp.asarray(
+            rng.random((batch, 1, 32, 256, 256), np.float32), jnp.bfloat16
+        )
+        slices = jnp.asarray(rng.random((batch, 32, 768), np.float32))
+        if params is None:
+            params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                         volume[:1], slices[:1])
+            params = jax.tree.map(
+                lambda x: x if x.dtype == jnp.int8
+                else x.astype(jnp.bfloat16) if jnp.issubdtype(
+                    x.dtype, jnp.floating) and x.dtype != jnp.float32
+                else x,
+                params,
+            )
+
+        def chained(N, params, volume, slices):
+            def body(i, carry):
+                out = model.apply(params, volume + carry, slices)
+                return jnp.mean(out.astype(jnp.float32)) * 1e-9
+
+            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+
+        n1, n2 = 4, 16
+        times = {}
+        for n in (n1, n2):
+            g = jax.jit(functools.partial(chained, n))
+            s = float(g(params, volume, slices))
+            assert np.isfinite(s)
+            t0 = time.perf_counter()
+            s = float(g(params, volume, slices))
+            times[n] = time.perf_counter() - t0
+        dt = (times[n2] - times[n1]) / (n2 - n1)
+        best = max(best, batch / dt)
+    return best
+
+
 def main():
     import flax.linen as nn
 
@@ -158,6 +224,22 @@ def main():
                 "unit": "volumes/s/chip",
                 "vs_baseline": round(best / A100_REFERENCE_VOL_PER_SEC_ESTIMATE, 2),
                 "baseline_source": "analytic estimate (20 vol/s A100 eager PyTorch; no GPU in env to measure)",
+            }
+        ),
+        flush=True,
+    )
+
+    tps_int8 = bench_encode_int8()
+    print(
+        json.dumps(
+            {
+                "metric": "ct_volumes_per_sec_per_chip_encode_int8",
+                "value": round(tps_int8, 2),
+                "unit": "volumes/s/chip (W8A8 serving mode)",
+                "vs_baseline": round(
+                    tps_int8 / A100_REFERENCE_VOL_PER_SEC_ESTIMATE, 2
+                ),
+                "baseline_source": "analytic estimate; int8 towers (CLS cosine >0.99 vs bf16, tests), headline metric stays bf16",
             }
         ),
         flush=True,

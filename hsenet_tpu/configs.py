@@ -48,6 +48,12 @@ class ViT3DConfig:
     slice_guided: bool = False  # slice-guided cross-attn + patch scoring
     num_slices: int = 32  # rows of the (32, 768) BiomedCLIP feature matrix
     slice_feature_dim: int = 768
+    # int8 W8A8 serving mode: block matmuls run int8 x int8 on the MXU (~2x
+    # bf16 FLOPs); per-output-channel weight scales + dynamic per-token
+    # activation scales. Convert params with
+    # models.lora.quantize_kernels_int8(..., VIT_QUANT_TARGETS). Inference
+    # only — training and checkpoint-parity evals stay bf16.
+    quant_w8a8: bool = False
 
     @property
     def grid(self) -> Tuple[int, int, int]:

@@ -33,18 +33,31 @@ from hsenet_tpu.ops.attention import multi_head_attention
 Dtype = Any
 
 
+def _dense(features, *, quant: bool, dtype, name, use_bias: bool = True):
+    """nn.Dense, or the int8 W8A8 serving dense when `quant` (same param
+    names as LoRADense(quantized=True) so one converter handles both)."""
+    if quant:
+        from hsenet_tpu.models.lora import DenseW8A8
+
+        return DenseW8A8(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 class MlpBlock(nn.Module):
     mlp_dim: int
     out_dim: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(x)
+        x = _dense(self.mlp_dim, quant=self.quant, dtype=self.dtype,
+                   name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = _dense(self.out_dim, quant=self.quant, dtype=self.dtype,
+                   name="fc2")(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x
 
@@ -54,13 +67,15 @@ class SelfAttention(nn.Module):
     qkv_bias: bool = False
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
         b, s, h = x.shape
         head_dim = h // self.num_heads
-        qkv = nn.Dense(
-            3 * h, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        qkv = _dense(
+            3 * h, quant=self.quant, use_bias=self.qkv_bias,
+            dtype=self.dtype, name="qkv",
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -71,7 +86,7 @@ class SelfAttention(nn.Module):
             heads(q), heads(k), heads(v), kv_lens=kv_lens
         )
         out = rearrange(out, "b n s d -> b s (n d)")
-        out = nn.Dense(h, dtype=self.dtype, name="out_proj")(out)
+        out = _dense(h, quant=self.quant, dtype=self.dtype, name="out_proj")(out)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
         return out
 
@@ -82,6 +97,7 @@ class TransformerBlock(nn.Module):
     qkv_bias: bool = False
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
@@ -92,6 +108,7 @@ class TransformerBlock(nn.Module):
             qkv_bias=self.qkv_bias,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
+            quant=self.quant,
             name="attn",
         )(y, kv_lens=kv_lens, deterministic=deterministic)
         x = x + y
@@ -101,6 +118,7 @@ class TransformerBlock(nn.Module):
             h,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
+            quant=self.quant,
             name="mlp",
         )(y, deterministic=deterministic)
         return x + y

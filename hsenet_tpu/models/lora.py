@@ -90,6 +90,51 @@ class LoRADense(nn.Module):
         return y
 
 
+class DenseW8A8(nn.Module):
+    """int8 x int8 -> int32 MXU dense for compute-bound inference serving.
+
+    The v5e MXU runs int8 matmuls at ~2x bf16 throughput (measured 366 vs
+    187 T/s, BENCH.md). Weights carry static per-output-channel scales
+    (same `kernel_q`/`kernel_scale` layout as `LoRADense(quantized=True)`,
+    so `quantize_kernels_int8` converts both); activations are quantized
+    dynamically per token (absmax row scale), which keeps the rescale exact:
+    y = (xq @ wq) * row_scale * col_scale. Used by the ViT encode towers
+    under `ViT3DConfig(quant_w8a8=True)` — a serving mode; training and
+    parity evals stay bf16."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        wq = self.param(
+            "kernel_q", nn.initializers.zeros, (in_dim, self.features),
+            jnp.int8,
+        )
+        wscale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,),
+            jnp.float32,
+        )
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        ascale = jnp.maximum(amax, 1e-8) / 127.0
+        xq = jnp.round(xf / ascale).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq,
+            (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * ascale * wscale
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
 class QuantEmbed(nn.Module):
     """int8 weight-only embedding with a tied LM head (`attend`).
 
@@ -186,6 +231,10 @@ def merge_lora(params, scale_map=None):
 
     scale = scale_map if scale_map is not None else 2.0  # alpha/r default 32/16
     return walk(params, scale)
+
+
+# ViT tower dense modules for the W8A8 encode serving mode
+VIT_QUANT_TARGETS = ("qkv", "out_proj", "fc1", "fc2")
 
 
 def quantize_kernels_int8(params, target_names=(

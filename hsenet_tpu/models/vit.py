@@ -50,6 +50,7 @@ class TransformerTower(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     remat: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -81,6 +82,7 @@ class TransformerTower(nn.Module):
                 qkv_bias=self.qkv_bias,
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
+                quant=self.quant,
                 name="blocks",
             ),
             x,
@@ -157,6 +159,7 @@ class ViT3D(nn.Module):
             dropout_rate=cfg.dropout_rate,
             dtype=self.dtype,
             remat=self.remat,
+            quant=cfg.quant_w8a8,
             name="tower",
         )(x, deterministic=deterministic)
 

@@ -91,3 +91,62 @@ def test_vit3d_gradients_flow(key):
     leaves = jax.tree.leaves(grads)
     assert all(jnp.all(jnp.isfinite(g)) for g in leaves)
     assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
+
+
+def test_vit_w8a8_serving_mode(key):
+    """int8 W8A8 encode serving mode: params convert from the float tower
+    with one call, outputs stay close (CLS cosine > 0.99)."""
+    import dataclasses
+
+    import flax
+
+    from hsenet_tpu.configs import ViT3DConfig
+    from hsenet_tpu.models.lora import VIT_QUANT_TARGETS, quantize_kernels_int8
+    from hsenet_tpu.models.vit import ViT3D
+
+    cfg = ViT3DConfig(
+        image_size=(8, 32, 32),
+        patch_size=(2, 8, 8),
+        hidden_size=64,
+        mlp_dim=128,
+        num_layers=2,
+        num_heads=4,
+    )
+    model = ViT3D(cfg, dtype=jnp.float32)
+    vol = jax.random.uniform(key, (2, 1, *cfg.image_size))
+    params = model.init(key, vol)
+    ref = np.asarray(model.apply(params, vol))
+
+    qmodel = ViT3D(dataclasses.replace(cfg, quant_w8a8=True),
+                   dtype=jnp.float32)
+    qparams = {"params": quantize_kernels_int8(
+        flax.core.unfreeze(params)["params"], VIT_QUANT_TARGETS
+    )}
+    out = np.asarray(qmodel.apply(qparams, vol))
+    assert out.shape == ref.shape
+    # per-token cosine similarity between quantized and float activations
+    a = out.reshape(-1, out.shape[-1])
+    b = ref.reshape(-1, ref.shape[-1])
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_dense_w8a8_close_to_float(key):
+    from flax import linen as nn
+
+    from hsenet_tpu.models.lora import DenseW8A8, quantize_kernels_int8
+
+    x = jax.random.normal(key, (4, 16, 96))
+    dense = nn.Dense(128, name="fc1")
+    params = dense.init(key, x)
+    ref = np.asarray(dense.apply(params, x))
+
+    q = DenseW8A8(128, dtype=jnp.float32)
+    qparams = {"params": quantize_kernels_int8(
+        {"fc1": dict(params["params"])}, ("fc1",)
+    )["fc1"]}
+    out = np.asarray(q.apply(qparams, x))
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.03, err
