@@ -5,7 +5,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

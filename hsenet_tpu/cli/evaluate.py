@@ -13,7 +13,6 @@ one CLI:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 
 import jax

@@ -154,6 +154,39 @@ class SegVolPredictor:
         )
 
 
+def _mask_box_3d(mask: "np.ndarray"):
+    """Tight (z1, y1, x1, z2, y2, x2) voxel box of a boolean mask."""
+    idx = np.argwhere(mask)
+    lo = idx.min(axis=0)
+    hi = idx.max(axis=0) + 1
+    return np.concatenate([lo, hi])
+
+
+def _box_iou_3d_np(a: "np.ndarray", b: "np.ndarray") -> float:
+    lo = np.maximum(a[:3], b[:3])
+    hi = np.minimum(a[3:], b[3:])
+    inter = float(np.prod(np.maximum(hi - lo, 0)))
+    va = float(np.prod(a[3:] - a[:3]))
+    vb = float(np.prod(b[3:] - b[:3]))
+    return inter / max(va + vb - inter, 1e-9)
+
+
+def nms_proposals(proposals, iou_thresh: float = 0.7, score_key="stability"):
+    """Greedy 3D box NMS over AMG proposals (reference AMG dedups with
+    torchvision `batched_nms` at box_nms_thresh=0.7,
+    automatic_mask_generator.py:9,44). Host-side numpy — proposal counts
+    are tiny next to the decoder work."""
+    ranked = sorted(proposals, key=lambda p: -p[score_key])
+    kept = []
+    for p in ranked:
+        box = p.get("box")
+        if box is None:
+            box = p["box"] = _mask_box_3d(p["mask"])
+        if all(_box_iou_3d_np(box, k["box"]) < iou_thresh for k in kept):
+            kept.append(p)
+    return kept
+
+
 def automatic_mask_generation(
     model,
     params,
@@ -161,13 +194,15 @@ def automatic_mask_generation(
     points_per_side: int = 4,
     pred_iou_thresh: float = 0.5,
     stability_thresh: float = 0.0,
+    box_nms_thresh: Optional[float] = 0.7,
 ):
     """Grid-point-prompted mask proposals (the reference vendors SAM's
     `automatic_mask_generator.py` unused; this is the volumetric analog):
     prompt the decoder with a (points_per_side)^3 grid of positive points,
-    keep masks whose predicted IoU clears the threshold.
+    keep masks whose predicted IoU clears the threshold, then greedy box
+    NMS at `box_nms_thresh` (None disables, matching no-dedup mode).
 
-    Returns a list of {mask (D,H,W) bool, iou (float), point (3,)} dicts.
+    Returns a list of {mask (D,H,W) bool, stability, point (3,), box} dicts.
     """
     d, h, w = volume.shape[2:]
     lin = lambda n, dim: (np.arange(n) + 0.5) / n  # noqa: E731
@@ -198,4 +233,6 @@ def automatic_mask_generation(
         proposals.append(
             {"mask": mask, "stability": float(stability), "point": p}
         )
+    if box_nms_thresh is not None:
+        proposals = nms_proposals(proposals, box_nms_thresh)
     return proposals

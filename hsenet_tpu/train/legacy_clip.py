@@ -14,14 +14,13 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hsenet_tpu.configs import CLIPConfig
 from hsenet_tpu.models.clip import CLIPModel
 from hsenet_tpu.train.losses import clip_contrastive_loss, retrieval_accuracy
 from hsenet_tpu.train.train_state import TrainState

@@ -8,7 +8,7 @@ and the in-loss feature all-gather over ICI.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import optax

@@ -10,7 +10,7 @@ the teacher tree is closed over / stop-gradiented — no module surgery.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import optax

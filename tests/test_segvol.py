@@ -261,3 +261,26 @@ def test_automatic_mask_generation(key):
     for p in proposals:
         assert p["mask"].shape == (8, 16, 16)
         assert 0.0 <= p["stability"] <= 1.0
+
+
+def test_amg_nms_dedups_overlapping_proposals():
+    """Greedy 3D box NMS (reference AMG batched_nms analog): overlapping
+    proposals collapse to the highest-scoring one; disjoint ones survive."""
+    from hsenet_tpu.eval.sliding_window import nms_proposals
+
+    def mk(z0, z1, score):
+        m = np.zeros((8, 8, 8), bool)
+        m[z0:z1, 0:4, 0:4] = True
+        return {"mask": m, "stability": score, "point": np.zeros(3)}
+
+    a = mk(0, 4, 0.9)       # box (0,0,0,4,4,4)
+    b = mk(0, 4, 0.5)       # identical box, lower score -> suppressed
+    c = mk(1, 4, 0.7)       # IoU 0.75 with a -> suppressed at 0.7
+    d = mk(4, 8, 0.6)       # disjoint -> kept
+    kept = nms_proposals([b, d, a, c], iou_thresh=0.7)
+    assert len(kept) == 2
+    assert kept[0]["stability"] == 0.9 and kept[1]["stability"] == 0.6
+    # all kept proposals carry their computed boxes
+    assert all("box" in p for p in kept)
+    # thresh above the overlap keeps everything
+    assert len(nms_proposals([a, c, d], iou_thresh=0.8)) == 3
