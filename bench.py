@@ -109,7 +109,8 @@ def bench_encode_int8():
     rng = np.random.default_rng(0)
     best = 0.0
     params = None
-    for batch in (8, 16):
+    for batch in (16,):  # 8/16 measured within noise; one point keeps the
+        # driver's total bench wall-time bounded
         volume = jnp.asarray(
             rng.random((batch, 1, 32, 256, 256), np.float32), jnp.bfloat16
         )
@@ -179,7 +180,7 @@ def main():
     best = 0.0
     params = None
     f = jax.jit(model.apply)
-    for batch in (4, 8, 16):  # 32 measured no better
+    for batch in (8, 16):  # 4 and 32 measured no better (round 1/2 sweeps)
         volume = jnp.asarray(
             rng.random((batch, 1, 32, 256, 256), np.float32), jnp.bfloat16
         )

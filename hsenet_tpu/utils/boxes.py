@@ -90,3 +90,31 @@ def box_iou_3d(
     vb = float(np.prod(np.maximum(b[3:] - b[:3], 0.0)))
     union = va + vb - inter
     return inter / union if union > 0 else 0.0
+
+
+def mask_to_rle(mask: np.ndarray) -> dict:
+    """Run-length encode a boolean mask of any rank (reference
+    `segment_anything_volumetric/utils/amg.py::mask_to_rle_pytorch`
+    semantics, flattened C-order, counts alternating starting with the
+    zero-run). Compact serialization for AMG proposals."""
+    flat = np.asarray(mask, bool).reshape(-1)
+    # positions where the value changes, bounded by the two ends
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    idx = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(idx).tolist()
+    if flat.size and flat[0]:
+        counts = [0] + counts  # encoding always starts with a zero-run
+    return {"size": list(mask.shape), "counts": counts}
+
+
+def rle_to_mask(rle: dict) -> np.ndarray:
+    """Inverse of `mask_to_rle`."""
+    total = int(np.prod(rle["size"])) if rle["size"] else 0
+    flat = np.zeros(total, bool)
+    pos, val = 0, False
+    for c in rle["counts"]:
+        if val:
+            flat[pos : pos + c] = True
+        pos += c
+        val = not val
+    return flat.reshape(rle["size"])

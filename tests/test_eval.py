@@ -285,3 +285,24 @@ def test_evaluate_rec_parsing():
     out = evaluate_rec(fake_gen, None, batches, FakeTok())
     assert out["parse_rate"] == 1.0
     assert out["acc@0.5"] == 0.5  # one perfect box, one mismatch
+
+
+def test_mask_rle_roundtrip():
+    """RLE mask serialization (reference amg.py mask_to_rle semantics):
+    roundtrip-exact, counts start with the zero-run."""
+    import numpy as np
+
+    from hsenet_tpu.utils.boxes import mask_to_rle, rle_to_mask
+
+    rng = np.random.default_rng(0)
+    for shape in [(4, 6, 6), (1, 1, 1), (8,), (3, 5)]:
+        m = rng.random(shape) > 0.5
+        rle = mask_to_rle(m)
+        assert sum(rle["counts"]) == m.size
+        np.testing.assert_array_equal(rle_to_mask(rle), m)
+    # leading-True mask starts with an explicit 0 count
+    m = np.ones((2, 2), bool)
+    assert mask_to_rle(m)["counts"][0] == 0
+    # empty/all-False
+    m = np.zeros((3, 3), bool)
+    assert mask_to_rle(m)["counts"] == [9]
