@@ -52,6 +52,10 @@ def main(argv=None):
     p.add_argument("--tokenizer", default="")
     p.add_argument("--csv", default="", help="per-sample CSV output (mrg)")
     p.add_argument("--max-samples", type=int, default=0)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard eval batches over a dp-axis mesh (>1 chip)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel LLM shards per replica")
     args = p.parse_args(argv)
 
     max_samples = args.max_samples or None
@@ -147,6 +151,15 @@ def main(argv=None):
         pad_token_id=tokenizer.pad_token_id,
         cache_dtype=jnp.float32 if args.synthetic else jnp.bfloat16,
     )
+    if args.dp > 1 or args.tp > 1:
+        from hsenet_tpu.configs import MeshConfig
+        from hsenet_tpu.eval.generate import make_data_parallel_generate
+        from hsenet_tpu.parallel.mesh import create_mesh
+        from hsenet_tpu.parallel.sharding import shard_params
+
+        mesh = create_mesh(MeshConfig(dp=args.dp, tp=args.tp))
+        params = shard_params(params, mesh)
+        gen = make_data_parallel_generate(gen, mesh)
     if args.task == "mrg":
         from hsenet_tpu.eval.mrg import evaluate_mrg
 

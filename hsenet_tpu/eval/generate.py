@@ -66,6 +66,43 @@ def make_greedy_generate(
     return jax.jit(generate)
 
 
+def make_data_parallel_generate(gen, mesh):
+    """Wrap a jitted generate fn for multi-chip evaluation: batch tensors
+    shard over the mesh's 'dp' axis (params follow whatever sharding they
+    were placed with — replicate or TP via `parallel.sharding`). Ragged
+    final eval batches are padded to a dp multiple by repeating the last
+    row, then sliced back — the harnesses never see the padding.
+
+    The reference evaluates on exactly one GPU (SURVEY.md §2.9); this is
+    the SPMD scale-out of the same harness.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape.get("dp", 1)
+    data = NamedSharding(mesh, P("dp"))
+
+    def wrapped(params, input_ids, kv_lens, *rest):
+        b = input_ids.shape[0]
+        pad = (-b) % dp
+
+        def put(a):
+            if a is None:
+                return None
+            a = jnp.asarray(a)
+            if pad:
+                a = jnp.concatenate(
+                    [a] + [a[-1:]] * pad, axis=0
+                )
+            return jax.device_put(a, data)
+
+        out = gen(params, put(input_ids), put(kv_lens),
+                  *[put(a) for a in rest])
+        return out[:b]
+
+    return wrapped
+
+
 def make_greedy_generate_llm_only(
     model, *, max_new_tokens: int, eos_token_id: int, pad_token_id: int = 0,
     cache_dtype=jnp.bfloat16,

@@ -279,3 +279,44 @@ def test_ablation_projectors_inside_vlm_forward(key, mode):
         params, jnp.asarray(ids), vol + 0.5, slices
     )
     assert float(jnp.abs(logits - logits2)[:, n_img + 1 :].max()) > 1e-6
+
+
+def test_data_parallel_generate_matches_single_device(key):
+    """dp-sharded eval generation (cli.evaluate --dp) must emit identical
+    tokens, including the ragged-final-batch padding path (b=3 on dp=2)."""
+    from hsenet_tpu.configs import MeshConfig
+    from hsenet_tpu.eval.generate import make_data_parallel_generate
+    from hsenet_tpu.parallel.mesh import create_mesh
+    from hsenet_tpu.parallel.sharding import shard_params
+
+    model = HSENetVLM(TINY_VLM, dtype=jnp.float32)
+    batch = _batch(b=4, seq=16)
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    gen = make_greedy_generate(
+        model, max_new_tokens=5, eos_token_id=2, pad_token_id=0,
+        cache_dtype=jnp.float32,
+    )
+    kv_lens = batch["attention_mask"].sum(-1)
+    ref = np.asarray(
+        gen(params, batch["input_ids"], kv_lens, batch["image"],
+            batch["image_2d"])
+    )
+
+    mesh = create_mesh(MeshConfig(dp=2, tp=1))
+    sharded = shard_params(params, mesh)
+    dp_gen = make_data_parallel_generate(gen, mesh)
+    out = np.asarray(
+        dp_gen(sharded, batch["input_ids"], kv_lens, batch["image"],
+               batch["image_2d"])
+    )
+    np.testing.assert_array_equal(out, ref)
+
+    # ragged batch: 3 rows on dp=2 -> padded to 4 internally, sliced back
+    out3 = np.asarray(
+        dp_gen(sharded, batch["input_ids"][:3], kv_lens[:3],
+               batch["image"][:3], batch["image_2d"][:3])
+    )
+    assert out3.shape[0] == 3
+    np.testing.assert_array_equal(out3, ref[:3])
