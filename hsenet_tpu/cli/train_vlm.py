@@ -176,7 +176,7 @@ def main(argv=None):
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir)
     dump_config(args.output_dir, cfg, train_cfg)
-    step_fn = make_vlm_train_step(model, tx, mesh)
+    step_fn = make_vlm_train_step(model, tx, mesh, trainable_mask=mask)
     trainer = Trainer(
         step_fn, state, lambda: loader, train_cfg, mesh=mesh,
         checkpoint_manager=ckpt,

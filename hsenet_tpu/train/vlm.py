@@ -124,8 +124,21 @@ def make_vlm_train_step(
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     seg: bool = False,
+    trainable_mask=None,
 ):
+    """When `trainable_mask` is given, the grad-norm metric reduces over
+    TRAINABLE grads only. This is not cosmetic: `optax.masked` never reads
+    the frozen leaves' gradient VALUES (set_to_zero uses only shapes), so
+    XLA dead-code-eliminates the whole frozen-weight backward — the memory
+    difference between fitting and OOM for the 4B finetune on a 16 GB chip
+    (the reference gets the same effect from requires_grad=False,
+    train_VLM.py:406-414). A full-tree global_norm would silently force all
+    8 GB of frozen grads back into existence."""
     loss_fn = vlm_seg_loss_fn if seg else vlm_loss_fn
+    mask_leaves = (
+        jax.tree_util.tree_leaves(trainable_mask)
+        if trainable_mask is not None else None
+    )
 
     def train_step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -141,7 +154,14 @@ def make_vlm_train_step(
         )(state.params, batch, dropout_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if mask_leaves is not None:
+            norm_grads = [
+                g for g, m in zip(jax.tree_util.tree_leaves(grads), mask_leaves)
+                if m
+            ]
+        else:
+            norm_grads = grads
+        metrics["grad_norm"] = optax.global_norm(norm_grads)
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
             metrics,

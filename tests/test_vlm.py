@@ -146,7 +146,7 @@ def test_vlm_train_step_only_updates_trainables(key):
     # snapshot to host: the train step donates the state buffers
     params_before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
     state = TrainState.create(params, tx)
-    step = make_vlm_train_step(model, tx, mesh)
+    step = make_vlm_train_step(model, tx, mesh, trainable_mask=mask)
     batch = shard_batch(batch, mesh)
     new_state, metrics = step(state, batch, key)
     new_state, metrics = step(new_state, batch, key)  # step 1 has lr=0 (warmup)
