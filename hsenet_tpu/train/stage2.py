@@ -85,7 +85,7 @@ def make_stage2_train_step(
     teacher_params,
     mesh: Optional[Mesh] = None,
 ):
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, tparams, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
         if mesh is not None:
             batch = jax.tree.map(
@@ -97,7 +97,7 @@ def make_stage2_train_step(
         (loss, metrics), grads = jax.value_and_grad(
             functools.partial(stage2_loss_fn, student, teacher, cfg),
             has_aux=True,
-        )(state.params, teacher_params, batch, state.step, dropout_rng)
+        )(state.params, tparams, batch, state.step, dropout_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
@@ -106,4 +106,18 @@ def make_stage2_train_step(
             metrics,
         )
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+
+    # The frozen teacher enters as a RUNTIME argument, not a closure:
+    # closing over the ~200M-param tree bakes it into the HLO as constants —
+    # bloated executable, re-trace on any teacher change, and an
+    # oversized remote-compile payload at production shapes.
+    if mesh is not None:
+        teacher_params = jax.device_put(
+            teacher_params, NamedSharding(mesh, P())
+        )
+
+    def step_with_teacher(state: TrainState, batch, rng):
+        return jitted(state, teacher_params, batch, rng)
+
+    return step_with_teacher
