@@ -54,6 +54,12 @@ class ViT3DConfig:
     # models.lora.quantize_kernels_int8(..., VIT_QUANT_TARGETS). Inference
     # only — training and checkpoint-parity evals stay bf16.
     quant_w8a8: bool = False
+    # tanh-approximate GELU in the block MLPs: the exact-erf GELU costs as
+    # much VPU time as the MLP matmuls themselves (BENCH.md: 1.79 vs 0.91
+    # ms per block at production shapes); tanh matches erf only to ~5e-4
+    # absolute (19% of bf16 values differ by >1 ulp), so this is an opt-in
+    # speed/numerics trade — the reference's MONAI blocks use exact erf.
+    gelu_approx: bool = False
 
     @property
     def grid(self) -> Tuple[int, int, int]:

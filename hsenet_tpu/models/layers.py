@@ -49,12 +49,13 @@ class MlpBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     quant: bool = False
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = _dense(self.mlp_dim, quant=self.quant, dtype=self.dtype,
                    name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = jax.nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         x = _dense(self.out_dim, quant=self.quant, dtype=self.dtype,
                    name="fc2")(x)
@@ -98,6 +99,7 @@ class TransformerBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     quant: bool = False
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
@@ -119,6 +121,7 @@ class TransformerBlock(nn.Module):
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             quant=self.quant,
+            gelu_approx=self.gelu_approx,
             name="mlp",
         )(y, deterministic=deterministic)
         return x + y

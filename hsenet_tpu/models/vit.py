@@ -51,6 +51,7 @@ class TransformerTower(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     quant: bool = False
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(
@@ -83,6 +84,7 @@ class TransformerTower(nn.Module):
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
                 quant=self.quant,
+                gelu_approx=self.gelu_approx,
                 name="blocks",
             ),
             x,
@@ -160,6 +162,7 @@ class ViT3D(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             quant=cfg.quant_w8a8,
+            gelu_approx=cfg.gelu_approx,
             name="tower",
         )(x, deterministic=deterministic)
 

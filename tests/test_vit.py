@@ -150,3 +150,32 @@ def test_dense_w8a8_close_to_float(key):
     out = np.asarray(q.apply(qparams, x))
     err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 0.03, err
+
+
+def test_vit_gelu_approx_mode(key):
+    """tanh-GELU serving mode: same params, close outputs (the erf->tanh
+    delta is ~5e-4/activation), and it actually changes the bits (opt-in
+    numerics deviation, not a no-op)."""
+    import dataclasses
+
+    from hsenet_tpu.configs import ViT3DConfig
+    from hsenet_tpu.models.vit import ViT3D
+
+    cfg = ViT3DConfig(
+        image_size=(8, 32, 32), patch_size=(2, 8, 8), hidden_size=64,
+        mlp_dim=128, num_layers=2, num_heads=4,
+    )
+    model = ViT3D(cfg, dtype=jnp.float32)
+    vol = jax.random.uniform(key, (2, 1, *cfg.image_size))
+    params = model.init(key, vol)
+    ref = np.asarray(model.apply(params, vol))
+    fast = np.asarray(
+        ViT3D(dataclasses.replace(cfg, gelu_approx=True),
+              dtype=jnp.float32).apply(params, vol)
+    )
+    assert not np.array_equal(fast, ref)
+    a, b = fast.reshape(-1, 64), ref.reshape(-1, 64)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos.min()
