@@ -218,6 +218,8 @@ class MaskedViT3D(nn.Module):
             dropout_rate=cfg.dropout_rate,
             dtype=self.dtype,
             remat=self.remat,
+            quant=cfg.quant_w8a8,
+            gelu_approx=cfg.gelu_approx,
             name="tower",
         )
 
