@@ -104,6 +104,7 @@ class SwinConfig:
     qkv_bias: bool = True  # reference SwinTransformer default
     dropout_rate: float = 0.0
     patch_norm: bool = False
+    gelu_approx: bool = False  # opt-in tanh GELU (see ViT3DConfig note)
 
     @property
     def grid(self) -> Tuple[int, int, int]:

@@ -193,6 +193,7 @@ class SwinBlock3D(nn.Module):
     qkv_bias: bool = True
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True):
@@ -226,7 +227,8 @@ class SwinBlock3D(nn.Module):
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         y = MlpBlock(
             int(self.dim * self.mlp_ratio), self.dim,
-            dropout_rate=self.dropout_rate, dtype=self.dtype, name="mlp",
+            dropout_rate=self.dropout_rate, dtype=self.dtype,
+            gelu_approx=self.gelu_approx, name="mlp",
         )(y, deterministic=deterministic)
         return x + y
 
@@ -285,6 +287,7 @@ class SwinTransformer3D(nn.Module):
                     dim, heads, cfg.window_size, shifted=(i % 2 == 1),
                     mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
                     dropout_rate=cfg.dropout_rate, dtype=self.dtype,
+                    gelu_approx=cfg.gelu_approx,
                     name=f"stage{stage}_block{i}",
                 )(x, deterministic=deterministic)
         return x
