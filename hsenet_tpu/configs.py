@@ -54,6 +54,12 @@ class ViT3DConfig:
     # models.lora.quantize_kernels_int8(..., VIT_QUANT_TARGETS). Inference
     # only — training and checkpoint-parity evals stay bf16.
     quant_w8a8: bool = False
+    # NOTE: attention deliberately stays bf16 inside the W8A8 mode. int8
+    # attention was built and measured in round 3 (scripts/_probe_pallas_
+    # int8.py, BENCH.md): the Q.K^T contraction is head_dim=64 where the v5e
+    # MXU runs int8 ~4x SLOWER than bf16, and quantising P costs ~3 VPU ops
+    # over the whole (S,S) matrix — the end-to-end int8 kernel measured
+    # 0.68x the bf16 kernel. Rejected on measurement, not on principle.
     # tanh-approximate GELU in the block MLPs: the exact-erf GELU costs as
     # much VPU time as the MLP matmuls themselves (BENCH.md: 1.79 vs 0.91
     # ms per block at production shapes); tanh matches erf only to ~5e-4
@@ -322,6 +328,11 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     lora: Optional[LoRAConfig] = None
+    # int8 serving (the analog of the reference loading llama 4-bit,
+    # lamed_llama.py): maps straight onto the shared Phi3 decoder's
+    # quantized modules — see llama_as_phi3_config.
+    quant_int8: bool = False
+    quant_int8_embed: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -155,8 +155,11 @@ class SegVolPredictor:
 
 
 def _mask_box_3d(mask: "np.ndarray"):
-    """Tight (z1, y1, x1, z2, y2, x2) voxel box of a boolean mask."""
+    """Tight (z1, y1, x1, z2, y2, x2) voxel box of a boolean mask, or None
+    for an all-background mask (callers skip such proposals)."""
     idx = np.argwhere(mask)
+    if idx.size == 0:
+        return None
     lo = idx.min(axis=0)
     hi = idx.max(axis=0) + 1
     return np.concatenate([lo, hi])
@@ -182,6 +185,8 @@ def nms_proposals(proposals, iou_thresh: float = 0.7, score_key="stability"):
         box = p.get("box")
         if box is None:
             box = p["box"] = _mask_box_3d(p["mask"])
+        if box is None:
+            continue  # empty mask: nothing to keep or suppress against
         if all(_box_iou_3d_np(box, k["box"]) < iou_thresh for k in kept):
             kept.append(p)
     return kept

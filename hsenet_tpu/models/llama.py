@@ -35,6 +35,8 @@ def llama_as_phi3_config(cfg: LlamaConfig) -> Phi3Config:
         tie_word_embeddings=cfg.tie_word_embeddings,
         attention_bias=False,
         lora=cfg.lora,
+        quant_int8=cfg.quant_int8,
+        quant_int8_embed=cfg.quant_int8_embed,
     )
 
 

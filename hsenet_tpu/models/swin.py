@@ -76,18 +76,28 @@ def window_reverse(
     )
 
 
-def relative_position_index(window: Sequence[int]) -> np.ndarray:
-    """Static (n, n) index into the bias table (reference :141-161)."""
+def relative_position_index(
+    window: Sequence[int], table_window: Optional[Sequence[int]] = None
+) -> np.ndarray:
+    """Static (n, n) index into the bias table (reference :141-161).
+
+    `table_window` is the CONFIGURED window the bias table was allocated
+    for; `window` may be the runtime-clamped effective window (small
+    volumes). Offsets/strides come from `table_window` so the same
+    fixed-size table serves every clamping — matching the reference's
+    fixed table + index-slice scheme, which keeps checkpoints restorable
+    across volume sizes (clamped offsets stay in range)."""
+    tw = tuple(table_window) if table_window is not None else tuple(window)
     coords = np.stack(
         np.meshgrid(*[np.arange(w) for w in window], indexing="ij")
     ).reshape(3, -1)
     rel = coords[:, :, None] - coords[:, None, :]  # (3, n, n)
     rel = rel.transpose(1, 2, 0).astype(np.int64)
-    rel[:, :, 0] += window[0] - 1
-    rel[:, :, 1] += window[1] - 1
-    rel[:, :, 2] += window[2] - 1
-    rel[:, :, 0] *= (2 * window[1] - 1) * (2 * window[2] - 1)
-    rel[:, :, 1] *= 2 * window[2] - 1
+    rel[:, :, 0] += tw[0] - 1
+    rel[:, :, 1] += tw[1] - 1
+    rel[:, :, 2] += tw[2] - 1
+    rel[:, :, 0] *= (2 * tw[1] - 1) * (2 * tw[2] - 1)
+    rel[:, :, 1] *= 2 * tw[2] - 1
     return rel.sum(-1)
 
 
@@ -134,6 +144,10 @@ class WindowAttention3D(nn.Module):
     qkv_bias: bool = True
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    # configured (unclamped) window the bias table is allocated for; the
+    # effective `window` may be clamped to small volumes at runtime, but the
+    # table keeps its configured shape so checkpoints restore at any size
+    table_window: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(
@@ -142,10 +156,9 @@ class WindowAttention3D(nn.Module):
     ) -> jax.Array:
         bw, n, c = x.shape
         head_dim = self.dim // self.num_heads
+        tw = self.table_window or self.window
         table_size = (
-            (2 * self.window[0] - 1)
-            * (2 * self.window[1] - 1)
-            * (2 * self.window[2] - 1)
+            (2 * tw[0] - 1) * (2 * tw[1] - 1) * (2 * tw[2] - 1)
         )
         bias_table = self.param(
             "relative_position_bias_table",
@@ -163,7 +176,7 @@ class WindowAttention3D(nn.Module):
             "bhnd,bhmd->bhnm", q * (head_dim ** -0.5), k,
             preferred_element_type=jnp.float32,
         )
-        idx = relative_position_index(self.window)  # static numpy (n, n)
+        idx = relative_position_index(self.window, tw)  # static numpy (n, n)
         scores = scores + bias_table[idx].transpose(2, 0, 1)[None]
         if mask is not None:
             nw = mask.shape[0]
@@ -217,7 +230,8 @@ class SwinBlock3D(nn.Module):
         y = window_partition(y, window)
         y = WindowAttention3D(
             self.dim, self.num_heads, window, qkv_bias=self.qkv_bias,
-            dropout_rate=self.dropout_rate, dtype=self.dtype, name="attn",
+            dropout_rate=self.dropout_rate, dtype=self.dtype,
+            table_window=self.window, name="attn",
         )(y, mask, deterministic=deterministic)
         y = window_reverse(y, window, dims_p)
         if any(shift):

@@ -135,10 +135,6 @@ def make_vlm_train_step(
     train_VLM.py:406-414). A full-tree global_norm would silently force all
     8 GB of frozen grads back into existence."""
     loss_fn = vlm_seg_loss_fn if seg else vlm_loss_fn
-    mask_leaves = (
-        jax.tree_util.tree_leaves(trainable_mask)
-        if trainable_mask is not None else None
-    )
 
     def train_step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -154,11 +150,14 @@ def make_vlm_train_step(
         )(state.params, batch, dropout_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        if mask_leaves is not None:
-            norm_grads = [
-                g for g, m in zip(jax.tree_util.tree_leaves(grads), mask_leaves)
-                if m
-            ]
+        if trainable_mask is not None:
+            # structural tree.map (not a leaf zip): a mask built from a
+            # different param tree errors loudly instead of silently
+            # truncating and reporting a wrong grad_norm
+            norm_grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros((), g.dtype),
+                grads, trainable_mask,
+            )
         else:
             norm_grads = grads
         metrics["grad_norm"] = optax.global_norm(norm_grads)
