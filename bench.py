@@ -1,13 +1,29 @@
 """Benchmark: CT-volume encode + greedy-decode throughput on one TPU chip.
 
-Both BASELINE.md co-primary metrics, one JSON line each:
+BASELINE.md co-primary metrics, one JSON line each:
   * `ct_volumes_per_sec_per_chip_encode` — the flagship encode path: BOTH
     production 3D ViT-B towers (2048 patch tokens each, slice-guided
     scoring on tower 2) + dual spatial packers, bf16, Pallas flash
     attention (the vision side of VLM inference/finetune, SURVEY.md §3.3).
+  * `ct_volumes_per_sec_per_chip_encode_serving` — the W8A8 serving mode:
+    int8 MXU matmuls with calibrated static activation scales, tanh GELU,
+    whole-sequence attention q-block (documented numerics deviations; the
+    headline metric above keeps the reference's bf16/erf numerics).
   * `tokens_per_sec_decode` — Phi-4-mini-shape (3.8B, 32 layers) greedy
-    decode, int8 weight-only projections (the analog of the reference's
-    bitsandbytes 8-bit base model), batch 1, prompt 320.
+    decode, int8 projections + int8 embedding/LM head (the analog of the
+    reference's bitsandbytes 8-bit base model), batch 1, prompt 320.
+  * `tokens_per_sec_decode_batch8` — the same decode at batch 8 (aggregate
+    tokens/s), the reference MRG eval runs batched generate
+    (Bench/eval/eval_HSENet_CT_Rate_MRG.py:388-428).
+
+Measurement: the remote-relay TPU backend does not reliably block in
+block_until_ready AND adds a fixed ~47 ms round-trip per jit invocation, so
+every number chains N dependent iterations inside ONE jit (full-output
+reduction carried so nothing is dead-code-eliminated, scalar fetch to sync)
+and takes the SLOPE between two loop lengths, which cancels the fixed cost.
+Each metric reports the MEDIAN of 3 slope measurements (compile once, time
+three times) so the driver artifact stops inheriting single-draw relay
+noise (round-2 serving spread was 88-97 across runs).
 
 `vs_baseline` is measured-ours / ESTIMATED-reference (`baseline_source`
 says so in the artifact). The reference repo publishes no numbers
@@ -22,10 +38,13 @@ A100-80GB:
   * decode 30 tok/s: HF `generate` over a bitsandbytes-int8 3.8B model is
     dominated by the int8 matmul dequant kernels and Python decode loop;
     published bnb-int8 numbers for 3-7B models on A100 land at 20-40 tok/s
-    batch 1. Replace both with real A100 measurements when available.
+    batch 1. Replace both with real A100 measurements when available (the
+    exact protocol is written down in PARITY.md).
 """
 
+import functools
 import json
+import statistics
 import time
 
 import jax
@@ -34,10 +53,160 @@ import numpy as np
 
 A100_REFERENCE_VOL_PER_SEC_ESTIMATE = 20.0
 A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE = 30.0
+REPEATS = 3
+
+
+def median_slope(make_fn, args, n1=4, n2=16, repeats=REPEATS):
+    """Median of `repeats` two-point slope timings of a chained-loop fn.
+
+    `make_fn(n)` returns a jittable callable running n chained iterations.
+    Both loop lengths compile once; each repeat then re-times the two
+    compiled callables, so the median costs two extra invocations per
+    repeat, not two extra compiles."""
+    fns = {}
+    for n in (n1, n2):
+        fns[n] = jax.jit(make_fn(n))
+        s = float(fns[n](*args))  # compile + run (scalar fetch = sync)
+        assert np.isfinite(s)
+    slopes = []
+    for _ in range(repeats):
+        times = {}
+        for n in (n1, n2):
+            t0 = time.perf_counter()
+            s = float(fns[n](*args))
+            times[n] = time.perf_counter() - t0
+            assert np.isfinite(s)
+        slopes.append((times[n2] - times[n1]) / (n2 - n1))
+    return statistics.median(slopes)
+
+
+def emit(metric, value, unit, baseline, source):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 2),
+                "unit": unit,
+                "vs_baseline": round(value / baseline, 2),
+                "baseline_source": source,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _encode_model(vit_cfg):
+    import flax.linen as nn
+
+    from hsenet_tpu.configs import PackerConfig
+    from hsenet_tpu.models.projector import build_projector
+    from hsenet_tpu.models.vit import DualVisionTower
+
+    packer_cfg = PackerConfig()
+
+    class EncodePath(nn.Module):
+        """Towers + dual packers only — the vision side of VLM inference.
+
+        (Building the full VLM here would also allocate the 3.8B LLM, which
+        the encode benchmark never runs.)
+        """
+
+        @nn.compact
+        def __call__(self, volume, slices):
+            f1, f2 = DualVisionTower(
+                vit_cfg, dtype=jnp.bfloat16, name="tower"
+            )(volume, slices)
+            p1 = build_projector(packer_cfg, dtype=jnp.bfloat16, name="p1")(f1)
+            p2 = build_projector(packer_cfg, dtype=jnp.bfloat16, name="p2")(f2)
+            return jnp.concatenate([p1, p2], axis=1)
+
+    return EncodePath()
+
+
+def _encode_measure(model, params, batch, rng):
+    volume = jnp.asarray(
+        rng.random((batch, 1, 32, 256, 256), np.float32), jnp.bfloat16
+    )
+    slices = jnp.asarray(rng.random((batch, 32, 768), np.float32))
+
+    def make(N):
+        def chained(params, volume, slices):
+            def body(i, carry):
+                out = model.apply(params, volume + carry, slices)
+                return jnp.mean(out.astype(jnp.float32)) * 1e-9
+
+            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+
+        return chained
+
+    dt = median_slope(make, (params, volume, slices))
+    return batch / dt
+
+
+def bench_encode():
+    """Headline bf16/erf encode (the reference's numerics), best of batch
+    8/16 (4 and 32 measured no better, round 1/2 sweeps)."""
+    from hsenet_tpu.configs import ViT3DConfig
+
+    model = _encode_model(ViT3DConfig())
+    rng = np.random.default_rng(0)
+    params = None
+    best = 0.0
+    for batch in (8, 16):
+        if params is None:
+            volume = jnp.asarray(
+                rng.random((1, 1, 32, 256, 256), np.float32), jnp.bfloat16
+            )
+            slices = jnp.asarray(rng.random((1, 32, 768), np.float32))
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), volume, slices)
+            params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        best = max(best, _encode_measure(model, params, batch, rng))
+    return best
+
+
+def bench_encode_serving():
+    """Serving-mode encode: W8A8 int8 MXU matmuls + CALIBRATED static
+    activation scales (round 3; kills the per-token absmax VPU reduction),
+    tanh GELU, and the whole-sequence (2176) attention q-block that fits
+    VMEM at batch 8. Numerics: cosine >0.99 vs the bf16 tower (tests);
+    documented deviation — the headline metric keeps bf16/erf."""
+    import dataclasses
+
+    from hsenet_tpu.configs import ViT3DConfig
+    from hsenet_tpu.models.lora import calibrate_w8a8_act_scales
+
+    vit_cfg = dataclasses.replace(
+        ViT3DConfig(), quant_w8a8=True, quant_w8a8_static=True,
+        gelu_approx=True, attn_block_q=2176,
+    )
+    model = _encode_model(vit_cfg)
+    rng = np.random.default_rng(0)
+    batch = 8
+    volume = jnp.asarray(
+        rng.random((batch, 1, 32, 256, 256), np.float32), jnp.bfloat16
+    )
+    slices = jnp.asarray(rng.random((batch, 32, 768), np.float32))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), volume[:1], slices[:1]
+    )
+    params = jax.tree.map(
+        lambda x: x if x.dtype == jnp.int8
+        else x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != jnp.float32
+        else x,
+        params,
+    )
+    params = {
+        "params": calibrate_w8a8_act_scales(
+            model.apply, params, [(volume[:2], slices[:2])]
+        )
+    }
+    return _encode_measure(model, params, batch, rng)
 
 
 def bench_decode():
-    """Batch-1 greedy decode tokens/s, 3.8B int8, jitted scan loop."""
+    """Greedy decode tokens/s, 3.8B int8, jitted scan loop; returns
+    (batch-1 tok/s, batch-8 aggregate tok/s)."""
     from hsenet_tpu.configs import Phi3Config
     from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
     from hsenet_tpu.models.phi3 import Phi3ForCausalLM
@@ -61,209 +230,60 @@ def bench_decode():
     params = materialise()
     prompt_len = 320
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(3, 1000, (1, prompt_len)))
-    kv = jnp.full((1,), prompt_len, jnp.int32)
-    # two-point: time 64- and 192-token generations and take the slope,
-    # cancelling the relay's fixed ~47 ms per-invocation cost (plus the
-    # shared prefill)
-    times = {}
-    for new_tokens in (64, 192):
-        gen = make_greedy_generate_llm_only(
-            model, max_new_tokens=new_tokens, eos_token_id=-1
-        )
-        out = gen(params, ids, kv)
-        _ = np.asarray(out[:, -1])  # compile + run (scalar fetch = sync)
-        t0 = time.perf_counter()
-        out = gen(params, ids, kv)
-        _ = np.asarray(out[:, -1])
-        times[new_tokens] = time.perf_counter() - t0
-    return (192 - 64) / (times[192] - times[64])
-
-
-def bench_encode_int8():
-    """Serving-mode encode: W8A8 int8 block matmuls (2x bf16 MXU FLOPs)
-    + tanh-approximate GELU (the exact-erf GELU costs as much VPU time as
-    the MLP matmuls; see BENCH.md). Dual towers + packers, two-point
-    timing. Documented numerics deviation from the bf16 headline."""
-    import dataclasses
-    import functools
-
-    import flax.linen as nn
-
-    from hsenet_tpu.configs import PackerConfig, ViT3DConfig
-    from hsenet_tpu.models.projector import build_projector
-    from hsenet_tpu.models.vit import DualVisionTower
-
-    vit_cfg = dataclasses.replace(
-        ViT3DConfig(), quant_w8a8=True, gelu_approx=True
-    )
-    packer_cfg = PackerConfig()
-
-    class EncodePathInt8(nn.Module):
-        @nn.compact
-        def __call__(self, volume, slices):
-            f1, f2 = DualVisionTower(
-                vit_cfg, dtype=jnp.bfloat16, name="tower"
-            )(volume, slices)
-            p1 = build_projector(packer_cfg, dtype=jnp.bfloat16, name="p1")(f1)
-            p2 = build_projector(packer_cfg, dtype=jnp.bfloat16, name="p2")(f2)
-            return jnp.concatenate([p1, p2], axis=1)
-
-    model = EncodePathInt8()
-    rng = np.random.default_rng(0)
-    best = 0.0
-    params = None
-    for batch in (16,):  # 8/16 measured within noise; one point keeps the
-        # driver's total bench wall-time bounded
-        volume = jnp.asarray(
-            rng.random((batch, 1, 32, 256, 256), np.float32), jnp.bfloat16
-        )
-        slices = jnp.asarray(rng.random((batch, 32, 768), np.float32))
-        if params is None:
-            params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                         volume[:1], slices[:1])
-            params = jax.tree.map(
-                lambda x: x if x.dtype == jnp.int8
-                else x.astype(jnp.bfloat16) if jnp.issubdtype(
-                    x.dtype, jnp.floating) and x.dtype != jnp.float32
-                else x,
-                params,
+    results = []
+    for batch in (1, 8):
+        ids = jnp.asarray(rng.integers(3, 1000, (batch, prompt_len)))
+        kv = jnp.full((batch,), prompt_len, jnp.int32)
+        # two-point over 64- vs 192-token generations (slope cancels the
+        # relay's fixed cost plus the shared prefill), median of 3
+        gens = {}
+        for new_tokens in (64, 192):
+            gens[new_tokens] = make_greedy_generate_llm_only(
+                model, max_new_tokens=new_tokens, eos_token_id=-1
             )
-
-        def chained(N, params, volume, slices):
-            def body(i, carry):
-                out = model.apply(params, volume + carry, slices)
-                return jnp.mean(out.astype(jnp.float32)) * 1e-9
-
-            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
-
-        n1, n2 = 4, 16
-        times = {}
-        for n in (n1, n2):
-            g = jax.jit(functools.partial(chained, n))
-            s = float(g(params, volume, slices))
-            assert np.isfinite(s)
-            t0 = time.perf_counter()
-            s = float(g(params, volume, slices))
-            times[n] = time.perf_counter() - t0
-        dt = (times[n2] - times[n1]) / (n2 - n1)
-        best = max(best, batch / dt)
-    return best
+            _ = np.asarray(gens[new_tokens](params, ids, kv)[:, -1])
+        slopes = []
+        for _ in range(REPEATS):
+            times = {}
+            for new_tokens in (64, 192):
+                t0 = time.perf_counter()
+                _ = np.asarray(gens[new_tokens](params, ids, kv)[:, -1])
+                times[new_tokens] = time.perf_counter() - t0
+            slopes.append((times[192] - times[64]) / (192 - 64))
+        results.append(batch / statistics.median(slopes))
+    return results
 
 
 def main():
-    import flax.linen as nn
-
-    from hsenet_tpu.configs import PackerConfig, ViT3DConfig
-    from hsenet_tpu.models.projector import build_projector
-    from hsenet_tpu.models.vit import DualVisionTower
-
-    vit_cfg = ViT3DConfig()
-    packer_cfg = PackerConfig()
-
-    class EncodePath(nn.Module):
-        """Towers + dual packers only — the vision side of VLM inference.
-
-        (Building the full VLM here would also allocate the 3.8B LLM, which
-        the encode benchmark never runs.)
-        """
-
-        @nn.compact
-        def __call__(self, volume, slices):
-            f1, f2 = DualVisionTower(
-                vit_cfg, dtype=jnp.bfloat16, name="tower"
-            )(volume, slices)
-            p1 = build_projector(packer_cfg, dtype=jnp.bfloat16, name="p1")(f1)
-            p2 = build_projector(packer_cfg, dtype=jnp.bfloat16, name="p2")(f2)
-            return jnp.concatenate([p1, p2], axis=1)
-
-    model = EncodePath()
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
-
-    best = 0.0
-    params = None
-    f = jax.jit(model.apply)
-    for batch in (8, 16):  # 4 and 32 measured no better (round 1/2 sweeps)
-        volume = jnp.asarray(
-            rng.random((batch, 1, 32, 256, 256), np.float32), jnp.bfloat16
-        )
-        slices = jnp.asarray(rng.random((batch, 32, 768), np.float32))
-        if params is None:
-            params = jax.jit(model.init)(key, volume[:1], slices[:1])
-            params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-        # Two-point amortized in-graph timing: the remote-relay TPU backend
-        # does not reliably block in block_until_ready AND adds a fixed
-        # ~47 ms round-trip per jit invocation, so we chain N dependent
-        # encodes inside ONE jit (full-output reduction carried so nothing
-        # is dead-code-eliminated, scalar fetch to sync) and take the SLOPE
-        # between two loop lengths, which cancels the fixed cost.
-        import functools
-
-        def chained(N, params, volume, slices):
-            def body(i, carry):
-                out = model.apply(params, volume + carry, slices)
-                return jnp.mean(out.astype(jnp.float32)) * 1e-9
-
-            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
-
-        n1, n2 = 4, 16
-        times = {}
-        for n in (n1, n2):
-            g = jax.jit(functools.partial(chained, n))
-            s = float(g(params, volume, slices))  # compile + run
-            assert np.isfinite(s)
-            t0 = time.perf_counter()
-            s = float(g(params, volume, slices))
-            times[n] = time.perf_counter() - t0
-            assert np.isfinite(s)
-        dt = (times[n2] - times[n1]) / (n2 - n1)
-        vps = batch / dt
-        best = max(best, vps)
-
-    print(
-        json.dumps(
-            {
-                "metric": "ct_volumes_per_sec_per_chip_encode",
-                "value": round(best, 2),
-                "unit": "volumes/s/chip",
-                "vs_baseline": round(best / A100_REFERENCE_VOL_PER_SEC_ESTIMATE, 2),
-                "baseline_source": "analytic estimate (20 vol/s A100 eager PyTorch; no GPU in env to measure)",
-            }
-        ),
-        flush=True,
+    best = bench_encode()
+    emit(
+        "ct_volumes_per_sec_per_chip_encode", best, "volumes/s/chip",
+        A100_REFERENCE_VOL_PER_SEC_ESTIMATE,
+        "analytic estimate (20 vol/s A100 eager PyTorch; no GPU in env to "
+        "measure; A100 protocol in PARITY.md)",
     )
 
-    tps_int8 = bench_encode_int8()
-    print(
-        json.dumps(
-            {
-                "metric": "ct_volumes_per_sec_per_chip_encode_serving",
-                "value": round(tps_int8, 2),
-                "unit": "volumes/s/chip (W8A8 + tanh-GELU serving mode)",
-                "vs_baseline": round(
-                    tps_int8 / A100_REFERENCE_VOL_PER_SEC_ESTIMATE, 2
-                ),
-                "baseline_source": "analytic estimate; int8 towers + tanh GELU (cosine >0.99 vs bf16, tests), headline metric stays bf16/erf",
-            }
-        ),
-        flush=True,
+    serving = bench_encode_serving()
+    emit(
+        "ct_volumes_per_sec_per_chip_encode_serving", serving,
+        "volumes/s/chip (W8A8 static-scale + tanh-GELU serving mode)",
+        A100_REFERENCE_VOL_PER_SEC_ESTIMATE,
+        "analytic estimate; int8 towers w/ calibrated activation scales + "
+        "tanh GELU (cosine >0.99 vs bf16, tests), headline stays bf16/erf",
     )
 
-    tps = bench_decode()
-    print(
-        json.dumps(
-            {
-                "metric": "tokens_per_sec_decode",
-                "value": round(tps, 1),
-                "unit": "tokens/s (batch 1, 3.8B int8)",
-                "vs_baseline": round(
-                    tps / A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE, 2
-                ),
-                "baseline_source": "analytic estimate (30 tok/s A100 bnb-int8 HF generate)",
-            }
-        ),
-        flush=True,
+    tok_b1, tok_b8 = bench_decode()
+    emit(
+        "tokens_per_sec_decode", tok_b1, "tokens/s (batch 1, 3.8B int8)",
+        A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE,
+        "analytic estimate (30 tok/s A100 bnb-int8 HF generate)",
+    )
+    emit(
+        "tokens_per_sec_decode_batch8", tok_b8,
+        "tokens/s aggregate (batch 8, 3.8B int8)",
+        A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE * 8,
+        "analytic estimate (8x the batch-1 A100 figure; batched HF "
+        "generate rarely scales linearly, so this denominator is generous)",
     )
 
 

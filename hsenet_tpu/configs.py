@@ -54,6 +54,18 @@ class ViT3DConfig:
     # models.lora.quantize_kernels_int8(..., VIT_QUANT_TARGETS). Inference
     # only — training and checkpoint-parity evals stay bf16.
     quant_w8a8: bool = False
+    # Static (calibrated) activation scales for the W8A8 mode: replaces the
+    # per-token absmax VPU reduction with a per-layer scalar calibrated by
+    # models.lora.calibrate_w8a8_act_scales (isolated MLP block: 1.38 ->
+    # 1.24 ms, BENCH.md). Requires quant_w8a8=True and a calibration pass;
+    # out-of-range activations clip at +-127.
+    quant_w8a8_static: bool = False
+    # Flash-attention q-block override. None = kernel default (1152, safe
+    # inside large fused programs). The serving encode at batch <= 8 fits
+    # the whole 2176-token sequence in one block (+3% measured, BENCH.md);
+    # larger batches/programs exceed the 16 MB scoped-VMEM budget and fail
+    # to compile — opt-in only.
+    attn_block_q: Optional[int] = None
     # NOTE: attention deliberately stays bf16 inside the W8A8 mode. int8
     # attention was built and measured in round 3 (scripts/_probe_pallas_
     # int8.py, BENCH.md): the Q.K^T contraction is head_dim=64 where the v5e

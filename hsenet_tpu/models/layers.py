@@ -33,13 +33,16 @@ from hsenet_tpu.ops.attention import multi_head_attention
 Dtype = Any
 
 
-def _dense(features, *, quant: bool, dtype, name, use_bias: bool = True):
+def _dense(features, *, quant: bool, dtype, name, use_bias: bool = True,
+           quant_static: bool = False):
     """nn.Dense, or the int8 W8A8 serving dense when `quant` (same param
-    names as LoRADense(quantized=True) so one converter handles both)."""
+    names as LoRADense(quantized=True) so one converter handles both).
+    `quant_static`: calibrated static activation scales (see DenseW8A8)."""
     if quant:
         from hsenet_tpu.models.lora import DenseW8A8
 
-        return DenseW8A8(features, use_bias=use_bias, dtype=dtype, name=name)
+        return DenseW8A8(features, use_bias=use_bias, dtype=dtype,
+                         static_act_scale=quant_static, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
@@ -49,15 +52,18 @@ class MlpBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     quant: bool = False
+    quant_static: bool = False
     gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        x = _dense(self.mlp_dim, quant=self.quant, dtype=self.dtype,
+        x = _dense(self.mlp_dim, quant=self.quant,
+                   quant_static=self.quant_static, dtype=self.dtype,
                    name="fc1")(x)
         x = jax.nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        x = _dense(self.out_dim, quant=self.quant, dtype=self.dtype,
+        x = _dense(self.out_dim, quant=self.quant,
+                   quant_static=self.quant_static, dtype=self.dtype,
                    name="fc2")(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x
@@ -69,14 +75,16 @@ class SelfAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     quant: bool = False
+    quant_static: bool = False
+    attn_block_q: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
         b, s, h = x.shape
         head_dim = h // self.num_heads
         qkv = _dense(
-            3 * h, quant=self.quant, use_bias=self.qkv_bias,
-            dtype=self.dtype, name="qkv",
+            3 * h, quant=self.quant, quant_static=self.quant_static,
+            use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -84,10 +92,12 @@ class SelfAttention(nn.Module):
             return rearrange(t, "b s (n d) -> b n s d", n=self.num_heads)
 
         out = multi_head_attention(
-            heads(q), heads(k), heads(v), kv_lens=kv_lens
+            heads(q), heads(k), heads(v), kv_lens=kv_lens,
+            block_q=self.attn_block_q,
         )
         out = rearrange(out, "b n s d -> b s (n d)")
-        out = _dense(h, quant=self.quant, dtype=self.dtype, name="out_proj")(out)
+        out = _dense(h, quant=self.quant, quant_static=self.quant_static,
+                     dtype=self.dtype, name="out_proj")(out)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
         return out
 
@@ -99,7 +109,9 @@ class TransformerBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     quant: bool = False
+    quant_static: bool = False
     gelu_approx: bool = False
+    attn_block_q: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
@@ -111,6 +123,8 @@ class TransformerBlock(nn.Module):
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             quant=self.quant,
+            quant_static=self.quant_static,
+            attn_block_q=self.attn_block_q,
             name="attn",
         )(y, kv_lens=kv_lens, deterministic=deterministic)
         x = x + y
@@ -121,6 +135,7 @@ class TransformerBlock(nn.Module):
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             quant=self.quant,
+            quant_static=self.quant_static,
             gelu_approx=self.gelu_approx,
             name="mlp",
         )(y, deterministic=deterministic)

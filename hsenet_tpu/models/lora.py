@@ -100,11 +100,20 @@ class DenseW8A8(nn.Module):
     dynamically per token (absmax row scale), which keeps the rescale exact:
     y = (xq @ wq) * row_scale * col_scale. Used by the ViT encode towers
     under `ViT3DConfig(quant_w8a8=True)` — a serving mode; training and
-    parity evals stay bf16."""
+    parity evals stay bf16.
+
+    `static_act_scale=True` replaces the per-token absmax reduction with a
+    calibrated per-layer scalar (`act_scale`, stores the calibrated absmax):
+    the VPU reduction over every activation row is the most expensive part
+    of the quantize glue (isolated MLP block: dynamic 1.38 ms vs static
+    1.24 ms, BENCH.md). Out-of-range activations clip at +-127. Calibrate
+    with `calibrate_w8a8_act_scales` (runs representative batches, sows the
+    running absmax per layer, writes it into the params)."""
 
     features: int
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
+    static_act_scale: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -118,9 +127,24 @@ class DenseW8A8(nn.Module):
             jnp.float32,
         )
         xf = x.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        ascale = jnp.maximum(amax, 1e-8) / 127.0
-        xq = jnp.round(xf / ascale).astype(jnp.int8)
+        if self.static_act_scale:
+            amax_param = self.param(
+                "act_scale", nn.initializers.ones, (), jnp.float32
+            )
+            # no-op unless the caller passes mutable=["calibration"]
+            self.sow(
+                "calibration", "amax", jnp.max(jnp.abs(xf)),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+            ascale = jnp.maximum(amax_param, 1e-8) / 127.0
+            xq = jnp.clip(
+                jnp.round(xf / ascale), -127.0, 127.0
+            ).astype(jnp.int8)
+        else:
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            ascale = jnp.maximum(amax, 1e-8) / 127.0
+            xq = jnp.round(xf / ascale).astype(jnp.int8)
         acc = jax.lax.dot_general(
             xq, wq,
             (((xq.ndim - 1,), (0,)), ((), ())),
@@ -133,6 +157,48 @@ class DenseW8A8(nn.Module):
             )
             y = y + bias
         return y.astype(self.dtype)
+
+
+def calibrate_w8a8_act_scales(apply_fn, variables, batches):
+    """Calibrate static activation scales for every `DenseW8A8` in a model.
+
+    Runs `apply_fn(variables, *batch, mutable=["calibration"])` over the
+    given batches, keeps the running per-layer absmax the modules sow, and
+    returns a params tree with each module's `act_scale` set to it. The
+    model must be built with `static_act_scale=True`
+    (`ViT3DConfig(quant_w8a8_static=True)`); one representative batch is
+    usually enough — scales only need to bound the activation range.
+    """
+    import flax
+
+    amax = None
+    for batch in batches:
+        # "params" mutable too: float->int8-converted trees carry no
+        # act_scale yet; flax creates the missing params (init 1.0) during
+        # this pass instead of erroring
+        _, state = apply_fn(
+            variables, *batch, mutable=["calibration", "params"],
+            rngs={"params": jax.random.PRNGKey(0)},
+        )
+        variables = dict(variables)
+        variables["params"] = state["params"]
+        sown = flax.traverse_util.flatten_dict(state["calibration"])
+        # sow stores a tuple per leaf; reduce_fn keeps it length-1
+        cur = {k[:-1]: v[0] if isinstance(v, tuple) else v
+               for k, v in sown.items()}
+        if amax is None:
+            amax = cur
+        else:
+            amax = {k: jnp.maximum(amax[k], v) for k, v in cur.items()}
+
+    params = flax.traverse_util.flatten_dict(variables["params"])
+    for path, value in amax.items():
+        # `path` is the module path (the sown "amax" leaf key was stripped
+        # above); its act_scale param lives right under it. Created if
+        # absent so float->int8-converted trees (quantize_kernels_int8
+        # emits no act_scale) calibrate in one pass.
+        params[path + ("act_scale",)] = jnp.asarray(value, jnp.float32)
+    return flax.traverse_util.unflatten_dict(params)
 
 
 class QuantEmbed(nn.Module):

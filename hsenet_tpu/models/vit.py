@@ -51,7 +51,9 @@ class TransformerTower(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     quant: bool = False
+    quant_static: bool = False
     gelu_approx: bool = False
+    attn_block_q: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -72,7 +74,9 @@ class TransformerTower(nn.Module):
 
         stack = nn.scan(
             body,
-            variable_axes={"params": 0},
+            # "calibration" only materialises when a caller passes
+            # mutable=["calibration"] (static W8A8 scale calibration)
+            variable_axes={"params": 0, "calibration": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.num_layers,
         )
@@ -84,7 +88,9 @@ class TransformerTower(nn.Module):
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
                 quant=self.quant,
+                quant_static=self.quant_static,
                 gelu_approx=self.gelu_approx,
+                attn_block_q=self.attn_block_q,
                 name="blocks",
             ),
             x,
@@ -162,7 +168,9 @@ class ViT3D(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             quant=cfg.quant_w8a8,
+            quant_static=cfg.quant_w8a8_static,
             gelu_approx=cfg.gelu_approx,
+            attn_block_q=cfg.attn_block_q,
             name="tower",
         )(x, deterministic=deterministic)
 
@@ -219,7 +227,9 @@ class MaskedViT3D(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             quant=cfg.quant_w8a8,
+            quant_static=cfg.quant_w8a8_static,
             gelu_approx=cfg.gelu_approx,
+            attn_block_q=cfg.attn_block_q,
             name="tower",
         )
 

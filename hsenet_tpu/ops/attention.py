@@ -73,10 +73,12 @@ def multi_head_attention(
     q_offset=0,
     sm_scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
+    block_q: Optional[int] = None,
 ) -> jax.Array:
     """Attention over (B, H|Hkv, S, D) with GQA support and flash dispatch.
 
-    `q_offset`: int or (B,) array of per-row causal query offsets."""
+    `q_offset`: int or (B,) array of per-row causal query offsets.
+    `block_q`: flash q-block override (None = kernel default)."""
     heads, kv_heads = q.shape[1], k.shape[1]
     if kv_heads != heads:
         assert heads % kv_heads == 0
@@ -86,6 +88,7 @@ def multi_head_attention(
     if use_flash is None:
         use_flash = _FLASH_ENABLED and q.shape[2] > 1
     if use_flash:
+        kwargs = {} if block_q is None else {"block_q": block_q}
         return flash_attention(
             q,
             k,
@@ -94,6 +97,7 @@ def multi_head_attention(
             causal=causal,
             q_offset=q_offset,
             sm_scale=sm_scale,
+            **kwargs,
         )
     return sdpa_reference(
         q,
