@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--tokenizer", default="")
     p.add_argument("--stage1-checkpoint", default="",
                    help="params path of the pretrained stage-1 CLIP (teacher)")
+    p.add_argument("--cached-teacher", action="store_true",
+                   help="precompute/cache frozen-teacher embeddings per "
+                        "distinct batch instead of re-running the teacher "
+                        "forward every step (the reference recomputes, "
+                        "CLIP_stage2.py:124-128; equality tested)")
     args = p.parse_args(argv)
 
     base_vision = ViT3DConfig(
@@ -159,10 +164,25 @@ def main(argv=None):
     ckpt = CheckpointManager(args.output_dir)
     dump_config(args.output_dir, student_cfg, train_cfg)
     step_fn = make_stage2_train_step(
-        student, teacher, student_cfg, tx, teacher_params, mesh
+        student, teacher, student_cfg, tx, teacher_params, mesh,
+        cached_teacher=args.cached_teacher,
     )
+    if args.cached_teacher:
+        from hsenet_tpu.train.stage2 import TeacherCache, make_teacher_embed_fn
+
+        cache = TeacherCache(
+            make_teacher_embed_fn(teacher, teacher_params, mesh)
+        )
+        inner_loader = loader
+
+        def loader_fn():
+            return (cache.attach(b) for b in inner_loader)
+    else:
+        def loader_fn():
+            return loader
+
     trainer = Trainer(
-        step_fn, state, lambda: loader, train_cfg, mesh=mesh,
+        step_fn, state, loader_fn, train_cfg, mesh=mesh,
         checkpoint_manager=ckpt,
     )
     state = trainer.fit()

@@ -5,7 +5,17 @@ runs under inference mode on the same batch; the student's loss is its own
 contrastive loss plus a decaying MSE between teacher and student logit
 matrices. Functionally: two parameter trees for the same `CLIPModel` module;
 the teacher tree is closed over / stop-gradiented — no module surgery.
-"""
+
+Cached-teacher mode (round 3, beyond the reference): the teacher
+embeddings depend only on the (static) inputs and the frozen teacher, yet
+the reference recomputes the full teacher forward every step
+(CLIP_stage2.py:124-128) — nearly a third of the stage-2 step. With
+`cached_teacher=True` the train step takes the teacher image/text features
+from the batch instead; `TeacherCache` fills them once per distinct batch
+(first epoch) and serves host-cached copies afterwards. The teacher's
+logit_scale is a single frozen scalar, read from the teacher params at
+step-construction time. Equality with the recompute mode is tested
+(tests/test_clip.py)."""
 
 from __future__ import annotations
 
@@ -13,6 +23,7 @@ import functools
 from typing import Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -77,6 +88,125 @@ def stage2_loss_fn(
     return loss, metrics
 
 
+def stage2_loss_fn_cached(
+    student: CLIPModel,
+    cfg: CLIPConfig,
+    teacher_scale,
+    params,
+    batch: Dict[str, jax.Array],
+    step: jax.Array,
+    dropout_rng=None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Like `stage2_loss_fn`, but the frozen-teacher features arrive
+    precomputed in the batch (`teacher_image_features` /
+    `teacher_text_features`) — no teacher forward in the step."""
+    _, t_logits_i, t_logits_t = clip_contrastive_loss(
+        batch["teacher_image_features"],
+        batch["teacher_text_features"],
+        teacher_scale,
+    )
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    s_img, s_txt, s_scale = student.apply(
+        params,
+        batch["image"],
+        batch["input_ids"],
+        batch.get("attention_mask"),
+        batch["image_2d"],
+        deterministic=dropout_rng is None,
+        rngs=rngs,
+    )
+    loss_cl, s_logits_i, s_logits_t = clip_contrastive_loss(
+        s_img, s_txt, s_scale
+    )
+    loss_rel = relation_regulation_loss(
+        t_logits_i, t_logits_t, s_logits_i, s_logits_t
+    )
+    w = relation_weight(
+        step, cfg.relation_max_weighted_step, cfg.relation_base_weight
+    )
+    loss = loss_cl + w * loss_rel
+    metrics = {
+        "loss": loss,
+        "loss_cl": loss_cl,
+        "loss_relation": loss_rel,
+        "relation_weight": w,
+        "retrieval_acc": retrieval_accuracy(s_logits_i),
+    }
+    return loss, metrics
+
+
+def make_teacher_embed_fn(
+    teacher: CLIPModel, teacher_params, mesh: Optional[Mesh] = None
+):
+    """Jitted `batch -> {teacher_image_features, teacher_text_features}`.
+
+    The teacher enters as a runtime argument (not HLO constants); the
+    returned features are what `cached_teacher=True` steps expect in the
+    batch."""
+    if mesh is not None:
+        teacher_params = jax.device_put(
+            teacher_params, NamedSharding(mesh, P())
+        )
+
+    @jax.jit
+    def embed(tparams, image, input_ids, attention_mask):
+        t_img, t_txt, _ = teacher.apply(
+            tparams, image, input_ids, attention_mask, deterministic=True
+        )
+        return t_img, t_txt
+
+    def embed_batch(batch):
+        t_img, t_txt = embed(
+            teacher_params, batch["image"], batch["input_ids"],
+            batch.get("attention_mask"),
+        )
+        return {
+            "teacher_image_features": t_img,
+            "teacher_text_features": t_txt,
+        }
+
+    return embed_batch
+
+
+class TeacherCache:
+    """Host-memory cache of frozen-teacher embeddings, keyed by batch
+    content.
+
+    First sight of a batch pays the teacher forward; every later epoch
+    serves the stored features (the reference pays the forward every step,
+    CLIP_stage2.py:124-128). Keying hashes the raw input bytes, so it is
+    correct under shuffling/re-batching; the hash costs ~memcpy speed,
+    negligible next to a 100M-param forward."""
+
+    def __init__(self, embed_fn):
+        self._embed_fn = embed_fn
+        self._store: Dict[bytes, object] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def _key(self, batch) -> bytes:
+        import hashlib
+
+        h = hashlib.sha1()
+        import numpy as np
+
+        h.update(np.asarray(batch["input_ids"]).tobytes())
+        h.update(np.asarray(batch["image"]).tobytes())
+        return h.digest()
+
+    def attach(self, batch):
+        """Return `batch` merged with (possibly cached) teacher features."""
+        key = self._key(batch)
+        feats = self._store.get(key)
+        if feats is None:
+            self.misses += 1
+            feats = jax.device_get(self._embed_fn(batch))
+            self._store[key] = feats
+        else:
+            self.hits += 1
+        return {**batch, **feats}
+
+
 def make_stage2_train_step(
     student: CLIPModel,
     teacher: CLIPModel,
@@ -84,7 +214,49 @@ def make_stage2_train_step(
     tx: optax.GradientTransformation,
     teacher_params,
     mesh: Optional[Mesh] = None,
+    cached_teacher: bool = False,
 ):
+    """`cached_teacher=True` drops the in-step teacher forward; batches must
+    carry `teacher_image_features`/`teacher_text_features` (see
+    `TeacherCache`). The teacher's frozen logit_scale is read from
+    `teacher_params` here."""
+    if cached_teacher:
+        import numpy as np
+
+        teacher_scale = jax.device_get(
+            teacher_params["params"]["logit_scale"]
+        )
+        teacher_scale = jnp.asarray(np.asarray(teacher_scale), jnp.float32)
+
+        def train_step_cached(state: TrainState, batch, rng):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            if mesh is not None:
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, P("dp"))
+                    ),
+                    batch,
+                )
+            (loss, metrics), grads = jax.value_and_grad(
+                functools.partial(
+                    stage2_loss_fn_cached, student, cfg, teacher_scale
+                ),
+                has_aux=True,
+            )(state.params, batch, state.step, dropout_rng)
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return (
+                TrainState(
+                    step=state.step + 1, params=params, opt_state=opt_state
+                ),
+                metrics,
+            )
+
+        return jax.jit(train_step_cached, donate_argnums=(0,))
+
     def train_step(state: TrainState, tparams, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
         if mesh is not None:

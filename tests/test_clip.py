@@ -166,3 +166,58 @@ def test_global_contrastive_equals_single_device(key):
     sharded = shard_batch(batch, mesh)
     dist = jax.jit(loss)(params, sharded)
     np.testing.assert_allclose(float(local), float(dist), rtol=1e-5)
+
+
+def test_stage2_cached_teacher_equals_recompute(key):
+    """Cached-teacher mode: identical loss/metrics/updated params vs the
+    recompute mode on the same batch, and TeacherCache actually caches
+    (one miss, then hits)."""
+    from hsenet_tpu.train.stage2 import TeacherCache, make_teacher_embed_fn
+
+    mesh = create_mesh(MeshConfig(dp=8, tp=1))
+    s_cfg = dataclasses.replace(
+        TINY_CLIP, vision=dataclasses.replace(TINY_VIT, slice_guided=True)
+    )
+    student = CLIPModel(s_cfg)
+    teacher = CLIPModel(TINY_CLIP)
+    batch = _batch(8, with_2d=True)
+    sp = student.init(
+        key, batch["image"], batch["input_ids"], batch["attention_mask"],
+        batch["image_2d"],
+    )
+    tp_ = teacher.init(
+        key, batch["image"], batch["input_ids"], batch["attention_mask"]
+    )
+    tx = make_optimizer(TrainConfig(total_steps=100, learning_rate=1e-3))
+
+    # the train step donates its state; give each mode its own copy
+    sp2 = jax.tree.map(jnp.array, sp)
+    ref_step = make_stage2_train_step(student, teacher, s_cfg, tx, tp_, mesh)
+    ref_state, ref_m = ref_step(
+        TrainState.create(sp, tx), shard_batch(batch, mesh), key
+    )
+
+    cache = TeacherCache(make_teacher_embed_fn(teacher, tp_, mesh))
+    cached_step = make_stage2_train_step(
+        student, teacher, s_cfg, tx, tp_, mesh, cached_teacher=True
+    )
+    cbatch = cache.attach(batch)
+    assert (cache.misses, cache.hits) == (1, 0)
+    cache.attach(batch)  # same content -> served from cache
+    assert (cache.misses, cache.hits) == (1, 1)
+    c_state, c_m = cached_step(
+        TrainState.create(sp2, tx), shard_batch(cbatch, mesh), key
+    )
+
+    np.testing.assert_allclose(
+        float(c_m["loss"]), float(ref_m["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(c_m["loss_relation"]), float(ref_m["loss_relation"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(c_state.params), jax.tree.leaves(ref_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )
