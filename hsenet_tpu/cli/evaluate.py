@@ -8,7 +8,13 @@ one CLI:
     python -m hsenet_tpu.cli.evaluate --task mrg --synthetic
     python -m hsenet_tpu.cli.evaluate --task vqa --synthetic
     python -m hsenet_tpu.cli.evaluate --task retrieval --synthetic
-"""
+    python -m hsenet_tpu.cli.evaluate --task seg --synthetic
+    python -m hsenet_tpu.cli.evaluate --task rec --synthetic
+
+`seg` scores SegVol dice over seg-QA batches (eval/segmentation.py);
+`rec` scores generated box answers with IoU/acc@{.25,.5}, optionally with
+the reference's bounding-extent IoU (`--reference-compatible`,
+Bench/utils.py:38-54)."""
 
 from __future__ import annotations
 
@@ -40,7 +46,13 @@ def _tiny_clip_cfg():
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--task", choices=["mrg", "vqa", "retrieval"], required=True)
+    p.add_argument(
+        "--task", choices=["mrg", "vqa", "retrieval", "seg", "rec"],
+        required=True,
+    )
+    p.add_argument("--reference-compatible", action="store_true",
+                   help="rec: score with the reference's bounding-extent "
+                        "IoU (Bench/utils.py:38-54)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--data-root", default="")
     p.add_argument("--manifest", default="")
@@ -97,7 +109,67 @@ def main(argv=None):
         print(json.dumps(metrics, indent=2))
         return metrics
 
-    # mrg / vqa
+    if args.task == "seg":
+        import numpy as np
+
+        from hsenet_tpu.configs import ViT3DConfig
+        from hsenet_tpu.eval.segmentation import evaluate_segmentation
+        from hsenet_tpu.models.segvol import SegVol
+
+        if args.synthetic:
+            vit_cfg = ViT3DConfig(
+                image_size=(8, 16, 16), patch_size=(2, 4, 4), hidden_size=32,
+                mlp_dim=64, num_layers=1, num_heads=4, classification=False,
+            )
+        else:
+            vit_cfg = ViT3DConfig(classification=False)
+        model = SegVol(vit_cfg)
+        vol0 = jnp.ones((1, 1, *vit_cfg.image_size))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), vol0, jnp.ones((1, vit_cfg.hidden_size))
+        )
+        if args.checkpoint:
+            from hsenet_tpu.utils.checkpoint import restore_params
+
+            params = restore_params(args.checkpoint, params)
+
+        def segment_fn(volume, text_emb):
+            return model.apply(params, volume, text_emb)
+
+        def text_embed_fn(prompts):
+            # constant embedding; real runs plug a CLIP text encoder here
+            # (eval/segmentation.py docstring)
+            return np.ones((len(prompts), vit_cfg.hidden_size), np.float32)
+
+        if args.synthetic:
+            rng = __import__("numpy").random.default_rng(0)
+            batches = [{
+                "image": rng.random(
+                    (2, 1, *vit_cfg.image_size)).astype("float32"),
+                "seg": (rng.random(
+                    (2, 1, *vit_cfg.image_size)) > 0.5).astype("float32"),
+                "question": ["segment the liver [SEG]",
+                             "segment the heart [SEG]"],
+            }]
+        else:
+            from hsenet_tpu.data.datasets import SegQADataset
+
+            tokenizer = SimpleTokenizer()
+            ds = SegQADataset(
+                DataArgs(data_root=args.data_root), tokenizer,
+                args.manifest, args.split,
+            )
+            batches = DataLoader(
+                ds, batch_size=args.batch_size, shuffle=False,
+                drop_remainder=False,
+            )
+        metrics = evaluate_segmentation(
+            segment_fn, text_embed_fn, batches, max_samples=max_samples
+        )
+        print(json.dumps(metrics, indent=2))
+        return metrics
+
+    # mrg / vqa / rec — VLM generate based
     max_new = args.max_new_tokens or (512 if args.task == "mrg" else 74)
     ns = argparse.Namespace(synthetic=args.synthetic)
     cfg = build_vlm_config(ns)
@@ -122,6 +194,10 @@ def main(argv=None):
         from hsenet_tpu.data.datasets import CaptionDataset
 
         ds = CaptionDataset(data_args, tokenizer, args.manifest, args.split)
+    elif args.task == "rec":
+        from hsenet_tpu.data.datasets import PosRECDataset
+
+        ds = PosRECDataset(data_args, tokenizer, args.manifest, args.split)
     else:
         from hsenet_tpu.data.datasets import VQALocationDataset
 
@@ -160,7 +236,29 @@ def main(argv=None):
         mesh = create_mesh(MeshConfig(dp=args.dp, tp=args.tp))
         params = shard_params(params, mesh)
         gen = make_data_parallel_generate(gen, mesh)
-    if args.task == "mrg":
+    if args.task == "rec":
+        import numpy as np
+
+        from hsenet_tpu.eval.segmentation import evaluate_rec
+
+        if args.synthetic:
+            # the synthetic caption batches carry no gold boxes; attach
+            # fixed ones so the IoU path runs end to end
+            def _with_boxes(it):
+                for b_ in it:
+                    b_ = dict(b_)
+                    b_["box"] = [
+                        np.asarray([0.1, 0.1, 0.1, 0.6, 0.6, 0.6], np.float32)
+                        for _ in range(len(b_["input_ids"]))
+                    ]
+                    yield b_
+
+            loader = _with_boxes(loader)
+        metrics = evaluate_rec(
+            gen, params, loader, tokenizer, max_samples=max_samples,
+            reference_compatible=args.reference_compatible,
+        )
+    elif args.task == "mrg":
         from hsenet_tpu.eval.mrg import evaluate_mrg
 
         metrics = evaluate_mrg(

@@ -78,13 +78,14 @@ def evaluate_rec(
     n = 0
     for batch in loader:
         kv_lens = batch["attention_mask"].sum(-1).astype(np.int32)
+        slices = batch.get("image_2d")
         out_ids = np.asarray(
             generate_fn(
                 params,
                 jnp.asarray(batch["input_ids"]),
                 jnp.asarray(kv_lens),
                 jnp.asarray(batch["image"]),
-                None,
+                None if slices is None else jnp.asarray(slices),
             )
         )
         for i in range(len(out_ids)):

@@ -306,3 +306,26 @@ def test_mask_rle_roundtrip():
     # empty/all-False
     m = np.zeros((3, 3), bool)
     assert mask_to_rle(m)["counts"] == [9]
+
+
+def test_cli_evaluate_seg_synthetic():
+    """--task seg end to end: SegVol dice over synthetic seg-QA batches."""
+    from hsenet_tpu.cli.evaluate import main
+
+    m = main(["--task", "seg", "--synthetic"])
+    assert m["num_samples"] == 2
+    assert 0.0 <= m["dice"] <= 1.0
+
+
+def test_cli_evaluate_rec_synthetic():
+    """--task rec end to end: VLM generate -> box parse -> reference-
+    compatible IoU metrics."""
+    from hsenet_tpu.cli.evaluate import main
+
+    m = main([
+        "--task", "rec", "--synthetic", "--reference-compatible",
+        "--max-samples", "2",
+    ])
+    assert m["num_samples"] == 2
+    for k in ("mean_iou", "parse_rate", "acc@0.25", "acc@0.5"):
+        assert 0.0 <= m[k] <= 1.0
