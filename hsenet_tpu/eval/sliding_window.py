@@ -91,6 +91,54 @@ def make_segvol_predictor(
     return predict
 
 
+class ResizeTransform3D:
+    """Volume + prompt coordinate transforms between an arbitrary original
+    frame and the model's fixed (D, H, W) frame.
+
+    The reference's `ResizeLongestSide` analog
+    (segment_anything_volumetric/utils/transforms.py:16-103 +
+    predictor.py:31-90): SAM's 2D encoder takes square inputs so one
+    longest-side scale plus padding suffices; SegVol's ROI is anisotropic
+    and FIXED-size (e.g. (32,256,256)), so each axis resizes independently
+    and no padding is needed. Prompt coordinates for the prompt encoder are
+    normalized to [0, 1] per axis (models/segvol.py PromptEncoder3D), and a
+    structure's fractional position is invariant under per-axis resize —
+    so mapping original-frame VOXEL prompts into the model frame is a
+    per-axis divide by the original extent.
+    """
+
+    def __init__(self, target_size: Tuple[int, int, int]):
+        self.target_size = tuple(int(s) for s in target_size)
+        self._resize = jax.jit(
+            lambda v: jax.image.resize(
+                v, (*v.shape[:2], *self.target_size), method="trilinear"
+            )
+        )
+
+    def apply_volume(self, volume: jax.Array) -> jax.Array:
+        """(B, C, D, H, W) at any resolution -> model resolution
+        (on-device trilinear; reference apply_image_torch)."""
+        if tuple(volume.shape[2:]) == self.target_size:
+            return volume
+        return self._resize(volume)
+
+    def apply_coords(self, coords, original_size) -> np.ndarray:
+        """Voxel (z, y, x) coords in the original frame -> normalized
+        [0, 1] model-frame coords (reference apply_coords)."""
+        coords = np.asarray(coords, np.float32)
+        scale = np.asarray(original_size, np.float32)
+        return coords / scale
+
+    def apply_boxes(self, boxes, original_size) -> np.ndarray:
+        """Voxel (z1, y1, x1, z2, y2, x2) boxes -> normalized model frame
+        (reference apply_boxes: corner-wise apply_coords)."""
+        boxes = np.asarray(boxes, np.float32)
+        shaped = self.apply_coords(
+            boxes.reshape(*boxes.shape[:-1], 2, 3), original_size
+        )
+        return shaped.reshape(*boxes.shape[:-1], 6)
+
+
 class SegVolPredictor:
     """Cached-embedding prompt loop — the reference `SamPredictor` API
     (predictor.py:17-262: set_image once, then many predict() calls reuse
@@ -99,6 +147,13 @@ class SegVolPredictor:
     The expensive image encoder runs once per volume; each prompt pays only
     the prompt-encoder + mask-decoder + upsample (one jitted program per
     prompt-kind combination).
+
+    `set_image` accepts volumes at ANY resolution: non-native sizes are
+    resampled on device to the model frame (`ResizeTransform3D`), masks
+    come back at the ORIGINAL resolution (the decoder's trilinear upsample
+    targets the stored original shape), and voxel-frame prompts are mapped
+    with `boxes_voxel=` / `points_voxel=` — the reference predictor's
+    transform flow (predictor.py:31-90 set_image/predict).
     """
 
     def __init__(self, model, params):
@@ -106,6 +161,7 @@ class SegVolPredictor:
 
         self._model = model
         self._params = params
+        self.transform = ResizeTransform3D(model.vision.image_size)
         self._encode = jax.jit(
             lambda p, v: model.apply(p, v, method=SegVol.encode_image)
         )
@@ -121,9 +177,12 @@ class SegVolPredictor:
         self._out_shape = None
 
     def set_image(self, volume: jax.Array) -> None:
-        """(B, 1, D, H, W): encode and cache the feature grid."""
-        self._features = self._encode(self._params, volume)
+        """(B, 1, D, H, W) at any resolution: resample to the model frame
+        if needed, encode, and cache the feature grid. Masks from
+        `predict` come back at the volume's ORIGINAL resolution."""
         self._out_shape = tuple(int(s) for s in volume.shape[2:])
+        volume = self.transform.apply_volume(volume)
+        self._features = self._encode(self._params, volume)
 
     @property
     def is_image_set(self) -> bool:
@@ -144,10 +203,31 @@ class SegVolPredictor:
         boxes: Optional[jax.Array] = None,
         points=None,
         multimask_output: bool = False,
+        boxes_voxel=None,
+        points_voxel=None,
     ) -> jax.Array:
-        """Mask logits at input resolution for the cached volume."""
+        """Mask logits at the cached volume's ORIGINAL resolution.
+
+        `boxes`/`points` are normalized [0,1] model-frame prompts;
+        `boxes_voxel`/`points_voxel` take original-frame voxel coordinates
+        instead and are mapped via `self.transform` (reference
+        predictor.py:56-90 apply_boxes/apply_coords flow)."""
         if self._features is None:
             raise RuntimeError("set_image first (predictor.py:102-105)")
+        if boxes_voxel is not None:
+            assert boxes is None, "pass boxes or boxes_voxel, not both"
+            boxes = jnp.asarray(
+                self.transform.apply_boxes(boxes_voxel, self._out_shape)
+            )
+        if points_voxel is not None:
+            assert points is None, "pass points or points_voxel, not both"
+            coords, labels = points_voxel
+            points = (
+                jnp.asarray(
+                    self.transform.apply_coords(coords, self._out_shape)
+                ),
+                jnp.asarray(labels),
+            )
         return self._decode(
             self._params, self._features, self._out_shape,
             text_embedding, boxes, points, multimask_output,

@@ -284,3 +284,80 @@ def test_amg_nms_dedups_overlapping_proposals():
     assert all("box" in p for p in kept)
     # thresh above the overlap keeps everything
     assert len(nms_proposals([a, c, d], iou_thresh=0.8)) == 3
+
+
+def test_predictor_nonnative_volume_reproduces_native_mask(key):
+    """Round-3 coordinate transforms (reference ResizeLongestSide analog,
+    utils/transforms.py + predictor.py:31-90): prompting an
+    original-resolution volume through set_image must (a) resample on
+    device, (b) map voxel prompts to the normalized model frame, and
+    (c) return masks at the ORIGINAL resolution that agree with the
+    native-resolution path."""
+    from hsenet_tpu.eval.sliding_window import ResizeTransform3D, SegVolPredictor
+
+    model = SegVol(TINY)
+    vol = jax.random.uniform(key, (1, 1, 8, 16, 16))
+    t1 = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
+    boxes = jnp.asarray([[0.125, 0.25, 0.25, 0.625, 0.75, 0.75]])
+    params = model.init(key, vol, t1, boxes)
+
+    # exact voxel transform math first
+    tr = ResizeTransform3D((8, 16, 16))
+    orig_size = (16, 32, 32)
+    vox_box = np.asarray(
+        [[0.125 * 16, 0.25 * 32, 0.25 * 32,
+          0.625 * 16, 0.75 * 32, 0.75 * 32]], np.float32
+    )
+    np.testing.assert_allclose(
+        tr.apply_boxes(vox_box, orig_size), np.asarray(boxes), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        tr.apply_coords(np.asarray([[8.0, 16.0, 16.0]]), orig_size),
+        [[0.5, 0.5, 0.5]], atol=1e-6,
+    )
+
+    # non-native path: a 2x voxel-replicated "original-resolution" copy of
+    # the same volume, prompted with voxel-frame boxes
+    big = jnp.repeat(jnp.repeat(jnp.repeat(vol, 2, 2), 2, 3), 2, 4)
+    pred2 = SegVolPredictor(model, params)
+    pred2.set_image(big)
+    out = np.asarray(pred2.predict(text_embedding=t1, boxes_voxel=vox_box))
+    assert out.shape == (1, 1, *orig_size)  # original-resolution masks
+
+    # the native reference: encode the transform's own resample (identical
+    # features by construction) and decode straight to the original frame
+    # with the already-normalized box — the predictor's set_image resample
+    # + voxel-prompt mapping must reproduce this exactly
+    feats = model.apply(
+        params, pred2.transform.apply_volume(big), method=SegVol.encode_image
+    )
+    ref = np.asarray(
+        model.apply(
+            params, feats, orig_size, text_embedding=t1, boxes=boxes,
+            method=SegVol.decode,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # model-frame outputs agree in mask shape too (binarized, after
+    # downsampling the smooth sigmoid probabilities rather than raw
+    # near-zero logits)
+    pred = SegVolPredictor(model, params)
+    pred.set_image(pred2.transform.apply_volume(big))
+    native = np.asarray(pred.predict(text_embedding=t1, boxes=boxes))
+    assert native.shape == (1, 1, 8, 16, 16)
+
+    # voxel point prompts go through the same mapping
+    pts = np.asarray([[[8.0, 16.0, 16.0]]], np.float32)  # center voxel
+    labels = np.ones((1, 1), np.int32)
+    out_pts = np.asarray(
+        pred2.predict(text_embedding=t1, points_voxel=(pts, labels))
+    )
+    ref_pts = np.asarray(
+        model.apply(
+            params, feats, orig_size, text_embedding=t1,
+            points=(jnp.asarray([[[0.5, 0.5, 0.5]]]), jnp.asarray(labels)),
+            method=SegVol.decode,
+        )
+    )
+    np.testing.assert_allclose(out_pts, ref_pts, atol=1e-5)
