@@ -17,6 +17,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from hsenet_tpu.eval.metrics import RunningMeans, nlg_metrics
+from hsenet_tpu.eval.ratescore import (
+    active_scorer_name,
+    compute_ratescore,
+    entity_f1,
+)
 
 CSV_FIELDS = [
     "index",
@@ -29,6 +34,10 @@ CSV_FIELDS = [
     "bleu4",
     "rouge_l",
     "meteor",
+    # ratescore-style column: the official RaTEScore when installed, else
+    # the in-repo negation-aware entity-F1 fallback (eval/ratescore.py) —
+    # populated either way
+    "entity_f1",
 ]
 
 
@@ -72,6 +81,7 @@ def evaluate_mrg(
                 pred = tokenizer.decode(out_ids[i], skip_special_tokens=True)
                 ref = batch["answer"][i]
                 row = nlg_metrics(pred, ref)
+                row["entity_f1"] = entity_f1(pred, ref)
                 means = running.update(row)
                 predictions.append(pred)
                 references.append(ref)
@@ -104,5 +114,14 @@ def evaluate_mrg(
 
         bs = bert_score(predictions, references, bert_embed_fn)
         result["bertscore_f1"] = float(bs["f1"].mean())
+    if predictions:
+        # official RaTEScore when its package is installed; the per-row
+        # entity_f1 column above already carries the fallback numbers
+        scores = compute_ratescore(
+            predictions, references, allow_fallback=True
+        )
+        if scores:
+            result["ratescore_mean"] = float(np.mean(scores))
+            result["ratescore_scorer"] = active_scorer_name()
     result["num_samples"] = rows_written
     return result

@@ -329,3 +329,84 @@ def test_cli_evaluate_rec_synthetic():
     assert m["num_samples"] == 2
     for k in ("mean_iou", "parse_rate", "acc@0.25", "acc@0.5"):
         assert 0.0 <= m[k] <= 1.0
+
+
+def test_ratescore_fallback_entity_extraction():
+    """Dictionary NER + NegEx-style polarity, hand-checkable cases."""
+    from hsenet_tpu.eval.ratescore import extract_entities
+
+    ents = extract_entities(
+        "There is no pleural effusion. Consolidation in the right lung."
+    )
+    assert ("pleural effusion", "absent") in ents
+    assert ("consolidation", "present") in ents
+    assert ("right lung", "present") in ents
+
+    # negation scope ends at the sentence boundary
+    ents = extract_entities("No pneumothorax. Cardiomegaly is noted.")
+    assert ("pneumothorax", "absent") in ents
+    assert ("cardiomegaly", "present") in ents
+
+    # synonyms canonicalize (term_dictionary: 'the cardiac silhouette')
+    ents = extract_entities("the cardiac silhouette is enlarged")
+    assert ("heart", "present") in ents
+
+    # multi-word cue
+    ents = extract_entities("No evidence of atelectasis or nodule.")
+    assert ("atelectasis", "absent") in ents
+    assert ("nodule", "absent") in ents
+
+
+def test_ratescore_fallback_f1_hand_values():
+    from hsenet_tpu.eval.ratescore import entity_f1
+
+    # pred {effusion absent, heart present}; ref {effusion absent}:
+    # tp=1, P=1/2, R=1 -> F1 = 2/3
+    f1 = entity_f1(
+        "No pleural effusion. The heart is present.",
+        "No pleural effusion.",
+    )
+    assert f1 == pytest.approx(2 / 3)
+
+    # perfect agreement incl. polarity
+    assert entity_f1(
+        "No pneumothorax. Consolidation present.",
+        "Consolidation is seen. There is no pneumothorax.",
+    ) == pytest.approx(1.0)
+
+    # polarity mismatch scores 0
+    assert entity_f1("No consolidation.", "Consolidation.") == 0.0
+
+    # two entity-free reports agree; one-sided is 0
+    assert entity_f1("Everything fine.", "All good.") == 1.0
+    assert entity_f1("Consolidation.", "All good.") == 0.0
+
+
+def test_ratescore_csv_and_mrg_column(tmp_path):
+    """score_eval_csv works in THIS env via the fallback, and the MRG CSV
+    gains a populated entity_f1 column."""
+    import csv as _csv
+
+    from hsenet_tpu.eval.ratescore import (
+        active_scorer_name,
+        compute_ratescore,
+        score_eval_csv,
+    )
+
+    scores = compute_ratescore(
+        ["no pleural effusion"], ["there is no pleural effusion"],
+        allow_fallback=True,
+    )
+    assert scores == [pytest.approx(1.0)]
+
+    p = tmp_path / "eval.csv"
+    with open(p, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["prediction", "answer"])
+        w.writeheader()
+        w.writerow({"prediction": "no pleural effusion",
+                    "answer": "no pleural effusion"})
+        w.writerow({"prediction": "consolidation", "answer": "clear lungs"})
+    out = score_eval_csv(str(p))
+    assert out is not None and out["num_samples"] == 2
+    assert out["ratescore_mean"] == pytest.approx(0.5)
+    assert out["scorer"] == active_scorer_name()
