@@ -139,3 +139,46 @@ def test_masked_clip_forward_and_train_step(key):
     state, metrics = step(state, shard_batch(batch, mesh), key, 4)
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["loss_masked"]) > 0
+
+
+def test_export_greedy_decode_roundtrip(tmp_path):
+    """jax.export AOT artifact (the reference's utils/onnx.py analog):
+    serialize the greedy-decode graph, reload WITHOUT the model object,
+    run, and match the live function's tokens exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hsenet_tpu.configs import Phi3Config
+    from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+    from hsenet_tpu.utils.export import (
+        export_greedy_decode,
+        load_exported_file,
+        save_exported,
+    )
+
+    cfg = Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, tie_word_embeddings=True,
+    )
+    model = Phi3ForCausalLM(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 64, (1, 12)), jnp.int32)
+    kv = jnp.full((1,), 12, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    blob = export_greedy_decode(
+        model, params, max_new_tokens=6, prompt_len=12, batch=1
+    )
+    path = tmp_path / "decode.hlo"
+    save_exported(str(path), blob)
+    assert path.stat().st_size > 0
+
+    live = make_greedy_generate_llm_only(
+        model, max_new_tokens=6, eos_token_id=-1
+    )(params, ids, kv)
+
+    loaded = load_exported_file(str(path))
+    served = loaded(params, ids, kv)
+    np.testing.assert_array_equal(np.asarray(served), np.asarray(live))
