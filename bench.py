@@ -56,24 +56,23 @@ A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE = 30.0
 REPEATS = 3
 
 
-def median_slope(make_fn, args, n1=4, n2=16, repeats=REPEATS):
+def median_slope(chained_fn, args, n1=4, n2=16, repeats=REPEATS):
     """Median of `repeats` two-point slope timings of a chained-loop fn.
 
-    `make_fn(n)` returns a jittable callable running n chained iterations.
-    Both loop lengths compile once; each repeat then re-times the two
-    compiled callables, so the median costs two extra invocations per
-    repeat, not two extra compiles."""
-    fns = {}
+    `chained_fn(n, *args)` runs n chained iterations; the trip count is a
+    TRACED argument (fori_loop lowers to while_loop), so both loop lengths
+    share ONE compile — remote compiles dominate this relay's bench wall
+    clock (~1 min each), runs cost ~1 s."""
+    fn = jax.jit(chained_fn)
     for n in (n1, n2):
-        fns[n] = jax.jit(make_fn(n))
-        s = float(fns[n](*args))  # compile + run (scalar fetch = sync)
+        s = float(fn(jnp.int32(n), *args))  # compile once + run both
         assert np.isfinite(s)
     slopes = []
     for _ in range(repeats):
         times = {}
         for n in (n1, n2):
             t0 = time.perf_counter()
-            s = float(fns[n](*args))
+            s = float(fn(jnp.int32(n), *args))
             times[n] = time.perf_counter() - t0
             assert np.isfinite(s)
         slopes.append((times[n2] - times[n1]) / (n2 - n1))
@@ -129,39 +128,33 @@ def _encode_measure(model, params, batch, rng):
     )
     slices = jnp.asarray(rng.random((batch, 32, 768), np.float32))
 
-    def make(N):
-        def chained(params, volume, slices):
-            def body(i, carry):
-                out = model.apply(params, volume + carry, slices)
-                return jnp.mean(out.astype(jnp.float32)) * 1e-9
+    def chained(n, params, volume, slices):
+        def body(i, carry):
+            out = model.apply(params, volume + carry, slices)
+            return jnp.mean(out.astype(jnp.float32)) * 1e-9
 
-            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        return chained
-
-    dt = median_slope(make, (params, volume, slices))
+    dt = median_slope(chained, (params, volume, slices))
     return batch / dt
 
 
 def bench_encode():
-    """Headline bf16/erf encode (the reference's numerics), best of batch
-    8/16 (4 and 32 measured no better, round 1/2 sweeps)."""
+    """Headline bf16/erf encode (the reference's numerics) at batch 16
+    (4/8/32 measured within noise or worse, round 1-3 sweeps; one batch
+    point keeps the driver's bench wall-time bounded — every extra point
+    costs a ~1 min remote compile)."""
     from hsenet_tpu.configs import ViT3DConfig
 
     model = _encode_model(ViT3DConfig())
     rng = np.random.default_rng(0)
-    params = None
-    best = 0.0
-    for batch in (8, 16):
-        if params is None:
-            volume = jnp.asarray(
-                rng.random((1, 1, 32, 256, 256), np.float32), jnp.bfloat16
-            )
-            slices = jnp.asarray(rng.random((1, 32, 768), np.float32))
-            params = jax.jit(model.init)(jax.random.PRNGKey(0), volume, slices)
-            params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-        best = max(best, _encode_measure(model, params, batch, rng))
-    return best
+    volume = jnp.asarray(
+        rng.random((1, 1, 32, 256, 256), np.float32), jnp.bfloat16
+    )
+    slices = jnp.asarray(rng.random((1, 32, 768), np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), volume, slices)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    return _encode_measure(model, params, 16, rng)
 
 
 def bench_encode_serving():
@@ -231,27 +224,97 @@ def bench_decode():
     prompt_len = 320
     rng = np.random.default_rng(0)
     results = []
+    per_step_b8 = None
     for batch in (1, 8):
         ids = jnp.asarray(rng.integers(3, 1000, (batch, prompt_len)))
         kv = jnp.full((batch,), prompt_len, jnp.int32)
         # two-point over 64- vs 192-token generations (slope cancels the
-        # relay's fixed cost plus the shared prefill), median of 3
-        gens = {}
+        # relay's fixed cost plus the shared prefill), median of 3; the
+        # dynamic-steps variant makes the budget a runtime value so BOTH
+        # lengths share one remote compile (~1 min each on this relay)
+        gen = make_greedy_generate_llm_only(
+            model, max_new_tokens=192, eos_token_id=-1, dynamic_steps=True
+        )
         for new_tokens in (64, 192):
-            gens[new_tokens] = make_greedy_generate_llm_only(
-                model, max_new_tokens=new_tokens, eos_token_id=-1
+            _ = np.asarray(
+                gen(params, ids, kv, jnp.int32(new_tokens))[:, -1]
             )
-            _ = np.asarray(gens[new_tokens](params, ids, kv)[:, -1])
         slopes = []
         for _ in range(REPEATS):
             times = {}
             for new_tokens in (64, 192):
                 t0 = time.perf_counter()
-                _ = np.asarray(gens[new_tokens](params, ids, kv)[:, -1])
+                _ = np.asarray(
+                    gen(params, ids, kv, jnp.int32(new_tokens))[:, -1]
+                )
                 times[new_tokens] = time.perf_counter() - t0
             slopes.append((times[192] - times[64]) / (192 - 64))
+        if batch == 8:
+            per_step_b8 = statistics.median(slopes)
         results.append(batch / statistics.median(slopes))
-    return results
+    return results[0], results[1], per_step_b8
+
+
+RELAY_FIXED_COST_S = 0.047  # measured constant per jit invocation (BENCH.md)
+
+
+def bench_e2e_prefill(batch=8):
+    """Encode+prefill seconds per batch for the full VLM (dual bf16 towers
+    + packers -> 256 image tokens -> int8 Phi-4-mini prefill). One compiled
+    program, single-point timing minus the documented fixed relay cost —
+    compiling the full generate graph twice for a two-point fit costs the
+    driver ~10 min of wall clock for a projection line (the from-scratch
+    two-point e2e lives in scripts/bench_e2e_vlm.py; BENCH.md carries its
+    batch-14 figure)."""
+    from hsenet_tpu.configs import Phi3Config, VLMConfig
+    from hsenet_tpu.models.mllm import HSENetVLM
+    from hsenet_tpu.models.phi3 import KVCache
+
+    cfg = VLMConfig(
+        llm=Phi3Config(num_layers=32, quant_int8=True, quant_int8_embed=True)
+    )
+    model = HSENetVLM(cfg, dtype=jnp.bfloat16)
+    prompt_len = 1 + cfg.num_image_tokens + 63
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 1000, (batch, prompt_len)))
+    kv = jnp.full((batch,), prompt_len, jnp.int32)
+    volume = jnp.asarray(rng.random((batch, 1, 32, 256, 256), np.float32))
+    slices = jnp.asarray(rng.random((batch, 32, 768), np.float32))
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), ids, volume, slices
+    )
+
+    @jax.jit
+    def materialise():
+        def fill(s):
+            if s.dtype == jnp.int8:
+                return jnp.ones(s.shape, jnp.int8)
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                return jnp.full(s.shape, 0.01, jnp.bfloat16)
+            return jnp.zeros(s.shape, s.dtype)
+
+        return jax.tree.map(fill, shapes)
+
+    params = materialise()
+
+    @jax.jit
+    def prefill(params, ids, kv, volume, slices):
+        cache = KVCache.create(
+            cfg.llm, batch, prompt_len + 512, dtype=jnp.bfloat16
+        )
+        logits, cache = model.apply(
+            params, ids, volume, slices, cache, kv,
+            method=HSENetVLM.prefill,
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    _ = np.asarray(prefill(params, ids, kv, volume, slices))  # compile
+    samples = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        _ = np.asarray(prefill(params, ids, kv, volume, slices))
+        samples.append(time.perf_counter() - t0)
+    return max(statistics.median(samples) - RELAY_FIXED_COST_S, 0.0)
 
 
 def main():
@@ -272,7 +335,7 @@ def main():
         "tanh GELU (cosine >0.99 vs bf16, tests), headline stays bf16/erf",
     )
 
-    tok_b1, tok_b8 = bench_decode()
+    tok_b1, tok_b8, per_step_b8 = bench_decode()
     emit(
         "tokens_per_sec_decode", tok_b1, "tokens/s (batch 1, 3.8B int8)",
         A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE,
@@ -285,6 +348,29 @@ def main():
         "analytic estimate (8x the batch-1 A100 figure; batched HF "
         "generate rarely scales linearly, so this denominator is generous)",
     )
+
+    try:
+        prefill_s = bench_e2e_prefill(batch=8)
+        # full MRG sample = encode+prefill + the reference decode budget of
+        # 512 steps at the batch-8 per-step time measured above; the
+        # decode phase of the VLM IS the LLM-only decode (towers are not
+        # touched after prefill; sequence lengths match: 320-token prompt
+        # = 1 BOS + 256 image tokens + 63 text)
+        rpm = 8 * 60.0 / (prefill_s + 512 * per_step_b8)
+    except Exception as e:  # keep the other artifact lines on relay hiccups
+        print(json.dumps({"metric": "reports_per_min_e2e",
+                          "error": str(e)[:200]}), flush=True)
+    else:
+        # reference-side denominator: batched bnb-int8 HF generate,
+        # 512 tokens/report -> ~3.5 reports/min on one A100 (generous)
+        emit(
+            "reports_per_min_e2e", rpm,
+            "reports/min/chip (full VLM: encode+prefill + 512-token decode "
+            "at batch 8; batch-14 standalone figure in BENCH.md)",
+            3.5,
+            "analytic estimate (A100 bnb-int8 batched HF generate at the "
+            "same settings)",
+        )
 
 
 if __name__ == "__main__":

@@ -105,11 +105,18 @@ def make_data_parallel_generate(gen, mesh):
 
 def make_greedy_generate_llm_only(
     model, *, max_new_tokens: int, eos_token_id: int, pad_token_id: int = 0,
-    cache_dtype=jnp.bfloat16,
+    cache_dtype=jnp.bfloat16, dynamic_steps: bool = False,
 ):
-    """Text-only variant for a bare `Phi3ForCausalLM` (used in tests/bench)."""
+    """Text-only variant for a bare `Phi3ForCausalLM` (used in tests/bench).
 
-    def generate(params, input_ids, kv_lens):
+    `dynamic_steps=True` returns `generate(params, input_ids, kv_lens,
+    num_steps)` where the generation budget is a RUNTIME value (<=
+    max_new_tokens, which only sizes the output buffer/KV cache): the scan
+    becomes a while_loop, so one compiled program serves every budget —
+    serving can vary per-request token limits, and the benchmark's
+    two-point lengths share a single remote compile."""
+
+    def _prefill(params, input_ids, kv_lens):
         b, prompt_len = input_ids.shape
         cache = KVCache.create(
             model.config, b, prompt_len + max_new_tokens, dtype=cache_dtype
@@ -122,17 +129,50 @@ def make_greedy_generate_llm_only(
             last_token_only=True,
         )
         first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        return first, cache
+
+    def _step(params, token, cache, done):
+        next_logits, cache = model.apply(params, token[:, None], cache=cache)
+        next_tok = jnp.argmax(next_logits[:, 0], axis=-1).astype(jnp.int32)
+        done = jnp.logical_or(done, token == eos_token_id)
+        next_tok = jnp.where(done, pad_token_id, next_tok)
+        return next_tok, cache, done
+
+    if dynamic_steps:
+        def generate(params, input_ids, kv_lens, num_steps):
+            b = input_ids.shape[0]
+            first, cache = _prefill(params, input_ids, kv_lens)
+            tokens0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
+
+            def cond(state):
+                return state[0] < num_steps
+
+            def body(state):
+                i, token, cache, done, tokens = state
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens,
+                    jnp.where(done, pad_token_id, token)[:, None],
+                    (0, i),
+                )
+                token, cache, done = _step(params, token, cache, done)
+                return (i + 1, token, cache, done, tokens)
+
+            state = (
+                jnp.int32(0), first, cache, jnp.zeros((b,), bool), tokens0
+            )
+            return jax.lax.while_loop(cond, body, state)[4]
+
+        return jax.jit(generate)
+
+    def generate(params, input_ids, kv_lens):
+        b = input_ids.shape[0]
+        first, cache = _prefill(params, input_ids, kv_lens)
 
         def step(carry, _):
             token, cache, done = carry
             out_tok = jnp.where(done, pad_token_id, token)
-            next_logits, cache = model.apply(
-                params, token[:, None], cache=cache
-            )
-            next_tok = jnp.argmax(next_logits[:, 0], axis=-1).astype(jnp.int32)
-            done = jnp.logical_or(done, token == eos_token_id)
-            next_tok = jnp.where(done, pad_token_id, next_tok)
-            return (next_tok, cache, done), out_tok
+            token, cache, done = _step(params, token, cache, done)
+            return (token, cache, done), out_tok
 
         (_, _, _), tokens = jax.lax.scan(
             step,

@@ -410,3 +410,41 @@ def test_ratescore_csv_and_mrg_column(tmp_path):
     assert out is not None and out["num_samples"] == 2
     assert out["ratescore_mean"] == pytest.approx(0.5)
     assert out["scorer"] == active_scorer_name()
+
+
+def test_llm_only_generate_dynamic_steps_matches_static():
+    """The while_loop dynamic-budget generate must produce the same tokens
+    as the static scan for any num_steps <= max_new_tokens (one compile
+    serving every budget)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hsenet_tpu.configs import Phi3Config
+    from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+
+    cfg = Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, tie_word_embeddings=True,
+    )
+    model = Phi3ForCausalLM(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 64, (2, 10)), jnp.int32)
+    kv = jnp.full((2,), 10, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    dyn = make_greedy_generate_llm_only(
+        model, max_new_tokens=8, eos_token_id=-1, dynamic_steps=True,
+        cache_dtype=jnp.float32,
+    )
+    for n in (3, 8):
+        static = make_greedy_generate_llm_only(
+            model, max_new_tokens=n, eos_token_id=-1,
+            cache_dtype=jnp.float32,
+        )(params, ids, kv)
+        out = dyn(params, ids, kv, jnp.int32(n))
+        np.testing.assert_array_equal(
+            np.asarray(out)[:, :n], np.asarray(static)
+        )
+        # beyond the budget the buffer stays padded
+        assert np.all(np.asarray(out)[:, n:] == 0)
