@@ -154,10 +154,19 @@ def bench_encode():
     round, 4/32 worse in rounds 1/2). One batch point keeps the bench's
     compile count minimal: the relay's compile service swings between
     ~10 s and ~5 min per program across the day (measured round 3), so
-    every extra program is wall-clock risk for the driver."""
+    every extra program is wall-clock risk for the driver.
+
+    `attn_block_q=2176` puts the whole 2049-token sequence in one flash
+    q-block — a kernel-grid choice, not a numerics one (equality-tested,
+    test_vit.py): +2% over the default block split at batch 8; it fits
+    VMEM at batch <= 8 only."""
+    import dataclasses
+
     from hsenet_tpu.configs import ViT3DConfig
 
-    model = _encode_model(ViT3DConfig())
+    model = _encode_model(
+        dataclasses.replace(ViT3DConfig(), attn_block_q=2176)
+    )
     rng = np.random.default_rng(0)
     volume = jnp.asarray(
         rng.random((1, 1, 32, 256, 256), np.float32), jnp.bfloat16

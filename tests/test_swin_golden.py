@@ -157,3 +157,41 @@ def test_swin_matches_torch_oracle(key):
         ref = torch_swin_forward(np.asarray(vol), params).numpy()
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_swin_checkpoint_restores_across_volume_sizes(rng):
+    """The relative-position bias table is sized from the CONFIGURED
+    window (indexed with the clamped effective window), so params trained
+    at one volume size restore and run at a size where clamping differs
+    (round-3 advisor fix; the reference uses the same fixed-table
+    + index-slice scheme)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from hsenet_tpu.configs import SwinConfig
+    from hsenet_tpu.models.swin import SwinTransformer3D
+
+    cfg = SwinConfig(
+        image_size=(8, 32, 32), patch_size=(2, 4, 4), embed_dim=12,
+        window_size=(4, 4, 4), depths=(1, 1), num_heads=(2, 3),
+    )
+    model = SwinTransformer3D(cfg)
+    vol = jnp.asarray(rng.standard_normal((1, 1, 8, 32, 32)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), vol)
+
+    # a thinner volume: the depth axis clamps the effective window (the
+    # first stage grid is (2, 8, 8) -> depth window clamps 4 -> 2)
+    small_cfg = dataclasses.replace(cfg, image_size=(4, 32, 32))
+    small_vol = jnp.asarray(
+        rng.standard_normal((1, 1, 4, 32, 32)), jnp.float32
+    )
+    small_model = SwinTransformer3D(small_cfg)
+    # same params must restore bit-for-bit (identical tree/shapes) ...
+    small_params = small_model.init(jax.random.PRNGKey(1), small_vol)
+    assert jax.tree.map(jnp.shape, params) == \
+        jax.tree.map(jnp.shape, small_params)
+    # ... and run
+    out = small_model.apply(params, small_vol)
+    assert bool(jnp.all(jnp.isfinite(out)))
