@@ -61,6 +61,8 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=0,
                    help="0 = task default (mrg 512 / vqa 74)")
     p.add_argument("--checkpoint", default="", help="params path")
+    p.add_argument("--clip-checkpoint", default="",
+                   help="seg: stage-1 CLIP params for prompt embeddings")
     p.add_argument("--tokenizer", default="")
     p.add_argument("--csv", default="", help="per-sample CSV output (mrg)")
     p.add_argument("--max-samples", type=int, default=0)
@@ -136,13 +138,69 @@ def main(argv=None):
         def segment_fn(volume, text_emb):
             return model.apply(params, volume, text_emb)
 
-        def text_embed_fn(prompts):
-            # constant embedding; real runs plug a CLIP text encoder here
-            # (eval/segmentation.py docstring)
-            return np.ones((len(prompts), vit_cfg.hidden_size), np.float32)
+        if args.synthetic:
+            def text_embed_fn(prompts):
+                # synthetic smoke only: a fixed embedding exercises the
+                # prompt-encoder path without a trained text tower
+                return np.ones(
+                    (len(prompts), vit_cfg.hidden_size), np.float32
+                )
+        else:
+            # real runs embed prompts with a stage-1 CLIP text tower —
+            # prompt-conditioned dice is meaningless otherwise
+            if not args.clip_checkpoint:
+                p.error("--task seg without --synthetic needs "
+                        "--clip-checkpoint (stage-1 CLIP params for "
+                        "prompt embeddings)")
+            from hsenet_tpu.configs import CLIPConfig
+            from hsenet_tpu.models.clip import CLIPModel
+            from hsenet_tpu.utils.checkpoint import restore_params
+
+            clip_cfg = CLIPConfig()
+            clip = CLIPModel(clip_cfg)
+            if args.tokenizer:
+                from transformers import AutoTokenizer
+
+                tok = AutoTokenizer.from_pretrained(args.tokenizer)
+            else:
+                tok = SimpleTokenizer(vocab_size=clip_cfg.text.vocab_size)
+
+            def _encode(prompts):
+                rows = [tok(t_, max_length=clip_cfg.max_text_len,
+                            truncation=True, padding="max_length")
+                        for t_ in prompts]
+                ids = np.concatenate(
+                    [np.asarray(r["input_ids"]).reshape(1, -1)
+                     for r in rows]
+                )
+                mask = np.concatenate(
+                    [np.asarray(r["attention_mask"]).reshape(1, -1)
+                     for r in rows]
+                )
+                return ids, mask
+
+            dummy_ids, dummy_mask = _encode(["x"])
+            cparams = clip.init(
+                jax.random.PRNGKey(0),
+                jnp.ones((1, 1, *clip_cfg.vision.image_size)),
+                jnp.asarray(dummy_ids),
+                jnp.asarray(dummy_mask),
+            )
+            cparams = restore_params(args.clip_checkpoint, cparams)
+            embed = jax.jit(
+                lambda p_, ids, mask: clip.apply(
+                    p_, ids, mask, method=CLIPModel.encode_text
+                )[0]
+            )
+
+            def text_embed_fn(prompts):
+                ids, mask = _encode(list(prompts))
+                return np.asarray(
+                    embed(cparams, jnp.asarray(ids), jnp.asarray(mask))
+                )
 
         if args.synthetic:
-            rng = __import__("numpy").random.default_rng(0)
+            rng = np.random.default_rng(0)
             batches = [{
                 "image": rng.random(
                     (2, 1, *vit_cfg.image_size)).astype("float32"),

@@ -143,9 +143,14 @@ def make_greedy_generate_llm_only(
             b = input_ids.shape[0]
             first, cache = _prefill(params, input_ids, kv_lens)
             tokens0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
+            # clamp the runtime budget to the compiled buffer/KV capacity:
+            # beyond it, writes would silently pile into the last slot
+            budget = jnp.minimum(
+                jnp.asarray(num_steps, jnp.int32), max_new_tokens
+            )
 
             def cond(state):
-                return state[0] < num_steps
+                return state[0] < budget
 
             def body(state):
                 i, token, cache, done, tokens = state

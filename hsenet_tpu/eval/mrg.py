@@ -21,6 +21,7 @@ from hsenet_tpu.eval.ratescore import (
     active_scorer_name,
     compute_ratescore,
     entity_f1,
+    ratescore_available,
 )
 
 CSV_FIELDS = [
@@ -115,13 +116,13 @@ def evaluate_mrg(
         bs = bert_score(predictions, references, bert_embed_fn)
         result["bertscore_f1"] = float(bs["f1"].mean())
     if predictions:
-        # official RaTEScore when its package is installed; the per-row
-        # entity_f1 column above already carries the fallback numbers
-        scores = compute_ratescore(
-            predictions, references, allow_fallback=True
-        )
-        if scores:
+        if ratescore_available():
+            scores = compute_ratescore(predictions, references)
             result["ratescore_mean"] = float(np.mean(scores))
-            result["ratescore_scorer"] = active_scorer_name()
+        else:
+            # the fallback IS the per-row entity_f1 column — reuse its
+            # running mean instead of re-extracting the whole corpus
+            result["ratescore_mean"] = result["entity_f1"]
+        result["ratescore_scorer"] = active_scorer_name()
     result["num_samples"] = rows_written
     return result

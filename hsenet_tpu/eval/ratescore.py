@@ -47,13 +47,16 @@ _FINDINGS = [
     "bronchial wall thickening", "septal thickening", "tree-in-bud",
 ]
 
-_NEGATION_CUES = [
-    "no", "not", "without", "absent", "free of", "negative for",
-    "clear of", "rather than", "rules out", "ruled out", "denies",
-    "unremarkable for", "no evidence of", "no sign of", "no signs of",
+# negation cues (multi-word matched longest-first, then single-word);
+# a cue scopes over the following ~12 words until a breaker/sentence end
+_MULTI_WORD_CUES = [
+    "no evidence of", "no sign of", "no signs of", "negative for",
+    "free of", "clear of", "ruled out", "rules out", "rather than",
+    "unremarkable for",
 ]
-# a negation cue scopes until one of these (or end of sentence)
+_SINGLE_WORD_CUES = {"no", "not", "without", "absent", "denies"}
 _SCOPE_BREAKERS = {"but", "however", "although", "though", "except", ";"}
+_NEGATION_SCOPE_WORDS = 12
 
 
 def _vocabulary() -> Dict[str, str]:
@@ -94,19 +97,17 @@ def extract_entities(text: str) -> Set[Tuple[str, str]]:
             continue
         # negation cues (longest multi-word cue first)
         cued = False
-        for cue in ("no evidence of", "no sign of", "no signs of",
-                    "negative for", "free of", "clear of", "ruled out",
-                    "rules out", "unremarkable for"):
+        for cue in _MULTI_WORD_CUES:
             cw = cue.split()
             if words[i:i + len(cw)] == cw:
-                negated_until = i + 12
+                negated_until = i + _NEGATION_SCOPE_WORDS
                 i += len(cw)
                 cued = True
                 break
         if cued:
             continue
-        if w in {"no", "not", "without", "absent", "denies"}:
-            negated_until = i + 12
+        if w in _SINGLE_WORD_CUES:
+            negated_until = i + _NEGATION_SCOPE_WORDS
             i += 1
             continue
         # longest phrase match at this position

@@ -88,10 +88,16 @@ def evaluate_rec(
                 None if slices is None else jnp.asarray(slices),
             )
         )
+        golds = batch.get("box")
         for i in range(len(out_ids)):
+            if golds is None or golds[i] is None:
+                # absent-target rows carry no gold box (PosRECDataset "no"
+                # answers; collate drops the key when any row lacks it) —
+                # nothing to score IoU against
+                continue
             text = tokenizer.decode(out_ids[i], skip_special_tokens=True)
             pred = extract_box_from_text(text)
-            gold = np.asarray(batch["box"][i])
+            gold = np.asarray(golds[i])
             if pred is not None:
                 parsed += 1
                 ious.append(

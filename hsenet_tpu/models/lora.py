@@ -127,20 +127,30 @@ class DenseW8A8(nn.Module):
             jnp.float32,
         )
         xf = x.astype(jnp.float32)
-        if self.static_act_scale:
+        if self.static_act_scale and not self.is_mutable_collection(
+            "calibration"
+        ):
             amax_param = self.param(
                 "act_scale", nn.initializers.ones, (), jnp.float32
-            )
-            # no-op unless the caller passes mutable=["calibration"]
-            self.sow(
-                "calibration", "amax", jnp.max(jnp.abs(xf)),
-                init_fn=lambda: jnp.zeros((), jnp.float32),
-                reduce_fn=jnp.maximum,
             )
             ascale = jnp.maximum(amax_param, 1e-8) / 127.0
             xq = jnp.clip(
                 jnp.round(xf / ascale), -127.0, 127.0
             ).astype(jnp.int8)
+        elif self.static_act_scale:
+            # CALIBRATION pass: record the true absmax but quantize
+            # dynamically, so deeper layers calibrate on undistorted
+            # activations (an uncalibrated act_scale=1.0 would clip
+            # everything beyond +-1 and poison downstream ranges)
+            self.param("act_scale", nn.initializers.ones, (), jnp.float32)
+            self.sow(
+                "calibration", "amax", jnp.max(jnp.abs(xf)),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            ascale = jnp.maximum(amax, 1e-8) / 127.0
+            xq = jnp.round(xf / ascale).astype(jnp.int8)
         else:
             amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
             ascale = jnp.maximum(amax, 1e-8) / 127.0

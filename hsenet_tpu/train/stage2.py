@@ -169,14 +169,16 @@ def make_teacher_embed_fn(
 
 
 class TeacherCache:
-    """Host-memory cache of frozen-teacher embeddings, keyed by batch
-    content.
+    """Host-memory cache of frozen-teacher embeddings, keyed PER SAMPLE.
 
-    First sight of a batch pays the teacher forward; every later epoch
-    serves the stored features (the reference pays the forward every step,
-    CLIP_stage2.py:124-128). Keying hashes the raw input bytes, so it is
-    correct under shuffling/re-batching; the hash costs ~memcpy speed,
-    negligible next to a 100M-param forward."""
+    First sight of a sample pays the teacher forward (as part of its
+    batch); every later epoch serves the stored features (the reference
+    pays the forward every step, CLIP_stage2.py:124-128). Per-sample
+    keying matters: shuffling loaders recombine the same samples into
+    different batches each epoch, so a whole-batch key would never hit.
+    The key hashes input_ids + attention_mask + image bytes (everything
+    the teacher forward consumes) plus their shapes; hashing costs
+    ~memcpy speed, negligible next to a 100M-param forward."""
 
     def __init__(self, embed_fn):
         self._embed_fn = embed_fn
@@ -184,27 +186,50 @@ class TeacherCache:
         self.hits = 0
         self.misses = 0
 
-    def _key(self, batch) -> bytes:
+    @staticmethod
+    def _keys(batch):
         import hashlib
 
-        h = hashlib.sha1()
         import numpy as np
 
-        h.update(np.asarray(batch["input_ids"]).tobytes())
-        h.update(np.asarray(batch["image"]).tobytes())
-        return h.digest()
+        ids = np.asarray(batch["input_ids"])
+        img = np.asarray(batch["image"])
+        mask = batch.get("attention_mask")
+        mask = np.asarray(mask) if mask is not None else None
+        keys = []
+        for i in range(len(ids)):
+            h = hashlib.sha1()
+            h.update(repr((ids[i].shape, img[i].shape)).encode())
+            h.update(ids[i].tobytes())
+            if mask is not None:
+                h.update(mask[i].tobytes())
+            h.update(img[i].tobytes())
+            keys.append(h.digest())
+        return keys
 
     def attach(self, batch):
         """Return `batch` merged with (possibly cached) teacher features."""
-        key = self._key(batch)
-        feats = self._store.get(key)
-        if feats is None:
-            self.misses += 1
+        import numpy as np
+
+        keys = self._keys(batch)
+        missing = [k for k in keys if k not in self._store]
+        if missing:
+            # one teacher forward for the whole batch, stored per sample
+            self.misses += len(missing)
+            self.hits += len(keys) - len(missing)
             feats = jax.device_get(self._embed_fn(batch))
-            self._store[key] = feats
-        else:
-            self.hits += 1
-        return {**batch, **feats}
+            for i, k in enumerate(keys):
+                self._store[k] = {
+                    name: np.asarray(v[i]) for name, v in feats.items()
+                }
+            return {**batch, **feats}
+        self.hits += len(keys)
+        rows = [self._store[k] for k in keys]
+        stacked = {
+            name: np.stack([r[name] for r in rows])
+            for name in rows[0]
+        }
+        return {**batch, **stacked}
 
 
 def make_stage2_train_step(
@@ -223,10 +248,16 @@ def make_stage2_train_step(
     if cached_teacher:
         import numpy as np
 
-        teacher_scale = jax.device_get(
-            teacher_params["params"]["logit_scale"]
+        teacher_scale = jnp.asarray(
+            np.asarray(
+                jax.device_get(teacher_params["params"]["logit_scale"])
+            ),
+            jnp.float32,
         )
-        teacher_scale = jnp.asarray(np.asarray(teacher_scale), jnp.float32)
+        # match CLIPModel.scale() (models/clip.py): the reference's quirk
+        # multiplies the RAW log-init value; scale_is_log=True applies exp
+        if teacher.config.scale_is_log:
+            teacher_scale = jnp.exp(teacher_scale)
 
         def train_step_cached(state: TrainState, batch, rng):
             dropout_rng = jax.random.fold_in(rng, state.step)

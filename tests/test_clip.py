@@ -202,9 +202,21 @@ def test_stage2_cached_teacher_equals_recompute(key):
         student, teacher, s_cfg, tx, tp_, mesh, cached_teacher=True
     )
     cbatch = cache.attach(batch)
-    assert (cache.misses, cache.hits) == (1, 0)
-    cache.attach(batch)  # same content -> served from cache
-    assert (cache.misses, cache.hits) == (1, 1)
+    assert (cache.misses, cache.hits) == (8, 0)
+    cache.attach(batch)  # same samples -> served from cache
+    assert (cache.misses, cache.hits) == (8, 8)
+    # per-sample keying: the SAME samples recombined into a different
+    # batch order (a reshuffled epoch) still hit
+    perm = np.asarray([3, 1, 0, 2, 7, 6, 5, 4])
+    shuffled = {k: (np.asarray(v)[perm] if hasattr(v, "shape") else v)
+                for k, v in batch.items()}
+    re_feats = cache.attach(shuffled)
+    assert (cache.misses, cache.hits) == (8, 16)
+    np.testing.assert_allclose(
+        re_feats["teacher_image_features"],
+        np.asarray(cbatch["teacher_image_features"])[perm],
+        atol=1e-6,
+    )
     c_state, c_m = cached_step(
         TrainState.create(sp2, tx), shard_batch(cbatch, mesh), key
     )
@@ -221,3 +233,43 @@ def test_stage2_cached_teacher_equals_recompute(key):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6
         )
+
+
+def test_stage2_cached_teacher_respects_scale_is_log(key):
+    """With scale_is_log=True the cached path must exp() the teacher's
+    logit_scale exactly like CLIPModel.scale() in the recompute path."""
+    from hsenet_tpu.train.stage2 import TeacherCache, make_teacher_embed_fn
+
+    mesh = create_mesh(MeshConfig(dp=8, tp=1))
+    t_cfg = dataclasses.replace(TINY_CLIP, scale_is_log=True)
+    s_cfg = dataclasses.replace(
+        t_cfg, vision=dataclasses.replace(TINY_VIT, slice_guided=True)
+    )
+    student = CLIPModel(s_cfg)
+    teacher = CLIPModel(t_cfg)
+    batch = _batch(8, with_2d=True)
+    sp = student.init(
+        key, batch["image"], batch["input_ids"], batch["attention_mask"],
+        batch["image_2d"],
+    )
+    tp_ = teacher.init(
+        key, batch["image"], batch["input_ids"], batch["attention_mask"]
+    )
+    tx = make_optimizer(TrainConfig(total_steps=100, learning_rate=1e-3))
+    sp2 = jax.tree.map(jnp.array, sp)
+
+    ref_step = make_stage2_train_step(student, teacher, s_cfg, tx, tp_, mesh)
+    _, ref_m = ref_step(
+        TrainState.create(sp, tx), shard_batch(batch, mesh), key
+    )
+    cache = TeacherCache(make_teacher_embed_fn(teacher, tp_, mesh))
+    cached_step = make_stage2_train_step(
+        student, teacher, s_cfg, tx, tp_, mesh, cached_teacher=True
+    )
+    _, c_m = cached_step(
+        TrainState.create(sp2, tx), shard_batch(cache.attach(batch), mesh),
+        key,
+    )
+    np.testing.assert_allclose(
+        float(c_m["loss_relation"]), float(ref_m["loss_relation"]), rtol=1e-4
+    )

@@ -448,3 +448,12 @@ def test_llm_only_generate_dynamic_steps_matches_static():
         )
         # beyond the budget the buffer stays padded
         assert np.all(np.asarray(out)[:, n:] == 0)
+
+
+def test_ratescore_rather_than_cue():
+    """'rather than X' negates X (cue driven from the module constant)."""
+    from hsenet_tpu.eval.ratescore import extract_entities
+
+    ents = extract_entities("consolidation rather than atelectasis")
+    assert ("consolidation", "present") in ents
+    assert ("atelectasis", "absent") in ents
