@@ -248,3 +248,64 @@ def convert_biomedclip_vit2d(sd: Dict, num_layers: int = 12) -> Dict:
         "tower": {"blocks": _stack(blocks), "norm": _ln(sd, "norm")},
     }
     return {"params": params}
+
+
+def quantize_clip_w8a8(variables: Dict, config, *, volumes=None,
+                       slice_features=None, batch_size: int = 2,
+                       seed: int = 0) -> Dict:
+    """Serving prep for the int8 W8A8 encode mode: int8-quantize the vision
+    tower's block kernels (per-output-channel scales) and bake calibrated
+    static activation scales into the params.
+
+    Vision-side counterpart of the reference's bitsandbytes 8-bit LLM load
+    (train_VLM.py:376-380) — the reference never quantizes its encoder; this
+    is the TPU serving mode behind BENCH.md's 107 vol/s headline.
+
+    `volumes` defaults to unit-range noise: preprocessed CT is min-max
+    normalised to [0, 1] (data/preprocess.py), so noise bounds the real
+    input range; pass real preprocessed volumes for tighter scales. Load the
+    result with `CLIPConfig(vision=ViT3DConfig(quant_w8a8=True,
+    quant_w8a8_static=True))`.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from hsenet_tpu.models.clip import CLIPModel
+    from hsenet_tpu.models.lora import (
+        VIT_QUANT_TARGETS,
+        calibrate_w8a8_act_scales,
+        quantize_kernels_int8,
+    )
+
+    params = dict(variables["params"])
+    params["vision_encoder"] = quantize_kernels_int8(
+        params["vision_encoder"], VIT_QUANT_TARGETS
+    )
+    vision = dataclasses.replace(
+        config.vision, quant_w8a8=True, quant_w8a8_static=True
+    )
+    model = CLIPModel(
+        dataclasses.replace(config, vision=vision), dtype=jnp.bfloat16
+    )
+    rng = np.random.default_rng(seed)
+    if volumes is None:
+        volumes = rng.random(
+            (batch_size, vision.in_channels, *vision.image_size), np.float32
+        )
+    volumes = jnp.asarray(volumes, jnp.bfloat16)
+    batch = (volumes,)
+    if vision.slice_guided:
+        if slice_features is None:
+            slice_features = rng.random(
+                (volumes.shape[0], vision.num_slices,
+                 vision.slice_feature_dim), np.float32,
+            )
+        batch = (volumes, jnp.asarray(slice_features, jnp.float32))
+
+    def encode(vs, *args, **kw):
+        return model.apply(vs, *args, method=CLIPModel.encode_image, **kw)
+
+    return {"params": calibrate_w8a8_act_scales(
+        encode, {"params": params}, [batch]
+    )}

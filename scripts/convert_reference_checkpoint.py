@@ -57,6 +57,18 @@ def main():
         "bitsandbytes 8-bit load, train_VLM.py:376-380); phi3/llama only",
     )
     p.add_argument(
+        "--quant-w8a8", action="store_true",
+        help="after conversion, prep the int8 serving encode mode: "
+        "int8-quantize the vision-tower kernels and calibrate static "
+        "activation scales (load with ViT3DConfig(quant_w8a8=True, "
+        "quant_w8a8_static=True)); clip-stage1/clip-stage2 only",
+    )
+    p.add_argument(
+        "--calib-volumes", default=None,
+        help="optional .npy (N, 1, D, H, W) of preprocessed volumes for "
+        "the --quant-w8a8 calibration pass; unit-range noise if absent",
+    )
+    p.add_argument(
         "--config-json", default=None,
         help="JSON dict of config-field overrides for phi3/llama "
         '(e.g. \'{"num_layers": 2, "vocab_size": 64}\'); '
@@ -120,6 +132,28 @@ def main():
             params["mm_projector2"] = convert_reference_packer(
                 sd, "model.mm_projector2."
             )
+
+    if args.quant_w8a8:
+        if args.kind not in ("clip-stage1", "clip-stage2"):
+            p.error("--quant-w8a8 only applies to --kind clip-stage1/"
+                    "clip-stage2")
+        import numpy as np
+
+        from hsenet_tpu.configs import BertConfig, CLIPConfig, ViT3DConfig
+        from hsenet_tpu.utils.convert import quantize_clip_w8a8
+
+        cfg = CLIPConfig(
+            vision=ViT3DConfig(
+                num_layers=args.num_layers,
+                slice_guided=args.kind == "clip-stage2",
+            ),
+            text=BertConfig(num_layers=args.num_layers),
+        )
+        volumes = np.load(args.calib_volumes) if args.calib_volumes else None
+        params = quantize_clip_w8a8(params, cfg, volumes=volumes)
+        print("quantized vision tower to W8A8 + calibrated act scales "
+              "(load with ViT3DConfig(quant_w8a8=True, "
+              "quant_w8a8_static=True))")
 
     if args.quant_int8:
         if args.kind not in ("phi3", "llama"):

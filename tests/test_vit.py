@@ -234,6 +234,62 @@ def test_vit_w8a8_static_scale_mode(key):
     assert cos.min() > 0.98, cos.min()
 
 
+def test_quantize_clip_w8a8_serving_prep(key):
+    """`utils.convert.quantize_clip_w8a8` (converter --quant-w8a8): one call
+    turns a float CLIP checkpoint into a serving-ready W8A8 tree — vision
+    kernels int8, act scales calibrated — whose encode_image tracks the
+    float model."""
+    import dataclasses
+
+    from hsenet_tpu.configs import BertConfig, CLIPConfig, ViT3DConfig
+    from hsenet_tpu.models.clip import CLIPModel
+    from hsenet_tpu.utils.convert import quantize_clip_w8a8
+
+    cfg = CLIPConfig(
+        vision=ViT3DConfig(
+            image_size=(8, 32, 32), patch_size=(2, 8, 8), hidden_size=64,
+            mlp_dim=128, num_layers=2, num_heads=4, slice_guided=True,
+            num_slices=4, slice_feature_dim=16,
+        ),
+        text=BertConfig(
+            vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, max_position_embeddings=16,
+        ),
+        projection_dim=32,
+    )
+    vol = jax.random.uniform(key, (2, 1, *cfg.vision.image_size))
+    slices = jax.random.normal(
+        key, (2, cfg.vision.num_slices, cfg.vision.slice_feature_dim)
+    )
+    ids = jnp.zeros((2, 8), jnp.int32)
+    fmodel = CLIPModel(cfg, dtype=jnp.float32)
+    params = jax.tree.map(
+        np.asarray, fmodel.init(key, vol, ids, None, slices)
+    )
+    ref = np.asarray(fmodel.apply(
+        params, vol, slices, method=CLIPModel.encode_image
+    ))
+
+    qparams = quantize_clip_w8a8(params, cfg, volumes=vol,
+                                 slice_features=slices)
+    qkv = qparams["params"]["vision_encoder"]["tower"]["blocks"]["attn"]["qkv"]
+    assert qkv["kernel_q"].dtype == jnp.int8
+    assert qkv["act_scale"].shape == (cfg.vision.num_layers,)
+    # text/projection params untouched
+    assert "kernel" in qparams["params"]["mm_vision_proj"]
+
+    qcfg = dataclasses.replace(
+        cfg, vision=dataclasses.replace(
+            cfg.vision, quant_w8a8=True, quant_w8a8_static=True
+        )
+    )
+    out = np.asarray(CLIPModel(qcfg, dtype=jnp.float32).apply(
+        qparams, vol, slices, method=CLIPModel.encode_image
+    ))
+    cos = (out * ref).sum(-1)  # both rows are L2-normalised
+    assert cos.min() > 0.97, cos.min()
+
+
 def test_vit_attn_block_q_override_matches_default(key):
     """attn_block_q only changes the flash kernel's grid, never the math."""
     import dataclasses
