@@ -311,6 +311,13 @@ class Phi3Config:
     # a quarter of all decode traffic; int8 halves it. Convert params with
     # models.lora.quantize_embed_int8.
     quant_int8_embed: bool = False
+    # NOTE: no int4 analog of the reference's load_in_4bit
+    # (train_VLM.py:372) on purpose — probed and rejected in round 3
+    # (scripts/_probe_int4_stream.py, BENCH.md): XLA stores S4 buffers
+    # byte-per-element (no traffic win) and every packed-nibble unpacking
+    # scheme is 2.5-7x SLOWER than streaming int8; int8 weight-only is the
+    # fastest storable decode format on v5e, already at its ~600 GB/s
+    # speed of light (161 tok/s b1).
 
     @property
     def q_dim(self) -> int:
