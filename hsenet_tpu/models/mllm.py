@@ -216,6 +216,16 @@ class HSENetVLM(nn.Module):
         logits, cache = self.llm.decode_embeds(embeds, cache=cache)
         return logits[:, 0], cache
 
+    def verify_step(
+        self, tokens: jax.Array, cache: KVCache, kv_lens: jax.Array
+    ) -> Tuple[jax.Array, KVCache]:
+        """Multi-token decode for speculative verification: tokens (B, K)
+        -> (logits (B, K, V), cache). Runs the chunked-prefill path
+        (per-row `q_offset` causal attention over the cache) so one
+        forward scores K draft positions — see `eval/speculative.py`."""
+        embeds = self.llm.embed_tokens(tokens)
+        return self.llm.decode_embeds(embeds, kv_lens=kv_lens, cache=cache)
+
     def forward_with_seg(
         self,
         input_ids: jax.Array,

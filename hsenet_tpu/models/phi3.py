@@ -218,6 +218,10 @@ class Phi3Block(nn.Module):
                     kv_lens=total,
                     causal=True,
                     q_offset=lengths,
+                    # small chunks (speculative verify windows) skip the
+                    # flash kernel: padding s<<block_q queries up to a
+                    # q-block wastes MXU work; XLA sdpa is cheaper there
+                    use_flash=None if s >= 64 else False,
                 )
             new_kv = (ck, cv)
 
