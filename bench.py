@@ -15,6 +15,11 @@ BASELINE.md co-primary metrics, one JSON line each:
   * `tokens_per_sec_decode_batch8` — the same decode at batch 8 (aggregate
     tokens/s), the reference MRG eval runs batched generate
     (Bench/eval/eval_HSENet_CT_Rate_MRG.py:388-428).
+  * `tokens_per_sec_decode_speculative_ceiling` — prompt-lookup
+    speculative decode (eval/speculative.py, lossless greedy) at batch 1:
+    full-acceptance ceiling + the acceptance-independent verify/decode
+    cost ratio (~1.07: decode is weight-streaming-bound, so verifying 8
+    tokens costs one step).
 
 Measurement: the remote-relay TPU backend does not reliably block in
 block_until_ready AND adds a fixed ~47 ms round-trip per jit invocation, so
@@ -272,7 +277,38 @@ def bench_decode():
         if batch == 8:
             per_step_b8 = statistics.median(slopes)
         results.append(batch / statistics.median(slopes))
-    return results[0], results[1], per_step_b8
+
+    # speculative (prompt-lookup) decode, batch 1: dummy constant weights
+    # make greedy output a constant token, so every draft is accepted —
+    # this measures the full-acceptance CEILING plus the verify-round cost
+    # (the acceptance-independent hardware number; real-checkpoint
+    # acceptance is workload-dependent and reported via collect_stats).
+    from hsenet_tpu.eval.speculative import make_pld_generate_llm_only
+
+    spec = make_pld_generate_llm_only(
+        model, max_new_tokens=192, eos_token_id=-1, draft_len=7,
+        collect_stats=True, dynamic_budget=True,
+    )
+    ids = jnp.asarray(rng.integers(3, 1000, (1, prompt_len)))
+    kv = jnp.full((1,), prompt_len, jnp.int32)
+    rounds = {}
+    for new_tokens in (64, 192):
+        _, r, _ = spec(params, ids, kv, jnp.int32(new_tokens))
+        rounds[new_tokens] = int(np.asarray(r)[()])
+    slopes = []
+    for _ in range(REPEATS):
+        times = {}
+        for new_tokens in (64, 192):
+            t0 = time.perf_counter()
+            out, _, _ = spec(params, ids, kv, jnp.int32(new_tokens))
+            _ = np.asarray(out[:, -1])
+            times[new_tokens] = time.perf_counter() - t0
+        slopes.append((times[192] - times[64]) / (192 - 64))
+    spec_slope = statistics.median(slopes)
+    d_rounds = max(rounds[192] - rounds[64], 1)
+    verify_cost = spec_slope * (192 - 64) / d_rounds  # s per verify round
+    cost_ratio = verify_cost * results[0]  # vs one batch-1 decode step
+    return results[0], results[1], per_step_b8, 1.0 / spec_slope, cost_ratio
 
 
 RELAY_FIXED_COST_S = 0.047  # measured constant per jit invocation (BENCH.md)
@@ -355,11 +391,21 @@ def main():
         "tanh GELU (cosine >0.99 vs bf16, tests), headline stays bf16/erf",
     )
 
-    tok_b1, tok_b8, per_step_b8 = bench_decode()
+    tok_b1, tok_b8, per_step_b8, spec_ceiling, spec_cost = bench_decode()
     emit(
         "tokens_per_sec_decode", tok_b1, "tokens/s (batch 1, 3.8B int8)",
         A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE,
         "analytic estimate (30 tok/s A100 bnb-int8 HF generate)",
+    )
+    emit(
+        "tokens_per_sec_decode_speculative_ceiling", spec_ceiling,
+        f"tokens/s (batch 1, prompt-lookup spec decode, full-acceptance "
+        f"ceiling; verify/decode cost ratio {spec_cost:.2f} -> real "
+        f"speedup = (1+accepted)/{spec_cost:.2f}, lossless greedy)",
+        A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE,
+        "analytic estimate (same 30 tok/s A100 denominator; the reference "
+        "has no speculative mode — acceptance on real checkpoints is "
+        "workload-dependent, ceiling shown)",
     )
     emit(
         "tokens_per_sec_decode_batch8", tok_b8,

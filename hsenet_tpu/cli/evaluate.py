@@ -66,6 +66,11 @@ def main(argv=None):
     p.add_argument("--tokenizer", default="")
     p.add_argument("--csv", default="", help="per-sample CSV output (mrg)")
     p.add_argument("--max-samples", type=int, default=0)
+    p.add_argument("--spec-decode", action="store_true",
+                   help="prompt-lookup speculative decoding (lossless "
+                        "greedy, fewer forwards; eval/speculative.py)")
+    p.add_argument("--draft-len", type=int, default=7,
+                   help="spec-decode draft window (tokens verified/round)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard eval batches over a dp-axis mesh (>1 chip)")
     p.add_argument("--tp", type=int, default=1,
@@ -278,13 +283,19 @@ def main(argv=None):
 
         params = restore_params(args.checkpoint, params)
 
-    from hsenet_tpu.eval.generate import make_greedy_generate
-
-    gen = make_greedy_generate(
-        model, max_new_tokens=max_new, eos_token_id=tokenizer.eos_token_id,
+    gen_kwargs = dict(
+        max_new_tokens=max_new, eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id,
         cache_dtype=jnp.float32 if args.synthetic else jnp.bfloat16,
     )
+    if args.spec_decode:
+        from hsenet_tpu.eval.speculative import make_pld_generate
+
+        gen = make_pld_generate(model, draft_len=args.draft_len, **gen_kwargs)
+    else:
+        from hsenet_tpu.eval.generate import make_greedy_generate
+
+        gen = make_greedy_generate(model, **gen_kwargs)
     if args.dp > 1 or args.tp > 1:
         from hsenet_tpu.configs import MeshConfig
         from hsenet_tpu.eval.generate import make_data_parallel_generate

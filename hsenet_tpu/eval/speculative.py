@@ -53,16 +53,29 @@ def _pld_decode_loop(
     draft_len: int,
     ngram: int,
     collect_stats: bool = False,
+    budget: Optional[jax.Array] = None,
 ):
     """Shared PLD loop. `verify_fn(tokens (B,K+1), cache) -> (logits
     (B,K+1,V), cache)` must run the chunked multi-token decode path
     (writes K+1 cache entries at per-row `cache.lengths` offsets).
+
+    `budget`: optional RUNTIME generation budget (scalar/(B,), clamped to
+    max_new_tokens which sizes the buffers) — one compiled program serves
+    every per-request token limit, like `dynamic_steps` in
+    `generate.make_greedy_generate_llm_only`.
 
     Returns (tokens (B, max_new_tokens), stats) — stats is
     (verify_rounds, tokens_emitted) when `collect_stats` else None.
     """
     k = draft_len
     b, prompt_len = input_ids.shape
+    if budget is None:
+        limit = jnp.full((b,), max_new_tokens, jnp.int32)
+    else:
+        limit = jnp.minimum(
+            jnp.broadcast_to(jnp.asarray(budget, jnp.int32), (b,)),
+            max_new_tokens,
+        )
     # context buffer: prompt + committed + pending (+ slack so the tail
     # append of a final over-budget round never clamps)
     ctx_cap = prompt_len + max_new_tokens + 2 * k + 2
@@ -130,7 +143,7 @@ def _pld_decode_loop(
         is_eos = (inputs == eos_token_id) & (pos <= a[:, None])
         eos_pos = jnp.min(jnp.where(is_eos, pos, k + 1), axis=1)
         commit = jnp.minimum(a + 1, eos_pos + 1)
-        commit = jnp.minimum(commit, max_new_tokens - out_pos)
+        commit = jnp.minimum(commit, limit - out_pos)
         commit = jnp.where(done, 0, commit)
 
         out = write_rows(out, inputs, out_pos, commit)
@@ -153,7 +166,7 @@ def _pld_decode_loop(
         new_lengths = jnp.minimum(cache.lengths + adv, kv_cap - (k + 1))
         cache = new_cache.replace(lengths=new_lengths)
 
-        done = done | hit_eos | (out_pos >= max_new_tokens)
+        done = done | hit_eos | (out_pos >= limit)
         return (done, new_pending, ctx, ctx_len, out, out_pos, cache,
                 rounds + 1)
 
@@ -175,6 +188,7 @@ def make_pld_generate_llm_only(
     ngram: int = 2,
     cache_dtype=jnp.bfloat16,
     collect_stats: bool = False,
+    dynamic_budget: bool = False,
 ):
     """Prompt-lookup speculative greedy decode for a bare `Phi3ForCausalLM`
     (or `LlamaForCausalLM` — same call contract).
@@ -183,10 +197,13 @@ def make_pld_generate_llm_only(
     token ids, pad after EOS — bit-identical to
     `make_greedy_generate_llm_only`'s output, in fewer forwards. With
     `collect_stats`, returns (tokens, verify_rounds, tokens_emitted)
-    so callers can report the measured acceptance rate.
+    so callers can report the measured acceptance rate. With
+    `dynamic_budget`, the returned fn takes a trailing runtime
+    `num_tokens` argument (<= max_new_tokens) sharing one compile across
+    per-request limits.
     """
 
-    def generate(params, input_ids, kv_lens):
+    def generate(params, input_ids, kv_lens, num_tokens=None):
         b, prompt_len = input_ids.shape
         kv_lens = kv_lens.astype(jnp.int32)
         cache = KVCache.create(
@@ -224,12 +241,16 @@ def make_pld_generate_llm_only(
             draft_len=draft_len,
             ngram=ngram,
             collect_stats=collect_stats,
+            budget=num_tokens if dynamic_budget else None,
         )
         if collect_stats:
             return tokens, stats[0], stats[1]
         return tokens
 
-    return jax.jit(generate)
+    if dynamic_budget:
+        return jax.jit(generate)
+    return jax.jit(lambda params, input_ids, kv_lens: generate(
+        params, input_ids, kv_lens))
 
 
 def make_pld_generate(

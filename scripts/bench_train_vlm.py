@@ -27,6 +27,9 @@ def main():
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--layers", type=int, default=32)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--no-remat", action="store_true",
+                   help="probe: skip per-block rematerialisation "
+                        "(more HBM, fewer recompute FLOPs)")
     args = p.parse_args()
 
     from hsenet_tpu.configs import (
@@ -43,7 +46,7 @@ def main():
             lora=LoRAConfig(rank=16, alpha=32, dropout_rate=0.0),
         )
     )
-    model = HSENetVLM(cfg, dtype=jnp.bfloat16, remat=True)
+    model = HSENetVLM(cfg, dtype=jnp.bfloat16, remat=not args.no_remat)
     mesh = create_mesh(MeshConfig(dp=1, tp=1))
 
     b, seq = args.batch, args.seq

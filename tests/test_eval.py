@@ -331,6 +331,19 @@ def test_cli_evaluate_rec_synthetic():
         assert 0.0 <= m[k] <= 1.0
 
 
+def test_cli_evaluate_mrg_spec_decode_synthetic():
+    """--task mrg --spec-decode: the PLD generate path drops into the MRG
+    harness and produces the same metric dict shape as greedy."""
+    from hsenet_tpu.cli.evaluate import main
+
+    m = main([
+        "--task", "mrg", "--synthetic", "--spec-decode", "--draft-len", "4",
+        "--max-samples", "2",
+    ])
+    assert m["num_samples"] >= 1
+    assert "bleu1" in m and "rouge_l" in m
+
+
 def test_ratescore_fallback_entity_extraction():
     """Dictionary NER + NegEx-style polarity, hand-checkable cases."""
     from hsenet_tpu.eval.ratescore import extract_entities
