@@ -318,6 +318,14 @@ class Phi3Config:
     # scheme is 2.5-7x SLOWER than streaming int8; int8 weight-only is the
     # fastest storable decode format on v5e, already at its ~600 GB/s
     # speed of light (161 tok/s b1).
+    # remat policy when the model is built with remat=True:
+    #   "full" (default) — save only block inputs, recompute everything in
+    #   the backward (smallest memory; the reference's grad-checkpointing
+    #   analog, train_VLM.py gradient_checkpointing).
+    #   "dots" — jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+    #   keep matmul outputs, recompute only elementwise glue (more HBM,
+    #   fewer recompute FLOPs; fits the 4B LoRA finetune at batch 2/16 GB).
+    remat_policy: str = "full"
 
     @property
     def q_dim(self) -> int:

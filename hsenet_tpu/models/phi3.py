@@ -293,7 +293,14 @@ class Phi3Decoder(nn.Module):
 
         block_cls = Phi3Block
         if self.remat:
-            block_cls = nn.remat(Phi3Block, prevent_cse=False)
+            policy = None  # "full": save block inputs only
+            if cfg.remat_policy == "dots":
+                policy = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                )
+            block_cls = nn.remat(
+                Phi3Block, prevent_cse=False, policy=policy
+            )
 
         if cache is None:
 

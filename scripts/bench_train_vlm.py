@@ -30,6 +30,10 @@ def main():
     p.add_argument("--no-remat", action="store_true",
                    help="probe: skip per-block rematerialisation "
                         "(more HBM, fewer recompute FLOPs)")
+    p.add_argument("--remat-policy", default="full",
+                   choices=["full", "dots"],
+                   help="dots = keep matmul outputs, recompute only "
+                        "elementwise glue in the backward")
     args = p.parse_args()
 
     from hsenet_tpu.configs import (
@@ -44,6 +48,7 @@ def main():
         llm=Phi3Config(
             num_layers=args.layers,
             lora=LoRAConfig(rank=16, alpha=32, dropout_rate=0.0),
+            remat_policy=args.remat_policy,
         )
     )
     model = HSENetVLM(cfg, dtype=jnp.bfloat16, remat=not args.no_remat)

@@ -321,3 +321,31 @@ def test_longrope_matches_hf(rng):
     params = convert_hf_phi3(hf.state_dict(), cfg)
     logits, _ = model.apply(params, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-4, rtol=3e-4)
+
+
+def test_remat_policy_dots_matches_full(key, rng):
+    """remat_policy="dots" (keep matmul outputs in the backward) must be a
+    pure scheduling choice: loss and grads identical to full remat."""
+    ids = jnp.asarray(rng.integers(1, TINY.vocab_size, size=(2, 10)))
+
+    def loss_and_grads(policy):
+        cfg = dataclasses.replace(TINY, remat_policy=policy)
+        model = Phi3ForCausalLM(cfg, dtype=jnp.float32, remat=True)
+        params = model.init(key, ids)
+
+        def loss_fn(p):
+            logits, _ = model.apply(p, ids)
+            return jnp.mean(logits[:, :-1].astype(jnp.float32) ** 2)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    l_full, g_full = loss_and_grads("full")
+    l_dots, g_dots = loss_and_grads("dots")
+    np.testing.assert_allclose(float(l_full), float(l_dots), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        ),
+        g_full,
+        g_dots,
+    )
