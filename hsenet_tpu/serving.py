@@ -1,0 +1,244 @@
+"""Continuous-batching LLM serving engine — slot-based, all static shapes.
+
+The reference serves generation only as offline batch eval: pad a batch,
+`model.generate`, wait for the LONGEST sequence before any slot does new
+work (Bench/eval/eval_HSENet_CT_Rate_MRG.py:388-428). Under real traffic
+with mixed output lengths that idles most of the batch; continuous
+batching (vLLM-style) refills each finished row immediately.
+
+TPU-first adaptation (everything jit-compiled, three programs total):
+
+  * a fixed number of decode SLOTS (the batch dimension never changes
+    shape, so nothing recompiles as requests come and go);
+  * per-slot prefill: one batch-1 chunked prefill builds a fresh KV row,
+    then a jitted insert `dynamic_update_slice`s it into the live cache
+    at the slot index (a traced scalar — one compile serves every slot);
+  * decode runs in CHUNKS of `chunk_size` steps under `lax.scan` —
+    admission happens at chunk boundaries. On this relay every dispatch
+    pays a fixed ~47 ms round trip (BENCH.md), so per-step host syncs
+    would dominate; chunking amortises dispatch over many steps while
+    keeping admission latency bounded at chunk_size * step_time.
+  * a slot that hits EOS mid-chunk freezes (emits pad, per-slot `done`
+    mask) and is reaped + refilled at the next boundary — identical
+    per-request tokens to batch-1 greedy decode (equality-tested).
+
+The engine is model-agnostic over `Phi3ForCausalLM`/`LlamaForCausalLM`
+(same call contract). Throughput: batch-8 aggregate decode measures
+~635 tok/s on one v5e chip (BENCH.md); continuous refill keeps that rate
+under mixed-length traffic instead of decaying to the stragglers.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hsenet_tpu.models.phi3 import KVCache
+
+
+@dataclass
+class _Request:
+    uid: int
+    prompt: np.ndarray  # (prompt_len,) int32
+    max_new: int
+    tokens: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+class ServingEngine:
+    """Greedy continuous-batching engine over a causal-LM flax module.
+
+    Usage:
+        eng = ServingEngine(model, params, eos_token_id=2)
+        uid = eng.submit([1, 17, 93, ...])           # any number of these
+        results = eng.run_until_drained()            # {uid: [tokens...]}
+    or incrementally: `eng.step()` runs one admit+decode-chunk cycle and
+    returns the requests finished in that cycle.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        eos_token_id: int,
+        pad_token_id: int = 0,
+        num_slots: int = 8,
+        prompt_cap: int = 512,
+        max_new_tokens: int = 512,
+        chunk_size: int = 16,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.model = model
+        self.params = params
+        self.eos = eos_token_id
+        self.pad = pad_token_id
+        self.num_slots = num_slots
+        self.prompt_cap = prompt_cap
+        self.max_new = max_new_tokens
+        self.chunk = chunk_size
+        capacity = prompt_cap + max_new_tokens + chunk_size
+
+        cfg = model.config
+        self._cache = KVCache.create(
+            cfg, num_slots, capacity, dtype=cache_dtype
+        )
+        self._token = jnp.zeros((num_slots,), jnp.int32)
+        self._done = jnp.ones((num_slots,), bool)  # all slots free
+        self._slots: List[Optional[_Request]] = [None] * num_slots
+        self._queue: List[_Request] = []
+        self._uid = itertools.count()
+        self.steps_run = 0
+        self.slot_steps_used = 0  # active-slot steps (utilization stat)
+
+        def _prefill(params, ids, kv_len):
+            """(1, prompt_cap) right-padded prompt -> (first_token, row
+            KVCache at full capacity)."""
+            row = KVCache.create(cfg, 1, capacity, dtype=cache_dtype)
+            logits, row = model.apply(
+                params, ids, kv_lens=kv_len, cache=row, last_token_only=True
+            )
+            return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), row
+
+        def _insert(cache, token, done, row, first, slot):
+            k = jax.lax.dynamic_update_slice(
+                cache.k, row.k, (0, slot, 0, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache.v, row.v, (0, slot, 0, 0, 0)
+            )
+            lengths = cache.lengths.at[slot].set(row.lengths[0])
+            return (
+                KVCache(k=k, v=v, lengths=lengths),
+                token.at[slot].set(first[0]),
+                done.at[slot].set(False),
+            )
+
+        def _decode_chunk(params, cache, token, done):
+            def step(carry, _):
+                token, cache, done = carry
+                out_tok = jnp.where(done, pad_token_id, token)
+                logits, cache = model.apply(
+                    params, token[:, None], cache=cache
+                )
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                done_next = jnp.logical_or(done, token == eos_token_id)
+                nxt = jnp.where(done_next, pad_token_id, nxt)
+                # free/finished slots must not advance their cache length
+                # (their rows get fully overwritten at the next insert,
+                # but lengths growing past capacity would clamp writes);
+                # the decoder added 1 to every row, so undo it for frozen
+                # rows (clamped at 0 for never-used slots)
+                cache = cache.replace(
+                    lengths=jnp.maximum(
+                        jnp.where(done, cache.lengths - 1, cache.lengths),
+                        0,
+                    )
+                )
+                return (nxt, cache, done_next), out_tok
+
+            (token, cache, done), toks = jax.lax.scan(
+                step, (token, cache, done), None, length=chunk_size
+            )
+            return toks.T, cache, token, done  # (num_slots, chunk)
+
+        self._prefill = jax.jit(_prefill)
+        # donate the live state: the cache row copy is ~1 GB at production
+        # shape — without donation every chunk/insert would reallocate and
+        # memcpy it
+        self._insert = jax.jit(_insert, donate_argnums=(0, 1, 2))
+        self._decode_chunk = jax.jit(_decode_chunk, donate_argnums=(1, 2, 3))
+
+    # ---- public API ----
+
+    def submit(self, prompt_ids, max_new: Optional[int] = None) -> int:
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if len(prompt) > self.prompt_cap:
+            raise ValueError(
+                f"prompt length {len(prompt)} > prompt_cap {self.prompt_cap}"
+            )
+        req = _Request(
+            uid=next(self._uid),
+            prompt=prompt,
+            max_new=min(max_new or self.max_new, self.max_new),
+        )
+        self._queue.append(req)
+        return req.uid
+
+    @property
+    def active(self) -> int:
+        return sum(r is not None for r in self._slots)
+
+    @property
+    def pending(self) -> int:
+        return len(self._queue)
+
+    def step(self) -> Dict[int, List[int]]:
+        """Admit queued requests into free slots, decode one chunk, reap
+        finished requests. Returns {uid: tokens} finished this cycle."""
+        self._admit()
+        if self.active == 0:
+            return {}
+        toks, self._cache, self._token, self._done = self._decode_chunk(
+            self.params, self._cache, self._token, self._done
+        )
+        block = np.asarray(toks)  # (num_slots, chunk) — one host sync
+        self.steps_run += self.chunk
+        finished: Dict[int, List[int]] = {}
+        for s, req in enumerate(self._slots):
+            if req is None:
+                continue
+            self.slot_steps_used += self.chunk
+            for t in block[s]:
+                t = int(t)
+                if req.done:
+                    break
+                req.tokens.append(t)
+                if t == self.eos or len(req.tokens) >= req.max_new:
+                    req.done = True
+            if req.done:
+                finished[req.uid] = req.tokens
+                self._slots[s] = None
+                self._done = self._done.at[s].set(True)
+        return finished
+
+    def run_until_drained(self) -> Dict[int, List[int]]:
+        """Run cycles until every submitted request has finished."""
+        results: Dict[int, List[int]] = {}
+        while self._queue or self.active:
+            results.update(self.step())
+        return results
+
+    @property
+    def utilization(self) -> float:
+        """Fraction of decoded slot-steps that belonged to live requests."""
+        total = self.steps_run * self.num_slots
+        return self.slot_steps_used / total if total else 0.0
+
+    # ---- internals ----
+
+    def _admit(self):
+        for s in range(self.num_slots):
+            if self._slots[s] is not None or not self._queue:
+                continue
+            req = self._queue.pop(0)
+            ids = np.full((1, self.prompt_cap), self.pad, np.int32)
+            ids[0, : len(req.prompt)] = req.prompt
+            first, row = self._prefill(
+                self.params,
+                jnp.asarray(ids),
+                jnp.asarray([len(req.prompt)], jnp.int32),
+            )
+            self._cache, self._token, self._done = self._insert(
+                self._cache, self._token, self._done, row, first,
+                jnp.int32(s),
+            )
+            # the prefill's argmax becomes the slot's pending token; the
+            # decode chunk emits it as the request's first output (same
+            # accounting as make_greedy_generate_llm_only)
+            self._slots[s] = req

@@ -1,0 +1,134 @@
+"""Continuous-batching engine vs static batched generate, real chip.
+
+Run: python scripts/bench_serving.py [--layers 32] [--requests 32]
+
+Workload: mixed output budgets (the realistic serving regime — the
+reference's eval pads a batch and decodes until the LONGEST row
+finishes, idling every shorter row; eval_HSENet_CT_Rate_MRG.py:416-428).
+Both sides run the same 3.8B int8 model and the same request list:
+
+  * engine: `hsenet_tpu.serving.ServingEngine`, 8 slots, chunked scan
+    decode, slots refill as requests finish;
+  * static: batched dynamic-budget greedy generate, consecutive groups
+    of 8, each group decodes max(budget in group) steps.
+
+Useful-token throughput = sum(request budgets) / wall seconds.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=32)
+    p.add_argument("--requests", type=int, default=32)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--prompt-len", type=int, default=320)
+    p.add_argument("--chunk", type=int, default=64)
+    args = p.parse_args()
+
+    from hsenet_tpu.configs import Phi3Config
+    from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+    from hsenet_tpu.serving import ServingEngine
+
+    cfg = Phi3Config(
+        num_layers=args.layers, quant_int8=True, quant_int8_embed=True
+    )
+    model = Phi3ForCausalLM(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32)
+    )
+
+    @jax.jit
+    def materialise():
+        def fill(s):
+            if s.dtype == jnp.int8:
+                return jnp.ones(s.shape, jnp.int8)
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                return jnp.full(s.shape, 0.01, jnp.bfloat16)
+            return jnp.zeros(s.shape, s.dtype)
+
+        return jax.tree.map(fill, shapes)
+
+    params = materialise()
+    rng = np.random.default_rng(0)
+    budgets = [
+        int(b) for b in rng.choice(
+            [64, 128, 256, 384, 512], size=args.requests
+        )
+    ]
+    prompts = [
+        rng.integers(3, 1000, args.prompt_len) for _ in range(args.requests)
+    ]
+    total_tokens = sum(budgets)
+    print(f"{args.requests} requests, budgets 64-512 "
+          f"(sum {total_tokens} tokens)", flush=True)
+
+    # ---- continuous batching engine ----
+    eng = ServingEngine(
+        model, params, eos_token_id=-1, num_slots=args.slots,
+        prompt_cap=args.prompt_len, max_new_tokens=512,
+        chunk_size=args.chunk,
+    )
+    # warm all three programs (compile outside the timed region)
+    w = eng.submit(prompts[0], max_new=1)
+    eng.run_until_drained()
+    eng.steps_run = eng.slot_steps_used = 0
+
+    t0 = time.perf_counter()
+    for prompt, b in zip(prompts, budgets):
+        eng.submit(prompt, max_new=b)
+    results = eng.run_until_drained()
+    t_engine = time.perf_counter() - t0
+    got = sum(len(v) for v in results.values())
+    eng_tps = got / t_engine
+    print(f"engine: {got} tokens in {t_engine:.1f} s = {eng_tps:.1f} tok/s "
+          f"(slot utilization {eng.utilization:.2f})", flush=True)
+
+    # ---- static batched generate over the same workload ----
+    gen = make_greedy_generate_llm_only(
+        model, max_new_tokens=512, eos_token_id=-1, dynamic_steps=True
+    )
+    ids0 = jnp.asarray(np.stack(prompts[: args.slots]))
+    kv0 = jnp.full((args.slots,), args.prompt_len, jnp.int32)
+    _ = np.asarray(gen(params, ids0, kv0, jnp.int32(8))[:, -1])  # compile
+
+    t0 = time.perf_counter()
+    for i in range(0, args.requests, args.slots):
+        group = list(range(i, min(i + args.slots, args.requests)))
+        pad = args.slots - len(group)
+        ids = np.stack([prompts[j] for j in group]
+                       + [prompts[group[-1]]] * pad)
+        kv = jnp.full((args.slots,), args.prompt_len, jnp.int32)
+        steps = max(budgets[j] for j in group)
+        _ = np.asarray(
+            gen(params, jnp.asarray(ids), kv, jnp.int32(steps))[:, -1]
+        )
+    t_static = time.perf_counter() - t0
+    static_tps = total_tokens / t_static
+    print(f"static batches: {total_tokens} useful tokens in {t_static:.1f} s"
+          f" = {static_tps:.1f} tok/s", flush=True)
+
+    print(json.dumps({
+        "metric": "serving_continuous_batching",
+        "engine_tok_s": round(eng_tps, 1),
+        "static_tok_s": round(static_tps, 1),
+        "speedup": round(eng_tps / static_tps, 2),
+        "utilization": round(eng.utilization, 3),
+        "requests": args.requests,
+    }))
+
+
+if __name__ == "__main__":
+    main()
