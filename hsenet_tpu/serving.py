@@ -26,6 +26,12 @@ The engine is model-agnostic over `Phi3ForCausalLM`/`LlamaForCausalLM`
 (same call contract). Throughput: batch-8 aggregate decode measures
 ~635 tok/s on one v5e chip (BENCH.md); continuous refill keeps that rate
 under mixed-length traffic instead of decaying to the stragglers.
+
+Multi-chip: pass `mesh=` (axes ('dp','tp')) and the engine Megatron-shards
+the LLM weights by the standard rules (`parallel/sharding.py`) and the KV
+cache over kv heads on 'tp' — one engine serves the model across every
+chip of the mesh, with XLA inserting the collectives (equality-tested on
+the 8-device CPU mesh against the single-device engine).
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hsenet_tpu.models.phi3 import KVCache
 
@@ -73,9 +80,9 @@ class ServingEngine:
         max_new_tokens: int = 512,
         chunk_size: int = 16,
         cache_dtype=jnp.bfloat16,
+        mesh: Optional[Mesh] = None,
     ):
         self.model = model
-        self.params = params
         self.eos = eos_token_id
         self.pad = pad_token_id
         self.num_slots = num_slots
@@ -85,11 +92,29 @@ class ServingEngine:
         capacity = prompt_cap + max_new_tokens + chunk_size
 
         cfg = model.config
-        self._cache = KVCache.create(
-            cfg, num_slots, capacity, dtype=cache_dtype
+        # Multi-chip serving: on a mesh with a 'tp' axis the LLM weights
+        # are Megatron-sharded by the standard rules (parallel/sharding.py)
+        # and the KV cache is sharded over kv heads on the same axis, so
+        # one engine serves the model across all chips of the mesh. The
+        # host-side scheduler is unchanged — XLA inserts the collectives.
+        self._mesh = mesh
+        kv_spec = P()
+        if mesh is not None:
+            from hsenet_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+            tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+            if cfg.num_kv_heads % tp == 0:
+                kv_spec = P(None, None, "tp", None, None)
+        self.params = params
+        self._kv_spec = kv_spec
+
+        self._cache = self._place_cache(
+            KVCache.create(cfg, num_slots, capacity, dtype=cache_dtype)
         )
-        self._token = jnp.zeros((num_slots,), jnp.int32)
-        self._done = jnp.ones((num_slots,), bool)  # all slots free
+        self._token = self._replicate(jnp.zeros((num_slots,), jnp.int32))
+        # all slots start free
+        self._done = self._replicate(jnp.ones((num_slots,), bool))
         self._slots: List[Optional[_Request]] = [None] * num_slots
         self._queue: List[_Request] = []
         self._uid = itertools.count()
@@ -103,6 +128,12 @@ class ServingEngine:
             logits, row = model.apply(
                 params, ids, kv_lens=kv_len, cache=row, last_token_only=True
             )
+            if mesh is not None:
+                ns = NamedSharding(mesh, kv_spec)
+                row = row.replace(
+                    k=jax.lax.with_sharding_constraint(row.k, ns),
+                    v=jax.lax.with_sharding_constraint(row.v, ns),
+                )
             return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), row
 
         def _insert(cache, token, done, row, first, slot):
@@ -153,6 +184,22 @@ class ServingEngine:
         # memcpy it
         self._insert = jax.jit(_insert, donate_argnums=(0, 1, 2))
         self._decode_chunk = jax.jit(_decode_chunk, donate_argnums=(1, 2, 3))
+
+    def _place_cache(self, cache: KVCache) -> KVCache:
+        if self._mesh is None:
+            return cache
+        ns = NamedSharding(self._mesh, self._kv_spec)
+        rep = NamedSharding(self._mesh, P())
+        return KVCache(
+            k=jax.device_put(cache.k, ns),
+            v=jax.device_put(cache.v, ns),
+            lengths=jax.device_put(cache.lengths, rep),
+        )
+
+    def _replicate(self, x):
+        if self._mesh is None:
+            return x
+        return jax.device_put(x, NamedSharding(self._mesh, P()))
 
     # ---- public API ----
 
@@ -231,8 +278,8 @@ class ServingEngine:
             ids[0, : len(req.prompt)] = req.prompt
             first, row = self._prefill(
                 self.params,
-                jnp.asarray(ids),
-                jnp.asarray([len(req.prompt)], jnp.int32),
+                self._replicate(jnp.asarray(ids)),
+                self._replicate(jnp.asarray([len(req.prompt)], jnp.int32)),
             )
             self._cache, self._token, self._done = self._insert(
                 self._cache, self._token, self._done, row, first,

@@ -77,6 +77,40 @@ def test_serving_engine_matches_batch1_greedy(key, rng):
     assert eng.pending == 0 and eng.active == 0
 
 
+def test_serving_engine_tp_sharded_matches_single_device(key, rng):
+    """The engine on a (dp=2, tp=4) mesh must emit the same per-request
+    tokens as the unsharded engine (weights Megatron-sharded, KV cache
+    sharded over kv heads — one serving program across all chips)."""
+    from hsenet_tpu.configs import MeshConfig
+    from hsenet_tpu.parallel.mesh import create_mesh
+
+    model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
+    prompts = [rng.integers(3, TINY.vocab_size, size=n) for n in (5, 9, 13)]
+    params = model.init(key, jnp.asarray(prompts[0][None, :]))
+
+    kwargs = dict(
+        eos_token_id=EOS, pad_token_id=0, num_slots=2, prompt_cap=16,
+        max_new_tokens=MAX_NEW, chunk_size=4, cache_dtype=jnp.float32,
+    )
+    ref = ServingEngine(model, params, **kwargs)
+    ref_uids = [ref.submit(p) for p in prompts]
+    ref_results = ref.run_until_drained()
+
+    mesh = create_mesh(MeshConfig(dp=2, tp=4))
+    eng = ServingEngine(model, params, mesh=mesh, **kwargs)
+    # kv-head sharding really engaged (TINY has 2 kv heads, tp=4 doesn't
+    # divide -> replicated; assert on the weights instead, which always
+    # shard)
+    q_sharding = eng.params["params"]["decoder"]["layers"]["q_proj"][
+        "kernel"
+    ].sharding
+    assert "tp" in q_sharding.spec
+    uids = [eng.submit(p) for p in prompts]
+    results = eng.run_until_drained()
+    for ru, u in zip(ref_uids, uids):
+        assert results[u] == ref_results[ru]
+
+
 def test_serving_engine_incremental_and_budgets(key, rng):
     """Different per-request budgets + incremental step() driving."""
     model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
