@@ -53,6 +53,8 @@ class _Request:
     uid: int
     prompt: np.ndarray  # (prompt_len,) int32
     max_new: int
+    volume: Optional[np.ndarray] = None  # (1, C, D, H, W), multimodal only
+    slices: Optional[np.ndarray] = None  # (1, n_slices, feat_dim)
     tokens: List[int] = field(default_factory=list)
     done: bool = False
 
@@ -66,6 +68,11 @@ class ServingEngine:
         results = eng.run_until_drained()            # {uid: [tokens...]}
     or incrementally: `eng.step()` runs one admit+decode-chunk cycle and
     returns the requests finished in that cycle.
+
+    With `multimodal=True`, `model` is an `HSENetVLM` and each submit also
+    carries the CT volume (+ optional precomputed slice features); the
+    prompt must contain the image-placeholder block the splice overwrites
+    (BOS + num_image_tokens + text, as the datasets lay it out).
     """
 
     def __init__(
@@ -81,6 +88,7 @@ class ServingEngine:
         chunk_size: int = 16,
         cache_dtype=jnp.bfloat16,
         mesh: Optional[Mesh] = None,
+        multimodal: bool = False,
     ):
         self.model = model
         self.eos = eos_token_id
@@ -89,9 +97,15 @@ class ServingEngine:
         self.prompt_cap = prompt_cap
         self.max_new = max_new_tokens
         self.chunk = chunk_size
+        self.multimodal = multimodal
         capacity = prompt_cap + max_new_tokens + chunk_size
 
-        cfg = model.config
+        # multimodal=True serves the full HSENetVLM: submit() takes the CT
+        # volume (+ precomputed 2D slice features), admission runs the
+        # vision towers + packers + splice inside the prefill program
+        # (model.prefill / model.decode_step contract); the decode chunk is
+        # pure LLM either way — vision is never touched after prefill.
+        cfg = model.config.llm if multimodal else model.config
         # Multi-chip serving: on a mesh with a 'tp' axis the LLM weights
         # are Megatron-sharded by the standard rules (parallel/sharding.py)
         # and the KV cache is sharded over kv heads on the same axis, so
@@ -121,20 +135,40 @@ class ServingEngine:
         self.steps_run = 0
         self.slot_steps_used = 0  # active-slot steps (utilization stat)
 
-        def _prefill(params, ids, kv_len):
-            """(1, prompt_cap) right-padded prompt -> (first_token, row
-            KVCache at full capacity)."""
-            row = KVCache.create(cfg, 1, capacity, dtype=cache_dtype)
-            logits, row = model.apply(
-                params, ids, kv_lens=kv_len, cache=row, last_token_only=True
+        def _pin_row(row):
+            if mesh is None:
+                return row
+            ns = NamedSharding(mesh, kv_spec)
+            return row.replace(
+                k=jax.lax.with_sharding_constraint(row.k, ns),
+                v=jax.lax.with_sharding_constraint(row.v, ns),
             )
-            if mesh is not None:
-                ns = NamedSharding(mesh, kv_spec)
-                row = row.replace(
-                    k=jax.lax.with_sharding_constraint(row.k, ns),
-                    v=jax.lax.with_sharding_constraint(row.v, ns),
+
+        if multimodal:
+
+            def _prefill(params, ids, kv_len, volume, slices):
+                """(1, prompt_cap) prompt with image-placeholder block +
+                (1, C, D, H, W) volume -> (first_token, row KVCache)."""
+                row = KVCache.create(cfg, 1, capacity, dtype=cache_dtype)
+                logits, row = model.apply(
+                    params, ids, volume, slices, row, kv_len,
+                    method=type(model).prefill,
                 )
-            return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), row
+                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return first, _pin_row(row)
+
+        else:
+
+            def _prefill(params, ids, kv_len):
+                """(1, prompt_cap) right-padded prompt -> (first_token, row
+                KVCache at full capacity)."""
+                row = KVCache.create(cfg, 1, capacity, dtype=cache_dtype)
+                logits, row = model.apply(
+                    params, ids, kv_lens=kv_len, cache=row,
+                    last_token_only=True,
+                )
+                first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                return first, _pin_row(row)
 
         def _insert(cache, token, done, row, first, slot):
             k = jax.lax.dynamic_update_slice(
@@ -154,10 +188,17 @@ class ServingEngine:
             def step(carry, _):
                 token, cache, done = carry
                 out_tok = jnp.where(done, pad_token_id, token)
-                logits, cache = model.apply(
-                    params, token[:, None], cache=cache
-                )
-                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                if multimodal:
+                    step_logits, cache = model.apply(
+                        params, token[:, None], cache,
+                        method=type(model).decode_step,
+                    )  # (B, V)
+                else:
+                    logits, cache = model.apply(
+                        params, token[:, None], cache=cache
+                    )
+                    step_logits = logits[:, 0]
+                nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
                 done_next = jnp.logical_or(done, token == eos_token_id)
                 nxt = jnp.where(done_next, pad_token_id, nxt)
                 # free/finished slots must not advance their cache length
@@ -203,16 +244,33 @@ class ServingEngine:
 
     # ---- public API ----
 
-    def submit(self, prompt_ids, max_new: Optional[int] = None) -> int:
+    def submit(
+        self,
+        prompt_ids,
+        max_new: Optional[int] = None,
+        *,
+        volume=None,
+        slice_features=None,
+    ) -> int:
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         if len(prompt) > self.prompt_cap:
             raise ValueError(
                 f"prompt length {len(prompt)} > prompt_cap {self.prompt_cap}"
             )
+        if self.multimodal and volume is None:
+            raise ValueError("multimodal engine: submit() requires volume=")
+        if not self.multimodal and volume is not None:
+            raise ValueError("volume= requires ServingEngine(multimodal=True)")
         req = _Request(
             uid=next(self._uid),
             prompt=prompt,
             max_new=min(max_new or self.max_new, self.max_new),
+            volume=None if volume is None
+            else np.asarray(volume).reshape((1,) + np.shape(volume)[-4:]),
+            slices=None if slice_features is None
+            else np.asarray(slice_features).reshape(
+                (1,) + np.shape(slice_features)[-2:]
+            ),
         )
         self._queue.append(req)
         return req.uid
@@ -276,10 +334,18 @@ class ServingEngine:
             req = self._queue.pop(0)
             ids = np.full((1, self.prompt_cap), self.pad, np.int32)
             ids[0, : len(req.prompt)] = req.prompt
+            extra = ()
+            if self.multimodal:
+                extra = (
+                    self._replicate(jnp.asarray(req.volume)),
+                    None if req.slices is None
+                    else self._replicate(jnp.asarray(req.slices)),
+                )
             first, row = self._prefill(
                 self.params,
                 self._replicate(jnp.asarray(ids)),
                 self._replicate(jnp.asarray([len(req.prompt)], jnp.int32)),
+                *extra,
             )
             self._cache, self._token, self._done = self._insert(
                 self._cache, self._token, self._done, row, first,

@@ -111,6 +111,74 @@ def test_serving_engine_tp_sharded_matches_single_device(key, rng):
         assert results[u] == ref_results[ru]
 
 
+def test_serving_engine_multimodal_vlm(key, rng):
+    """Full-VLM serving: vision encode + splice run at admission, decode
+    chunks are pure LLM; per-request tokens match the batch-1 VLM greedy
+    reference for each request's own volume."""
+    from hsenet_tpu.configs import PackerConfig, ViT3DConfig, VLMConfig
+    from hsenet_tpu.eval.generate import make_greedy_generate
+    from hsenet_tpu.models.mllm import HSENetVLM
+
+    cfg = VLMConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2, num_slices=2,
+            slice_feature_dim=16,
+        ),
+        packer=PackerConfig(
+            grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=64,
+            dropout_rate=0.0,
+        ),
+        llm=TINY,
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    n_img = cfg.num_image_tokens
+    prompts, volumes, slices = [], [], []
+    for n_text in (3, 6, 4):
+        ids = rng.integers(3, TINY.vocab_size, size=1 + n_img + n_text)
+        ids[0] = 1  # BOS
+        prompts.append(ids)
+        volumes.append(rng.standard_normal((1, 1, 4, 16, 16), np.float32))
+        slices.append(rng.standard_normal((1, 2, 16), np.float32))
+    params = model.init(
+        key, jnp.asarray(prompts[0][None, :]), jnp.asarray(volumes[0]),
+        jnp.asarray(slices[0]),
+    )
+
+    gen = make_greedy_generate(
+        model, max_new_tokens=MAX_NEW, eos_token_id=EOS, pad_token_id=0,
+        cache_dtype=jnp.float32,
+    )
+
+    def expected(i):
+        row = np.asarray(
+            gen(
+                params, jnp.asarray(prompts[i][None, :]),
+                jnp.asarray([len(prompts[i])], jnp.int32),
+                jnp.asarray(volumes[i]), jnp.asarray(slices[i]),
+            )
+        )[0]
+        out = []
+        for t in row:
+            out.append(int(t))
+            if t == EOS:
+                break
+        return out
+
+    eng = ServingEngine(
+        model, params, eos_token_id=EOS, pad_token_id=0, num_slots=2,
+        prompt_cap=32, max_new_tokens=MAX_NEW, chunk_size=4,
+        cache_dtype=jnp.float32, multimodal=True,
+    )
+    uids = [
+        eng.submit(p, volume=v, slice_features=s)
+        for p, v, s in zip(prompts, volumes, slices)
+    ]
+    results = eng.run_until_drained()
+    for i, uid in enumerate(uids):
+        assert results[uid] == expected(i), f"request {i}"
+
+
 def test_serving_engine_incremental_and_budgets(key, rng):
     """Different per-request budgets + incremental step() driving."""
     model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
