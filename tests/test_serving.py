@@ -179,6 +179,36 @@ def test_serving_engine_multimodal_vlm(key, rng):
         assert results[uid] == expected(i), f"request {i}"
 
 
+def test_cli_serve_synthetic(tmp_path):
+    """Serving CLI smoke: tiny VLM, random multimodal requests, JSONL out."""
+    import json
+
+    from hsenet_tpu.cli.serve import main
+
+    out = tmp_path / "out.jsonl"
+    m = main([
+        "--synthetic", "--num-requests", "3", "--slots", "2", "--chunk",
+        "4", "--max-new-tokens", "6", "--prompt-cap", "64",
+        "--output", str(out),
+    ])
+    assert m["requests"] == 3 and m["tokens"] > 0
+    lines = [json.loads(s) for s in out.read_text().splitlines()]
+    assert len(lines) == 3
+    assert all(line["tokens"] for line in lines)
+
+
+def test_cli_serve_synthetic_llm_only_tp():
+    """--llm-only --tp 4: bare-decoder serving over a tp mesh."""
+    from hsenet_tpu.cli.serve import main
+
+    m = main([
+        "--synthetic", "--llm-only", "--tp", "4", "--num-requests", "2",
+        "--slots", "2", "--chunk", "4", "--max-new-tokens", "5",
+        "--prompt-cap", "32",
+    ])
+    assert m["requests"] == 2 and m["tp"] == 4
+
+
 def test_serving_engine_incremental_and_budgets(key, rng):
     """Different per-request budgets + incremental step() driving."""
     model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
