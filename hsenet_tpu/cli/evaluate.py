@@ -66,6 +66,13 @@ def main(argv=None):
     p.add_argument("--tokenizer", default="")
     p.add_argument("--csv", default="", help="per-sample CSV output (mrg)")
     p.add_argument("--max-samples", type=int, default=0)
+    p.add_argument("--do-sample", action="store_true",
+                   help="sample instead of greedy (HF generate's knobs, "
+                        "reference harness defaults are greedy)")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-p", type=float, default=None)
+    p.add_argument("--gen-seed", type=int, default=0,
+                   help="base PRNG key for --do-sample")
     p.add_argument("--spec-decode", action="store_true",
                    help="prompt-lookup speculative decoding (lossless "
                         "greedy, fewer forwards; eval/speculative.py)")
@@ -291,11 +298,29 @@ def main(argv=None):
     if args.spec_decode:
         from hsenet_tpu.eval.speculative import make_pld_generate
 
+        assert not args.do_sample, "--spec-decode is greedy-only (lossless)"
         gen = make_pld_generate(model, draft_len=args.draft_len, **gen_kwargs)
     else:
         from hsenet_tpu.eval.generate import make_greedy_generate
 
-        gen = make_greedy_generate(model, **gen_kwargs)
+        gen = make_greedy_generate(
+            model, do_sample=args.do_sample, temperature=args.temperature,
+            top_p=args.top_p, **gen_kwargs,
+        )
+    if args.do_sample:
+        # fresh fold of one base key per generate call so every eval batch
+        # samples independently but the run stays reproducible (--gen-seed)
+        import itertools
+
+        base_key = jax.random.PRNGKey(args.gen_seed)
+        counter = itertools.count()
+        inner_gen = gen
+
+        def gen(params, *a, **kw):
+            return inner_gen(
+                params, *a,
+                rng=jax.random.fold_in(base_key, next(counter)), **kw,
+            )
     if args.dp > 1 or args.tp > 1:
         from hsenet_tpu.configs import MeshConfig
         from hsenet_tpu.eval.generate import make_data_parallel_generate

@@ -6,6 +6,11 @@ Bench/eval/eval_HSENet_CT_Rate_MRG.py:416-428). The whole decode loop is a
 `lax.scan` inside one jit: vision encode + packer + prefill once, then
 max_new_tokens cached decode steps with per-row EOS freezing. Right-padded
 ragged prompts are handled by per-row KV-cache lengths.
+
+Greedy by default (the reference harnesses' default); `do_sample=True`
+with `temperature`/`top_p` matches HF generate's sampling knobs
+(Bench/eval/eval_HSENet_CT_Rate_MRG.py:112-114) — per-step keys are
+folded from one `rng=` argument inside the compiled loop.
 """
 
 from __future__ import annotations
@@ -17,6 +22,43 @@ from hsenet_tpu.models.mllm import HSENetVLM
 from hsenet_tpu.models.phi3 import KVCache
 
 
+def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filter with HF `TopPLogitsWarper` semantics: keep the
+    smallest descending-probability prefix whose cumulative probability
+    reaches `top_p` (always >= 1 token), set the rest to -inf.
+
+    The reference exposes this through HF generate's `top_p=` on every
+    eval harness (Bench/eval/eval_HSENet_CT_Rate_MRG.py:112-114,426-428).
+    Implemented as one descending sort + cumsum + threshold gather — no
+    scatter back through the sort permutation, which XLA lowers poorly.
+    """
+    logits = logits.astype(jnp.float32)
+    sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # token i (descending) survives iff the mass BEFORE it is < top_p
+    keep = jnp.maximum((cum - probs < top_p).sum(-1, keepdims=True), 1)
+    threshold = jnp.take_along_axis(sorted_logits, keep - 1, axis=-1)
+    return jnp.where(logits >= threshold, logits, -jnp.inf)
+
+
+def _make_next_token(do_sample: bool, temperature: float, top_p):
+    """(logits (B, V), key) -> token (B,): argmax or HF-style sampling
+    (temperature scale, then nucleus filter, then categorical)."""
+    if not do_sample:
+        return lambda logits, key: jnp.argmax(logits, axis=-1).astype(
+            jnp.int32
+        )
+
+    def next_token(logits, key):
+        logits = logits.astype(jnp.float32) / temperature
+        if top_p is not None and top_p < 1.0:
+            logits = apply_top_p(logits, top_p)
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+    return next_token
+
+
 def make_greedy_generate(
     model: HSENetVLM,
     *,
@@ -24,11 +66,25 @@ def make_greedy_generate(
     eos_token_id: int,
     pad_token_id: int = 0,
     cache_dtype=jnp.bfloat16,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p=None,
 ):
     """Returns generate(params, input_ids, kv_lens, volume, slice_features)
-    -> (B, max_new_tokens) token ids (pad after EOS). Jitted."""
+    -> (B, max_new_tokens) token ids (pad after EOS). Jitted.
 
-    def generate(params, input_ids, kv_lens, volume=None, slice_features=None):
+    `do_sample=True` selects HF-style sampling (temperature + nucleus
+    `top_p`, the reference harnesses' generate knobs); the returned fn then
+    takes a required keyword `rng=` PRNG key (per-step keys are folded in,
+    so one key randomizes the whole generation)."""
+    next_token = _make_next_token(do_sample, temperature, top_p)
+
+    def generate(
+        params, input_ids, kv_lens, volume=None, slice_features=None,
+        *, rng=None,
+    ):
+        if do_sample and rng is None:
+            raise ValueError("do_sample=True requires rng=")
         b, prompt_len = input_ids.shape
         cache = KVCache.create(
             model.config.llm, b, prompt_len + max_new_tokens, dtype=cache_dtype
@@ -42,15 +98,19 @@ def make_greedy_generate(
             kv_lens.astype(jnp.int32),
             method=HSENetVLM.prefill,
         )
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
+        first = next_token(
+            logits, jax.random.fold_in(rng, 0) if do_sample else None
+        )  # (B,)
 
-        def step(carry, _):
+        def step(carry, i):
             token, cache, done = carry
             out_tok = jnp.where(done, pad_token_id, token)
             next_logits, cache = model.apply(
                 params, token[:, None], cache, method=HSENetVLM.decode_step
             )
-            next_tok = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
+            next_tok = next_token(
+                next_logits, jax.random.fold_in(rng, i) if do_sample else None
+            )
             done = jnp.logical_or(done, token == eos_token_id)
             next_tok = jnp.where(done, pad_token_id, next_tok)
             return (next_tok, cache, done), out_tok
@@ -58,8 +118,7 @@ def make_greedy_generate(
         (_, _, _), tokens = jax.lax.scan(
             step,
             (first, cache, jnp.zeros((b,), bool)),
-            None,
-            length=max_new_tokens,
+            jnp.arange(1, max_new_tokens + 1),
         )
         return tokens.T  # (B, max_new_tokens)
 
@@ -82,7 +141,7 @@ def make_data_parallel_generate(gen, mesh):
     dp = mesh.shape.get("dp", 1)
     data = NamedSharding(mesh, P("dp"))
 
-    def wrapped(params, input_ids, kv_lens, *rest):
+    def wrapped(params, input_ids, kv_lens, *rest, **kwargs):
         b = input_ids.shape[0]
         pad = (-b) % dp
 
@@ -96,8 +155,9 @@ def make_data_parallel_generate(gen, mesh):
                 )
             return jax.device_put(a, data)
 
+        # kwargs (e.g. the sampling rng key) pass through unsharded
         out = gen(params, put(input_ids), put(kv_lens),
-                  *[put(a) for a in rest])
+                  *[put(a) for a in rest], **kwargs)
         return out[:b]
 
     return wrapped
@@ -106,6 +166,7 @@ def make_data_parallel_generate(gen, mesh):
 def make_greedy_generate_llm_only(
     model, *, max_new_tokens: int, eos_token_id: int, pad_token_id: int = 0,
     cache_dtype=jnp.bfloat16, dynamic_steps: bool = False,
+    do_sample: bool = False, temperature: float = 1.0, top_p=None,
 ):
     """Text-only variant for a bare `Phi3ForCausalLM` (used in tests/bench).
 
@@ -114,9 +175,13 @@ def make_greedy_generate_llm_only(
     max_new_tokens, which only sizes the output buffer/KV cache): the scan
     becomes a while_loop, so one compiled program serves every budget —
     serving can vary per-request token limits, and the benchmark's
-    two-point lengths share a single remote compile."""
+    two-point lengths share a single remote compile.
 
-    def _prefill(params, input_ids, kv_lens):
+    `do_sample`/`temperature`/`top_p` as in `make_greedy_generate` (the
+    returned fn then takes a required keyword `rng=`)."""
+    next_token = _make_next_token(do_sample, temperature, top_p)
+
+    def _prefill(params, input_ids, kv_lens, rng):
         b, prompt_len = input_ids.shape
         cache = KVCache.create(
             model.config, b, prompt_len + max_new_tokens, dtype=cache_dtype
@@ -128,20 +193,24 @@ def make_greedy_generate_llm_only(
             cache=cache,
             last_token_only=True,
         )
-        first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        first = next_token(
+            logits[:, 0], jax.random.fold_in(rng, 0) if do_sample else None
+        )
         return first, cache
 
-    def _step(params, token, cache, done):
+    def _step(params, token, cache, done, key):
         next_logits, cache = model.apply(params, token[:, None], cache=cache)
-        next_tok = jnp.argmax(next_logits[:, 0], axis=-1).astype(jnp.int32)
+        next_tok = next_token(next_logits[:, 0], key)
         done = jnp.logical_or(done, token == eos_token_id)
         next_tok = jnp.where(done, pad_token_id, next_tok)
         return next_tok, cache, done
 
     if dynamic_steps:
-        def generate(params, input_ids, kv_lens, num_steps):
+        def generate(params, input_ids, kv_lens, num_steps, *, rng=None):
+            if do_sample and rng is None:
+                raise ValueError("do_sample=True requires rng=")
             b = input_ids.shape[0]
-            first, cache = _prefill(params, input_ids, kv_lens)
+            first, cache = _prefill(params, input_ids, kv_lens, rng)
             tokens0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
             # clamp the runtime budget to the compiled buffer/KV capacity:
             # beyond it, writes would silently pile into the last slot
@@ -159,7 +228,10 @@ def make_greedy_generate_llm_only(
                     jnp.where(done, pad_token_id, token)[:, None],
                     (0, i),
                 )
-                token, cache, done = _step(params, token, cache, done)
+                key = (
+                    jax.random.fold_in(rng, i + 1) if do_sample else None
+                )
+                token, cache, done = _step(params, token, cache, done, key)
                 return (i + 1, token, cache, done, tokens)
 
             state = (
@@ -169,21 +241,23 @@ def make_greedy_generate_llm_only(
 
         return jax.jit(generate)
 
-    def generate(params, input_ids, kv_lens):
+    def generate(params, input_ids, kv_lens, *, rng=None):
+        if do_sample and rng is None:
+            raise ValueError("do_sample=True requires rng=")
         b = input_ids.shape[0]
-        first, cache = _prefill(params, input_ids, kv_lens)
+        first, cache = _prefill(params, input_ids, kv_lens, rng)
 
-        def step(carry, _):
+        def step(carry, i):
             token, cache, done = carry
             out_tok = jnp.where(done, pad_token_id, token)
-            token, cache, done = _step(params, token, cache, done)
+            key = jax.random.fold_in(rng, i) if do_sample else None
+            token, cache, done = _step(params, token, cache, done, key)
             return (token, cache, done), out_tok
 
         (_, _, _), tokens = jax.lax.scan(
             step,
             (first, cache, jnp.zeros((b,), bool)),
-            None,
-            length=max_new_tokens,
+            jnp.arange(1, max_new_tokens + 1),
         )
         return tokens.T
 

@@ -463,6 +463,129 @@ def test_llm_only_generate_dynamic_steps_matches_static():
         assert np.all(np.asarray(out)[:, n:] == 0)
 
 
+def test_apply_top_p_hand_values():
+    """Nucleus filter vs HF TopPLogitsWarper semantics on handcrafted
+    logits: keep the smallest descending-prob prefix reaching top_p."""
+    import jax.numpy as jnp
+
+    from hsenet_tpu.eval.generate import apply_top_p
+
+    # probs ~ [0.643, 0.237, 0.087, 0.032] for logits [3, 2, 1, 0]
+    logits = jnp.asarray([[3.0, 2.0, 1.0, 0.0]])
+    # top_p=0.5: first token alone (0.643 >= 0.5)
+    out = np.asarray(apply_top_p(logits, 0.5))[0]
+    assert np.isfinite(out[0]) and not np.isfinite(out[1:]).any()
+    # top_p=0.7: need two tokens (0.643 < 0.7 <= 0.880)
+    out = np.asarray(apply_top_p(logits, 0.7))[0]
+    assert np.isfinite(out[:2]).all() and not np.isfinite(out[2:]).any()
+    # top_p=1.0 keeps everything
+    assert np.isfinite(np.asarray(apply_top_p(logits, 1.0))).all()
+    # always keeps at least one token even for tiny top_p
+    out = np.asarray(apply_top_p(logits, 1e-9))[0]
+    assert np.isfinite(out[0]) and not np.isfinite(out[1:]).any()
+    # ties across the threshold: where() keeps every logit equal to the
+    # threshold value (same as HF's sorted-index scatter for exact ties)
+    out = np.asarray(apply_top_p(jnp.asarray([[2.0, 2.0, 0.0]]), 0.3))[0]
+    assert np.isfinite(out[:2]).all() and not np.isfinite(out[2])
+
+
+def test_sampling_generate_llm_only():
+    """do_sample plumbing: tiny top_p collapses to greedy; the same key
+    reproduces; flat temperature with full nucleus actually varies."""
+    import jax
+    import jax.numpy as jnp
+
+    from hsenet_tpu.configs import Phi3Config
+    from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+
+    cfg = Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, tie_word_embeddings=True,
+    )
+    model = Phi3ForCausalLM(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 64, (2, 10)), jnp.int32)
+    kv = jnp.full((2,), 10, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    kw = dict(max_new_tokens=8, eos_token_id=-1, cache_dtype=jnp.float32)
+
+    greedy = np.asarray(
+        make_greedy_generate_llm_only(model, **kw)(params, ids, kv)
+    )
+    collapse = make_greedy_generate_llm_only(
+        model, do_sample=True, top_p=1e-9, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(collapse(params, ids, kv, rng=jax.random.PRNGKey(1))),
+        greedy,
+    )
+    hot = make_greedy_generate_llm_only(
+        model, do_sample=True, temperature=10.0, **kw
+    )
+    a = np.asarray(hot(params, ids, kv, rng=jax.random.PRNGKey(2)))
+    b = np.asarray(hot(params, ids, kv, rng=jax.random.PRNGKey(2)))
+    c = np.asarray(hot(params, ids, kv, rng=jax.random.PRNGKey(3)))
+    np.testing.assert_array_equal(a, b)  # reproducible
+    assert (a != c).any()  # different key actually samples differently
+    assert (a != greedy).any()  # hot sampling is not argmax
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires rng"):
+        hot(params, ids, kv)
+
+
+def test_sampling_generate_vlm_and_dynamic():
+    """Sampling through the VLM factory and the dynamic-budget llm-only
+    path: tiny top_p equals the corresponding greedy output."""
+    import jax
+    import jax.numpy as jnp
+
+    from hsenet_tpu.configs import Phi3Config
+    from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
+
+    cfg = Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, tie_word_embeddings=True,
+    )
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+
+    model = Phi3ForCausalLM(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(3, 64, (2, 6)), jnp.int32)
+    kv = jnp.full((2,), 6, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    dyn_greedy = make_greedy_generate_llm_only(
+        model, max_new_tokens=8, eos_token_id=-1, dynamic_steps=True,
+        cache_dtype=jnp.float32,
+    )
+    dyn_collapse = make_greedy_generate_llm_only(
+        model, max_new_tokens=8, eos_token_id=-1, dynamic_steps=True,
+        cache_dtype=jnp.float32, do_sample=True, top_p=1e-9,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(
+            dyn_collapse(params, ids, kv, jnp.int32(5),
+                         rng=jax.random.PRNGKey(7))
+        ),
+        np.asarray(dyn_greedy(params, ids, kv, jnp.int32(5))),
+    )
+
+
+def test_cli_evaluate_mrg_do_sample_synthetic():
+    """--do-sample --top-p: the sampling generate drops into the MRG
+    harness and produces the same metric dict shape as greedy."""
+    from hsenet_tpu.cli.evaluate import main
+
+    m = main([
+        "--task", "mrg", "--synthetic", "--do-sample", "--temperature",
+        "0.8", "--top-p", "0.9", "--max-samples", "2",
+    ])
+    assert m["num_samples"] >= 1
+    assert "bleu1" in m and "rouge_l" in m
+
+
 def test_ratescore_rather_than_cue():
     """'rather than X' negates X (cue driven from the module constant)."""
     from hsenet_tpu.eval.ratescore import extract_entities
