@@ -54,6 +54,12 @@ def main(argv=None):
     p.add_argument("--pad-token-id", type=int, default=0)
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel shards (serve over a tp mesh)")
+    p.add_argument("--do-sample", action="store_true",
+                   help="sample instead of greedy (temperature + top-p)")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-p", type=float, default=None)
+    p.add_argument("--gen-seed", type=int, default=0,
+                   help="PRNG key for --do-sample")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -140,6 +146,10 @@ def main(argv=None):
         cache_dtype=jnp.float32 if args.synthetic else jnp.bfloat16,
         mesh=mesh,
         multimodal=multimodal,
+        do_sample=args.do_sample,
+        temperature=args.temperature,
+        top_p=args.top_p,
+        rng=jax.random.PRNGKey(args.gen_seed) if args.do_sample else None,
     )
 
     # ---- build the request list ----

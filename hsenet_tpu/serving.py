@@ -73,6 +73,10 @@ class ServingEngine:
     carries the CT volume (+ optional precomputed slice features); the
     prompt must contain the image-placeholder block the splice overwrites
     (BOS + num_image_tokens + text, as the datasets lay it out).
+
+    `do_sample=True` (+ `temperature`/`top_p`/`rng`) switches greedy argmax
+    for HF-style sampling, folded in-graph from the engine's admission and
+    step counters — reproducible for a fixed submission order.
     """
 
     def __init__(
@@ -89,6 +93,10 @@ class ServingEngine:
         cache_dtype=jnp.bfloat16,
         mesh: Optional[Mesh] = None,
         multimodal: bool = False,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p=None,
+        rng=None,
     ):
         self.model = model
         self.eos = eos_token_id
@@ -99,6 +107,25 @@ class ServingEngine:
         self.chunk = chunk_size
         self.multimodal = multimodal
         capacity = prompt_cap + max_new_tokens + chunk_size
+
+        # Sampling (HF generate's do_sample/temperature/top_p, like
+        # eval/generate.py): each decode step folds a global step counter
+        # into `rng`, each prefill folds the admission ordinal — the run is
+        # reproducible end-to-end for a fixed submission order, though a
+        # given request's draw depends on its position in the traffic
+        # (continuous batching mixes requests into shared chunk programs).
+        from hsenet_tpu.eval.generate import _make_next_token
+
+        if do_sample and rng is None:
+            raise ValueError("do_sample=True requires rng=")
+        self._do_sample = do_sample
+        self._admitted = 0
+        if do_sample:
+            # disjoint key spaces for prefill (folded by admission ordinal)
+            # and decode (folded by global step counter)
+            self._rng_prefill = jax.random.fold_in(rng, 0)
+            self._rng_decode = jax.random.fold_in(rng, 1)
+        next_token = _make_next_token(do_sample, temperature, top_p)
 
         # multimodal=True serves the full HSENetVLM: submit() takes the CT
         # volume (+ precomputed 2D slice features), admission runs the
@@ -144,9 +171,17 @@ class ServingEngine:
                 v=jax.lax.with_sharding_constraint(row.v, ns),
             )
 
+        def _first(logits, sample_args):
+            """Select the prefill's first token: argmax, or sample with a
+            key folded (in-graph) from the admission ordinal."""
+            if do_sample:
+                rng_key, ordinal = sample_args
+                return next_token(logits, jax.random.fold_in(rng_key, ordinal))
+            return next_token(logits, None)
+
         if multimodal:
 
-            def _prefill(params, ids, kv_len, volume, slices):
+            def _prefill(params, ids, kv_len, volume, slices, *sample_args):
                 """(1, prompt_cap) prompt with image-placeholder block +
                 (1, C, D, H, W) volume -> (first_token, row KVCache)."""
                 row = KVCache.create(cfg, 1, capacity, dtype=cache_dtype)
@@ -154,12 +189,11 @@ class ServingEngine:
                     params, ids, volume, slices, row, kv_len,
                     method=type(model).prefill,
                 )
-                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return first, _pin_row(row)
+                return _first(logits, sample_args), _pin_row(row)
 
         else:
 
-            def _prefill(params, ids, kv_len):
+            def _prefill(params, ids, kv_len, *sample_args):
                 """(1, prompt_cap) right-padded prompt -> (first_token, row
                 KVCache at full capacity)."""
                 row = KVCache.create(cfg, 1, capacity, dtype=cache_dtype)
@@ -167,8 +201,7 @@ class ServingEngine:
                     params, ids, kv_lens=kv_len, cache=row,
                     last_token_only=True,
                 )
-                first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-                return first, _pin_row(row)
+                return _first(logits[:, 0], sample_args), _pin_row(row)
 
         def _insert(cache, token, done, row, first, slot):
             k = jax.lax.dynamic_update_slice(
@@ -184,8 +217,8 @@ class ServingEngine:
                 done.at[slot].set(False),
             )
 
-        def _decode_chunk(params, cache, token, done):
-            def step(carry, _):
+        def _decode_chunk(params, cache, token, done, *sample_args):
+            def step(carry, i):
                 token, cache, done = carry
                 out_tok = jnp.where(done, pad_token_id, token)
                 if multimodal:
@@ -198,7 +231,14 @@ class ServingEngine:
                         params, token[:, None], cache=cache
                     )
                     step_logits = logits[:, 0]
-                nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+                if do_sample:
+                    # key folded from the engine's GLOBAL step counter, so
+                    # a fixed submission order reproduces exactly
+                    rng_key, step0 = sample_args
+                    key = jax.random.fold_in(rng_key, step0 + i)
+                else:
+                    key = None
+                nxt = next_token(step_logits, key)
                 done_next = jnp.logical_or(done, token == eos_token_id)
                 nxt = jnp.where(done_next, pad_token_id, nxt)
                 # free/finished slots must not advance their cache length
@@ -215,7 +255,7 @@ class ServingEngine:
                 return (nxt, cache, done_next), out_tok
 
             (token, cache, done), toks = jax.lax.scan(
-                step, (token, cache, done), None, length=chunk_size
+                step, (token, cache, done), jnp.arange(chunk_size)
             )
             return toks.T, cache, token, done  # (num_slots, chunk)
 
@@ -289,8 +329,12 @@ class ServingEngine:
         self._admit()
         if self.active == 0:
             return {}
+        sample_args = (
+            (self._rng_decode, jnp.int32(self.steps_run))
+            if self._do_sample else ()
+        )
         toks, self._cache, self._token, self._done = self._decode_chunk(
-            self.params, self._cache, self._token, self._done
+            self.params, self._cache, self._token, self._done, *sample_args
         )
         block = np.asarray(toks)  # (num_slots, chunk) — one host sync
         self.steps_run += self.chunk
@@ -341,6 +385,9 @@ class ServingEngine:
                     None if req.slices is None
                     else self._replicate(jnp.asarray(req.slices)),
                 )
+            if self._do_sample:
+                extra += (self._rng_prefill, jnp.int32(self._admitted))
+                self._admitted += 1
             first, row = self._prefill(
                 self.params,
                 self._replicate(jnp.asarray(ids)),

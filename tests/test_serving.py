@@ -179,6 +179,41 @@ def test_serving_engine_multimodal_vlm(key, rng):
         assert results[uid] == expected(i), f"request {i}"
 
 
+def test_serving_engine_sampling(key, rng):
+    """Sampling mode: tiny top_p collapses to the greedy engine's exact
+    outputs; hot sampling reproduces for a fixed submission order and
+    differs from greedy."""
+    import jax
+
+    model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
+    prompts = [rng.integers(3, TINY.vocab_size, size=n) for n in (5, 9, 7)]
+    params = model.init(key, jnp.asarray(prompts[0][None, :]))
+    kwargs = dict(
+        eos_token_id=EOS, pad_token_id=0, num_slots=2, prompt_cap=16,
+        max_new_tokens=MAX_NEW, chunk_size=4, cache_dtype=jnp.float32,
+    )
+
+    def run(**extra):
+        eng = ServingEngine(model, params, **kwargs, **extra)
+        uids = [eng.submit(p) for p in prompts]
+        res = eng.run_until_drained()
+        return [res[u] for u in uids]
+
+    greedy = run()
+    collapse = run(do_sample=True, top_p=1e-9, rng=jax.random.PRNGKey(1))
+    assert collapse == greedy
+    hot_a = run(do_sample=True, temperature=10.0, rng=jax.random.PRNGKey(2))
+    hot_b = run(do_sample=True, temperature=10.0, rng=jax.random.PRNGKey(2))
+    hot_c = run(do_sample=True, temperature=10.0, rng=jax.random.PRNGKey(3))
+    assert hot_a == hot_b  # reproducible for fixed submission order
+    assert hot_a != hot_c and hot_a != greedy
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires rng"):
+        ServingEngine(model, params, do_sample=True, **kwargs)
+
+
 def test_cli_serve_synthetic(tmp_path):
     """Serving CLI smoke: tiny VLM, random multimodal requests, JSONL out."""
     import json
