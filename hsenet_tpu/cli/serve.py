@@ -42,7 +42,9 @@ def main(argv=None):
                         "scripts/convert_reference_checkpoint.py --quant-int8)")
     p.add_argument("--requests", default="",
                    help="JSONL requests: {id, prompt_ids, max_new, "
-                        "volume?, slice_features?}")
+                        "volume?, slice_features?} — volume (.npy path) is "
+                        "required per request unless --llm-only; combines "
+                        "with --synthetic (tiny model, your requests)")
     p.add_argument("--output", default="", help="JSONL responses path")
     p.add_argument("--num-requests", type=int, default=8,
                    help="synthetic request count")
@@ -154,7 +156,7 @@ def main(argv=None):
 
     # ---- build the request list ----
     id_of = {}
-    if args.synthetic:
+    if args.synthetic and not args.requests:
         for i in range(args.num_requests):
             n_text = int(rng.integers(2, 8))
             if multimodal:
@@ -185,6 +187,12 @@ def main(argv=None):
                 req = json.loads(line)
                 kw = {}
                 if multimodal:
+                    if not req.get("volume"):
+                        raise SystemExit(
+                            f"request {req.get('id', '?')}: 'volume' is "
+                            "required when serving a VLM — use --llm-only "
+                            "for text-only requests"
+                        )
                     kw["volume"] = np.load(req["volume"])
                     if req.get("slice_features"):
                         kw["slice_features"] = np.load(req["slice_features"])

@@ -29,17 +29,21 @@ def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
 
     The reference exposes this through HF generate's `top_p=` on every
     eval harness (Bench/eval/eval_HSENet_CT_Rate_MRG.py:112-114,426-428).
-    Implemented as one descending sort + cumsum + threshold gather — no
-    scatter back through the sort permutation, which XLA lowers poorly.
+    Implemented with descending ranks (two stable argsorts + gathers, no
+    scatter, which XLA lowers poorly on TPU): each token survives iff its
+    rank lies inside the kept prefix — exact prefix semantics even when
+    several tokens tie at the cutoff logit (a value threshold would keep
+    every tie and leak probability mass past the nucleus).
     """
     logits = logits.astype(jnp.float32)
-    sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+    order = jnp.argsort(-logits, axis=-1)  # descending, stable
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # token i (descending) survives iff the mass BEFORE it is < top_p
     keep = jnp.maximum((cum - probs < top_p).sum(-1, keepdims=True), 1)
-    threshold = jnp.take_along_axis(sorted_logits, keep - 1, axis=-1)
-    return jnp.where(logits >= threshold, logits, -jnp.inf)
+    rank = jnp.argsort(order, axis=-1)  # each token's descending rank
+    return jnp.where(rank < keep, logits, -jnp.inf)
 
 
 def _make_next_token(do_sample: bool, temperature: float, top_p):
@@ -48,6 +52,12 @@ def _make_next_token(do_sample: bool, temperature: float, top_p):
     if not do_sample:
         return lambda logits, key: jnp.argmax(logits, axis=-1).astype(
             jnp.int32
+        )
+    if temperature <= 0:
+        # HF raises too; dividing by 0/negative silently corrupts sampling
+        raise ValueError(
+            f"temperature must be > 0 with do_sample (got {temperature}); "
+            "use do_sample=False for greedy"
         )
 
     def next_token(logits, key):

@@ -483,10 +483,11 @@ def test_apply_top_p_hand_values():
     # always keeps at least one token even for tiny top_p
     out = np.asarray(apply_top_p(logits, 1e-9))[0]
     assert np.isfinite(out[0]) and not np.isfinite(out[1:]).any()
-    # ties across the threshold: where() keeps every logit equal to the
-    # threshold value (same as HF's sorted-index scatter for exact ties)
+    # ties across the threshold: exact prefix semantics — only the first
+    # of the tied tokens survives (matches HF's sorted-index scatter,
+    # which also removes tied tokens past the nucleus boundary)
     out = np.asarray(apply_top_p(jnp.asarray([[2.0, 2.0, 0.0]]), 0.3))[0]
-    assert np.isfinite(out[:2]).all() and not np.isfinite(out[2])
+    assert np.isfinite(out[0]) and not np.isfinite(out[1:]).any()
 
 
 def test_sampling_generate_llm_only():

@@ -232,6 +232,41 @@ def test_cli_serve_synthetic(tmp_path):
     assert all(line["tokens"] for line in lines)
 
 
+def test_cli_serve_requests_file(tmp_path):
+    """--requests JSONL path: llm-only serves text requests; a VLM run
+    rejects a text-only line with a clear error instead of a KeyError."""
+    import json
+
+    import pytest
+
+    from hsenet_tpu.cli.serve import main
+
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text(
+        json.dumps({"id": "r0", "prompt_ids": [1, 5, 9], "max_new": 4})
+        + "\n"
+        + json.dumps({"id": "r1", "prompt_ids": [1, 7], "max_new": 3})
+        + "\n"
+    )
+    out = tmp_path / "out.jsonl"
+    m = main([
+        "--synthetic", "--llm-only", "--requests", str(reqs),
+        "--slots", "2", "--chunk", "4", "--max-new-tokens", "6",
+        "--prompt-cap", "32", "--output", str(out),
+    ])
+    assert m["requests"] == 2
+    ids = {json.loads(s)["id"] for s in out.read_text().splitlines()}
+    assert ids == {"r0", "r1"}
+
+    # multimodal engine + request without a volume: clear error
+    with pytest.raises(SystemExit, match="volume.*required"):
+        main([
+            "--synthetic", "--requests", str(reqs),
+            "--slots", "2", "--chunk", "4", "--max-new-tokens", "6",
+            "--prompt-cap", "64",
+        ])
+
+
 def test_cli_serve_synthetic_llm_only_tp():
     """--llm-only --tp 4: bare-decoder serving over a tp mesh."""
     from hsenet_tpu.cli.serve import main
