@@ -62,6 +62,11 @@ def main(argv=None):
     p.add_argument("--top-p", type=float, default=None)
     p.add_argument("--gen-seed", type=int, default=0,
                    help="PRNG key for --do-sample")
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding (lossless "
+                        "greedy; chunk becomes verify ROUNDS)")
+    p.add_argument("--draft-len", type=int, default=7)
+    p.add_argument("--ngram", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -152,6 +157,9 @@ def main(argv=None):
         temperature=args.temperature,
         top_p=args.top_p,
         rng=jax.random.PRNGKey(args.gen_seed) if args.do_sample else None,
+        speculative=args.speculative,
+        draft_len=args.draft_len,
+        ngram=args.ngram,
     )
 
     # ---- build the request list ----
@@ -230,6 +238,8 @@ def main(argv=None):
         "slots": args.slots,
         "tp": args.tp,
     }
+    if args.speculative:
+        summary["mean_committed_per_round"] = round(eng.mean_accepted, 2)
     print(json.dumps(summary))
     return summary
 

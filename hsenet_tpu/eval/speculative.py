@@ -40,6 +40,114 @@ from hsenet_tpu.models.mllm import HSENetVLM
 from hsenet_tpu.models.phi3 import KVCache
 
 
+def _write_rows(buf, vals, starts, counts, width):
+    """Per-row masked window write: buf[b, starts[b]+i] = vals[b, i]
+    for i < counts[b] (vals is (B, width))."""
+
+    def row(o, v, s, n):
+        cur = jax.lax.dynamic_slice(o, (s,), (width,))
+        merged = jnp.where(jnp.arange(width) < n, v, cur)
+        return jax.lax.dynamic_update_slice(o, merged, (s,))
+
+    return jax.vmap(row)(buf, vals, starts, counts)
+
+
+def pld_round(
+    verify_fn: Callable,
+    pending: jax.Array,
+    cache: KVCache,
+    ctx: jax.Array,
+    ctx_len: jax.Array,
+    done: jax.Array,
+    emitted: jax.Array,
+    limit: jax.Array,
+    *,
+    draft_len: int,
+    ngram: int,
+    eos_token_id: int,
+    pad_token_id: int,
+):
+    """One prompt-lookup draft + verify + accept round over B rows.
+
+    State contract (all static shapes, jit-safe):
+      pending (B,)    the next unverified greedy token per row
+      cache           KVCache positioned at each row's committed length
+      ctx (B, C)      prompt + committed tokens (+ pending at ctx_len-1)
+      ctx_len (B,)    live prefix length of `ctx` (includes pending)
+      done (B,)       frozen rows — they neither draft nor advance
+      emitted (B,)    tokens committed so far (vs `limit`, the budget)
+
+    Returns the advanced state plus `(inputs, commit)`: this round's
+    (B, draft_len+1) candidate tokens and how many of each row's
+    candidates were committed (0 for done rows) — the caller owns the
+    output buffer and writes `inputs[:, :commit]` wherever it wants
+    (a flat per-request buffer in the offline loop, per-round blocks in
+    the serving engine). Shared by `_pld_decode_loop` and
+    `serving.ServingEngine(speculative=True)` so the acceptance logic
+    exists exactly once.
+    """
+    k = draft_len
+    b, ctx_cap = ctx.shape
+    kv_cap = cache.k.shape[3]
+
+    # ---- draft: latest prior occurrence of the trailing n-gram ----
+    key = jax.vmap(
+        lambda c, l: jax.lax.dynamic_slice(c, (l - ngram,), (ngram,))
+    )(ctx, ctx_len)
+    n_win = ctx_cap - ngram + 1
+    match = jnp.ones((b, n_win), bool)
+    for j in range(ngram):
+        match = match & (ctx[:, j : j + n_win] == key[:, j : j + 1])
+    widx = jnp.arange(n_win)[None, :]
+    # window [i, i+ngram) must end strictly before the trailing key
+    # itself (pending sits at ctx_len-1)
+    match = match & (widx + ngram < ctx_len[:, None])
+    p = jnp.max(jnp.where(match, widx, -1), axis=1)  # -1 = no match
+    start = jnp.clip(p + ngram, 0, ctx_cap - k)
+    drafts = jax.vmap(
+        lambda c, s: jax.lax.dynamic_slice(c, (s,), (k,))
+    )(ctx, start)
+    dpos = start[:, None] + jnp.arange(k)[None, :]
+    valid_src = (p >= 0)[:, None] & (dpos < ctx_len[:, None])
+    drafts = jnp.where(valid_src, drafts, pad_token_id)
+
+    # ---- verify: one chunked forward over [pending, drafts] ----
+    inputs = jnp.concatenate([pending[:, None], drafts], axis=1)
+    logits, new_cache = verify_fn(inputs, cache)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+
+    ok = jnp.cumprod((drafts == greedy[:, :k]).astype(jnp.int32), axis=1)
+    a = jnp.sum(ok, axis=1)  # accepted drafts per row, 0..k
+    new_pending = jnp.take_along_axis(greedy, a[:, None], axis=1)[:, 0]
+
+    # committed tokens = inputs[:, :a+1], cut at EOS / budget
+    pos = jnp.arange(k + 1)[None, :]
+    is_eos = (inputs == eos_token_id) & (pos <= a[:, None])
+    eos_pos = jnp.min(jnp.where(is_eos, pos, k + 1), axis=1)
+    commit = jnp.minimum(a + 1, eos_pos + 1)
+    commit = jnp.minimum(commit, limit - emitted)
+    commit = jnp.where(done, 0, commit)
+    emitted = emitted + commit
+    hit_eos = eos_pos <= a
+
+    # append accepted drafts + the new pending token to the context
+    app = jnp.concatenate([drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)
+    app = jax.vmap(lambda r, i, t: r.at[i].set(t))(app, a, new_pending)
+    n_app = jnp.where(done | hit_eos, 0, a + 1)
+    ctx = _write_rows(ctx, app, ctx_len, n_app, k + 1)
+    ctx_len = ctx_len + n_app
+
+    # cache rollback: only `lengths` moves; rejected slots stay masked
+    # until the next verify overwrites them. Clamp so the (k+1)-wide
+    # write of a finished row can never leave the buffer.
+    adv = jnp.where(done, 0, a + 1)
+    new_lengths = jnp.minimum(cache.lengths + adv, kv_cap - (k + 1))
+    cache = new_cache.replace(lengths=new_lengths)
+
+    done = done | hit_eos | (emitted >= limit)
+    return new_pending, cache, ctx, ctx_len, done, emitted, inputs, commit
+
+
 def _pld_decode_loop(
     verify_fn: Callable,
     pending: jax.Array,
@@ -79,7 +187,6 @@ def _pld_decode_loop(
     # context buffer: prompt + committed + pending (+ slack so the tail
     # append of a final over-budget round never clamps)
     ctx_cap = prompt_len + max_new_tokens + 2 * k + 2
-    kv_cap = cache.k.shape[3]
 
     ctx = jnp.zeros((b, ctx_cap), jnp.int32)
     ctx = ctx.at[:, :prompt_len].set(input_ids.astype(jnp.int32))
@@ -91,83 +198,19 @@ def _pld_decode_loop(
     done = jnp.zeros((b,), bool)
     rounds = jnp.int32(0)
 
-    def write_rows(buf, vals, starts, counts):
-        """Per-row masked window write: buf[b, starts[b]+i] = vals[b, i]
-        for i < counts[b]."""
-
-        def row(o, v, s, n):
-            cur = jax.lax.dynamic_slice(o, (s,), (k + 1,))
-            merged = jnp.where(jnp.arange(k + 1) < n, v, cur)
-            return jax.lax.dynamic_update_slice(o, merged, (s,))
-
-        return jax.vmap(row)(buf, vals, starts, counts)
-
     def cond(state):
         return jnp.any(~state[0])
 
     def body(state):
         done, pending, ctx, ctx_len, out, out_pos, cache, rounds = state
-
-        # ---- draft: latest prior occurrence of the trailing n-gram ----
-        key = jax.vmap(
-            lambda c, l: jax.lax.dynamic_slice(c, (l - ngram,), (ngram,))
-        )(ctx, ctx_len)
-        n_win = ctx_cap - ngram + 1
-        match = jnp.ones((b, n_win), bool)
-        for j in range(ngram):
-            match = match & (ctx[:, j : j + n_win] == key[:, j : j + 1])
-        widx = jnp.arange(n_win)[None, :]
-        # window [i, i+ngram) must end strictly before the trailing key
-        # itself (pending sits at ctx_len-1)
-        match = match & (widx + ngram < ctx_len[:, None])
-        p = jnp.max(jnp.where(match, widx, -1), axis=1)  # -1 = no match
-        start = jnp.clip(p + ngram, 0, ctx_cap - k)
-        drafts = jax.vmap(
-            lambda c, s: jax.lax.dynamic_slice(c, (s,), (k,))
-        )(ctx, start)
-        dpos = start[:, None] + jnp.arange(k)[None, :]
-        valid_src = (p >= 0)[:, None] & (dpos < ctx_len[:, None])
-        drafts = jnp.where(valid_src, drafts, pad_token_id)
-
-        # ---- verify: one chunked forward over [pending, drafts] ----
-        inputs = jnp.concatenate([pending[:, None], drafts], axis=1)
-        logits, new_cache = verify_fn(inputs, cache)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
-
-        ok = jnp.cumprod((drafts == greedy[:, :k]).astype(jnp.int32), axis=1)
-        a = jnp.sum(ok, axis=1)  # accepted drafts per row, 0..k
-        new_pending = jnp.take_along_axis(greedy, a[:, None], axis=1)[:, 0]
-
-        # committed tokens = inputs[:, :a+1], cut at EOS / budget
-        pos = jnp.arange(k + 1)[None, :]
-        is_eos = (inputs == eos_token_id) & (pos <= a[:, None])
-        eos_pos = jnp.min(jnp.where(is_eos, pos, k + 1), axis=1)
-        commit = jnp.minimum(a + 1, eos_pos + 1)
-        commit = jnp.minimum(commit, limit - out_pos)
-        commit = jnp.where(done, 0, commit)
-
-        out = write_rows(out, inputs, out_pos, commit)
-        out_pos = out_pos + commit
-        hit_eos = eos_pos <= a
-
-        # append accepted drafts + the new pending token to the context
-        app = jnp.concatenate(
-            [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1
+        (pending, cache, ctx, ctx_len, done, new_pos, inputs,
+         commit) = pld_round(
+            verify_fn, pending, cache, ctx, ctx_len, done, out_pos, limit,
+            draft_len=k, ngram=ngram, eos_token_id=eos_token_id,
+            pad_token_id=pad_token_id,
         )
-        app = jax.vmap(lambda r, i, t: r.at[i].set(t))(app, a, new_pending)
-        n_app = jnp.where(done | hit_eos, 0, a + 1)
-        ctx = write_rows(ctx, app, ctx_len, n_app)
-        ctx_len = ctx_len + n_app
-
-        # cache rollback: only `lengths` moves; rejected slots stay masked
-        # until the next verify overwrites them. Clamp so the (k+1)-wide
-        # write of a finished row can never leave the buffer.
-        adv = jnp.where(done, 0, a + 1)
-        new_lengths = jnp.minimum(cache.lengths + adv, kv_cap - (k + 1))
-        cache = new_cache.replace(lengths=new_lengths)
-
-        done = done | hit_eos | (out_pos >= limit)
-        return (done, new_pending, ctx, ctx_len, out, out_pos, cache,
+        out = _write_rows(out, inputs, out_pos, commit, k + 1)
+        return (done, pending, ctx, ctx_len, out, new_pos, cache,
                 rounds + 1)
 
     state = (done, pending, ctx, ctx_len, out, out_pos, cache, rounds)

@@ -77,6 +77,17 @@ class ServingEngine:
     `do_sample=True` (+ `temperature`/`top_p`/`rng`) switches greedy argmax
     for HF-style sampling, folded in-graph from the engine's admission and
     step counters — reproducible for a fixed submission order.
+
+    `speculative=True` replaces the one-token decode steps with
+    prompt-lookup speculative verify rounds (`eval/speculative.pld_round`):
+    each round drafts `draft_len` tokens per slot from the slot's own
+    context (device-side n-gram retrieval) and verifies them in ONE
+    chunked forward, committing 1..draft_len+1 tokens — lossless, the
+    per-request tokens stay bit-identical to the greedy engine
+    (equality-tested). A chunk is then `chunk_size` verify ROUNDS under
+    one `lax.scan` dispatch, so at acceptance `a` a chunk advances up to
+    `chunk_size*(1+a)` tokens per slot for the same dispatch overhead.
+    Greedy-only (incompatible with `do_sample`).
     """
 
     def __init__(
@@ -97,6 +108,9 @@ class ServingEngine:
         temperature: float = 1.0,
         top_p=None,
         rng=None,
+        speculative: bool = False,
+        draft_len: int = 7,
+        ngram: int = 2,
     ):
         self.model = model
         self.eos = eos_token_id
@@ -106,7 +120,21 @@ class ServingEngine:
         self.max_new = max_new_tokens
         self.chunk = chunk_size
         self.multimodal = multimodal
-        capacity = prompt_cap + max_new_tokens + chunk_size
+        if speculative and do_sample:
+            raise ValueError(
+                "speculative=True is lossless greedy decode; it cannot be "
+                "combined with do_sample=True"
+            )
+        self.speculative = speculative
+        self.draft_len = draft_len
+        self.ngram = ngram
+        if speculative:
+            # verify writes draft_len+1 entries at per-row offsets and the
+            # budget can overshoot by one round before `done` latches
+            # (pld_round clamps at capacity - (draft_len+1) as a backstop)
+            capacity = prompt_cap + max_new_tokens + 2 * (draft_len + 1)
+        else:
+            capacity = prompt_cap + max_new_tokens + chunk_size
 
         # Sampling (HF generate's do_sample/temperature/top_p, like
         # eval/generate.py): each decode step folds a global step counter
@@ -156,6 +184,22 @@ class ServingEngine:
         self._token = self._replicate(jnp.zeros((num_slots,), jnp.int32))
         # all slots start free
         self._done = self._replicate(jnp.ones((num_slots,), bool))
+        if speculative:
+            # per-slot context buffer for device-side n-gram drafting +
+            # in-graph budget state (free slots have limit 0 => commit 0)
+            ctx_cap = prompt_cap + max_new_tokens + 2 * (draft_len + 1)
+            self._ctx = self._replicate(
+                jnp.zeros((num_slots, ctx_cap), jnp.int32)
+            )
+            self._ctx_len = self._replicate(
+                jnp.zeros((num_slots,), jnp.int32)
+            )
+            self._emitted = self._replicate(
+                jnp.zeros((num_slots,), jnp.int32)
+            )
+            self._limit = self._replicate(jnp.zeros((num_slots,), jnp.int32))
+            self.verify_rounds_used = 0  # active-slot verify rounds
+            self.tokens_committed = 0
         self._slots: List[Optional[_Request]] = [None] * num_slots
         self._queue: List[_Request] = []
         self._uid = itertools.count()
@@ -217,6 +261,57 @@ class ServingEngine:
                 done.at[slot].set(False),
             )
 
+        def _insert_spec(cache, token, done, ctx, ctx_len, emitted, limit,
+                         row, first, slot, prompt_row, prompt_len, budget):
+            """_insert plus the speculative per-slot state: seed the slot's
+            context buffer with prompt + first token, reset its budget."""
+            cache, token, done = _insert(cache, token, done, row, first, slot)
+            row_ctx = jnp.zeros((ctx.shape[1],), jnp.int32)
+            row_ctx = jax.lax.dynamic_update_slice(
+                row_ctx, prompt_row[0].astype(jnp.int32), (0,)
+            )
+            row_ctx = row_ctx.at[prompt_len].set(first[0])
+            ctx = jax.lax.dynamic_update_slice(ctx, row_ctx[None], (slot, 0))
+            ctx_len = ctx_len.at[slot].set(prompt_len + 1)
+            emitted = emitted.at[slot].set(0)
+            limit = limit.at[slot].set(budget)
+            return cache, token, done, ctx, ctx_len, emitted, limit
+
+        def _spec_chunk(params, cache, token, done, ctx, ctx_len, emitted,
+                        limit):
+            """chunk_size prompt-lookup verify rounds under one dispatch.
+            Returns per-round candidate blocks (chunk, slots, draft_len+1)
+            + commit counts (chunk, slots) for host-side emission."""
+            from hsenet_tpu.eval.speculative import pld_round
+
+            kv = jnp.full((num_slots,), draft_len + 1, jnp.int32)
+
+            def verify(tokens, c):
+                if multimodal:
+                    return model.apply(
+                        params, tokens, c, kv, method=type(model).verify_step
+                    )
+                return model.apply(params, tokens, cache=c, kv_lens=kv)
+
+            def round_step(carry, _):
+                token, cache, done, ctx, ctx_len, emitted = carry
+                (token, cache, ctx, ctx_len, done, emitted, inputs,
+                 commit) = pld_round(
+                    verify, token, cache, ctx, ctx_len, done, emitted,
+                    limit, draft_len=draft_len, ngram=ngram,
+                    eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+                )
+                return (token, cache, done, ctx, ctx_len, emitted), (
+                    inputs, commit
+                )
+
+            carry, (toks, counts) = jax.lax.scan(
+                round_step, (token, cache, done, ctx, ctx_len, emitted),
+                None, length=chunk_size,
+            )
+            token, cache, done, ctx, ctx_len, emitted = carry
+            return toks, counts, cache, token, done, ctx, ctx_len, emitted
+
         def _decode_chunk(params, cache, token, done, *sample_args):
             def step(carry, i):
                 token, cache, done = carry
@@ -263,8 +358,18 @@ class ServingEngine:
         # donate the live state: the cache row copy is ~1 GB at production
         # shape — without donation every chunk/insert would reallocate and
         # memcpy it
-        self._insert = jax.jit(_insert, donate_argnums=(0, 1, 2))
-        self._decode_chunk = jax.jit(_decode_chunk, donate_argnums=(1, 2, 3))
+        if speculative:
+            self._insert = jax.jit(
+                _insert_spec, donate_argnums=(0, 1, 2, 3, 4, 5, 6)
+            )
+            self._spec_chunk = jax.jit(
+                _spec_chunk, donate_argnums=(1, 2, 3, 4, 5, 6)
+            )
+        else:
+            self._insert = jax.jit(_insert, donate_argnums=(0, 1, 2))
+            self._decode_chunk = jax.jit(
+                _decode_chunk, donate_argnums=(1, 2, 3)
+            )
 
     def _place_cache(self, cache: KVCache) -> KVCache:
         if self._mesh is None:
@@ -329,6 +434,8 @@ class ServingEngine:
         self._admit()
         if self.active == 0:
             return {}
+        if self.speculative:
+            return self._step_spec()
         sample_args = (
             (self._rng_decode, jnp.int32(self.steps_run))
             if self._do_sample else ()
@@ -355,6 +462,52 @@ class ServingEngine:
                 self._slots[s] = None
                 self._done = self._done.at[s].set(True)
         return finished
+
+    def _step_spec(self) -> Dict[int, List[int]]:
+        """One speculative cycle: `chunk_size` verify rounds, then emit
+        each round's committed window per slot (host accounting mirrors
+        the in-graph budget/EOS cuts, which already zero `commit` for
+        done rows)."""
+        (toks, counts, self._cache, self._token, self._done, self._ctx,
+         self._ctx_len, self._emitted) = self._spec_chunk(
+            self.params, self._cache, self._token, self._done, self._ctx,
+            self._ctx_len, self._emitted, self._limit,
+        )
+        blocks = np.asarray(toks)  # (chunk, slots, draft_len+1)
+        cnts = np.asarray(counts)  # (chunk, slots)
+        self.steps_run += self.chunk
+        finished: Dict[int, List[int]] = {}
+        for s, req in enumerate(self._slots):
+            if req is None:
+                continue
+            self.slot_steps_used += self.chunk
+            for r in range(self.chunk):
+                n = int(cnts[r, s])
+                if n:
+                    self.verify_rounds_used += 1
+                    self.tokens_committed += n
+                for t in blocks[r, s, :n]:
+                    t = int(t)
+                    if req.done:
+                        break
+                    req.tokens.append(t)
+                    if t == self.eos or len(req.tokens) >= req.max_new:
+                        req.done = True
+                if req.done:
+                    break
+            if req.done:
+                finished[req.uid] = req.tokens
+                self._slots[s] = None
+                self._done = self._done.at[s].set(True)
+        return finished
+
+    @property
+    def mean_accepted(self) -> float:
+        """Mean committed tokens per verify round (1 = no draft accepted,
+        draft_len+1 = full acceptance); speculative mode only."""
+        if not self.verify_rounds_used:
+            return 0.0
+        return self.tokens_committed / self.verify_rounds_used
 
     def run_until_drained(self) -> Dict[int, List[int]]:
         """Run cycles until every submitted request has finished."""
@@ -388,16 +541,26 @@ class ServingEngine:
             if self._do_sample:
                 extra += (self._rng_prefill, jnp.int32(self._admitted))
                 self._admitted += 1
+            prompt_dev = self._replicate(jnp.asarray(ids))
             first, row = self._prefill(
                 self.params,
-                self._replicate(jnp.asarray(ids)),
+                prompt_dev,
                 self._replicate(jnp.asarray([len(req.prompt)], jnp.int32)),
                 *extra,
             )
-            self._cache, self._token, self._done = self._insert(
-                self._cache, self._token, self._done, row, first,
-                jnp.int32(s),
-            )
+            if self.speculative:
+                (self._cache, self._token, self._done, self._ctx,
+                 self._ctx_len, self._emitted, self._limit) = self._insert(
+                    self._cache, self._token, self._done, self._ctx,
+                    self._ctx_len, self._emitted, self._limit, row, first,
+                    jnp.int32(s), prompt_dev,
+                    jnp.int32(len(req.prompt)), jnp.int32(req.max_new),
+                )
+            else:
+                self._cache, self._token, self._done = self._insert(
+                    self._cache, self._token, self._done, row, first,
+                    jnp.int32(s),
+                )
             # the prefill's argmax becomes the slot's pending token; the
             # decode chunk emits it as the request's first output (same
             # accounting as make_greedy_generate_llm_only)

@@ -35,6 +35,14 @@ def main():
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--prompt-len", type=int, default=320)
     p.add_argument("--chunk", type=int, default=64)
+    p.add_argument("--spec", action="store_true",
+                   help="also run the speculative engine (prompt-lookup "
+                        "drafts; constant synthetic weights make greedy "
+                        "output repetitive, so this measures the "
+                        "full-acceptance CEILING)")
+    p.add_argument("--spec-chunk", type=int, default=16,
+                   help="verify rounds per dispatch in --spec mode")
+    p.add_argument("--draft-len", type=int, default=7)
     args = p.parse_args()
 
     from hsenet_tpu.configs import Phi3Config
@@ -96,6 +104,32 @@ def main():
     print(f"engine: {got} tokens in {t_engine:.1f} s = {eng_tps:.1f} tok/s "
           f"(slot utilization {eng.utilization:.2f})", flush=True)
 
+    # ---- speculative engine over the same workload ----
+    spec_tps = spec_accept = None
+    if args.spec:
+        spec = ServingEngine(
+            model, params, eos_token_id=-1, num_slots=args.slots,
+            prompt_cap=args.prompt_len, max_new_tokens=512,
+            chunk_size=args.spec_chunk, speculative=True,
+            draft_len=args.draft_len,
+        )
+        w = spec.submit(prompts[0], max_new=1)
+        spec.run_until_drained()
+        spec.steps_run = spec.slot_steps_used = 0
+        spec.verify_rounds_used = spec.tokens_committed = 0
+
+        t0 = time.perf_counter()
+        for prompt, b in zip(prompts, budgets):
+            spec.submit(prompt, max_new=b)
+        results = spec.run_until_drained()
+        t_spec = time.perf_counter() - t0
+        got = sum(len(v) for v in results.values())
+        spec_tps = got / t_spec
+        spec_accept = spec.mean_accepted
+        print(f"speculative engine: {got} tokens in {t_spec:.1f} s = "
+              f"{spec_tps:.1f} tok/s (mean committed/round "
+              f"{spec_accept:.2f} of {args.draft_len + 1})", flush=True)
+
     # ---- static batched generate over the same workload ----
     gen = make_greedy_generate_llm_only(
         model, max_new_tokens=512, eos_token_id=-1, dynamic_steps=True
@@ -120,14 +154,18 @@ def main():
     print(f"static batches: {total_tokens} useful tokens in {t_static:.1f} s"
           f" = {static_tps:.1f} tok/s", flush=True)
 
-    print(json.dumps({
+    out = {
         "metric": "serving_continuous_batching",
         "engine_tok_s": round(eng_tps, 1),
         "static_tok_s": round(static_tps, 1),
         "speedup": round(eng_tps / static_tps, 2),
         "utilization": round(eng.utilization, 3),
         "requests": args.requests,
-    }))
+    }
+    if spec_tps is not None:
+        out["spec_engine_tok_s_ceiling"] = round(spec_tps, 1)
+        out["spec_mean_committed_per_round"] = round(spec_accept, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

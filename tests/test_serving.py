@@ -77,6 +77,53 @@ def test_serving_engine_matches_batch1_greedy(key, rng):
     assert eng.pending == 0 and eng.active == 0
 
 
+def test_serving_engine_speculative_matches_greedy(key, rng):
+    """speculative=True: per-request tokens bit-identical to batch-1
+    greedy across slot reuse, mixed budgets, and repetitive prompts (the
+    regime where drafts actually accept)."""
+    model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
+    phrase = rng.integers(3, TINY.vocab_size, size=5)
+    prompts = [
+        rng.integers(3, TINY.vocab_size, size=7),
+        np.concatenate([phrase, phrase, phrase[:3]]),  # strong n-grams
+        rng.integers(3, TINY.vocab_size, size=11),
+        np.concatenate([phrase[:4], phrase[:4]]),
+        rng.integers(3, TINY.vocab_size, size=4),
+    ]
+    budgets = [MAX_NEW, 9, 5, MAX_NEW, 7]
+    params = model.init(key, jnp.asarray(prompts[0][None, :]))
+
+    eng = ServingEngine(
+        model, params, eos_token_id=EOS, pad_token_id=0, num_slots=2,
+        prompt_cap=16, max_new_tokens=MAX_NEW, chunk_size=3,
+        cache_dtype=jnp.float32, speculative=True, draft_len=4,
+    )
+    uids = [eng.submit(p, b) for p, b in zip(prompts, budgets)]
+    results = eng.run_until_drained()
+    assert set(results) == set(uids)
+    for uid, prompt, b in zip(uids, prompts, budgets):
+        exp = _expected(model, params, prompt, max_new=b)
+        assert results[uid] == exp, (
+            f"uid {uid}: spec engine {results[uid]} != greedy {exp}"
+        )
+    # every verify round commits at least the pending token
+    assert eng.mean_accepted >= 1.0
+    assert eng.pending == 0 and eng.active == 0
+
+
+def test_serving_engine_speculative_rejects_sampling(key, rng):
+    import jax
+    import pytest
+
+    model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
+    params = model.init(key, jnp.asarray([[1, 5, 9]], jnp.int32))
+    with pytest.raises(ValueError, match="lossless greedy"):
+        ServingEngine(
+            model, params, eos_token_id=EOS, speculative=True,
+            do_sample=True, rng=jax.random.PRNGKey(0),
+        )
+
+
 def test_serving_engine_tp_sharded_matches_single_device(key, rng):
     """The engine on a (dp=2, tp=4) mesh must emit the same per-request
     tokens as the unsharded engine (weights Megatron-sharded, KV cache
@@ -178,6 +225,21 @@ def test_serving_engine_multimodal_vlm(key, rng):
     for i, uid in enumerate(uids):
         assert results[uid] == expected(i), f"request {i}"
 
+    # speculative VLM engine: same per-request tokens (verify_step path)
+    spec = ServingEngine(
+        model, params, eos_token_id=EOS, pad_token_id=0, num_slots=2,
+        prompt_cap=32, max_new_tokens=MAX_NEW, chunk_size=3,
+        cache_dtype=jnp.float32, multimodal=True, speculative=True,
+        draft_len=4,
+    )
+    spec_uids = [
+        spec.submit(p, volume=v, slice_features=s)
+        for p, v, s in zip(prompts, volumes, slices)
+    ]
+    spec_results = spec.run_until_drained()
+    for i, uid in enumerate(spec_uids):
+        assert spec_results[uid] == expected(i), f"spec request {i}"
+
 
 def test_serving_engine_sampling(key, rng):
     """Sampling mode: tiny top_p collapses to the greedy engine's exact
@@ -257,6 +319,25 @@ def test_cli_serve_requests_file(tmp_path):
     assert m["requests"] == 2
     ids = {json.loads(s)["id"] for s in out.read_text().splitlines()}
     assert ids == {"r0", "r1"}
+    greedy_out = {
+        json.loads(s)["id"]: json.loads(s)["tokens"]
+        for s in out.read_text().splitlines()
+    }
+
+    # --speculative is lossless: same tokens through the CLI
+    out2 = tmp_path / "out_spec.jsonl"
+    m2 = main([
+        "--synthetic", "--llm-only", "--requests", str(reqs),
+        "--slots", "2", "--chunk", "4", "--max-new-tokens", "6",
+        "--prompt-cap", "32", "--output", str(out2), "--speculative",
+        "--draft-len", "3",
+    ])
+    assert m2["requests"] == 2 and m2["mean_committed_per_round"] >= 1.0
+    spec_out = {
+        json.loads(s)["id"]: json.loads(s)["tokens"]
+        for s in out2.read_text().splitlines()
+    }
+    assert spec_out == greedy_out
 
     # multimodal engine + request without a volume: clear error
     with pytest.raises(SystemExit, match="volume.*required"):
