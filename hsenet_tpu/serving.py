@@ -198,8 +198,8 @@ class ServingEngine:
                 jnp.zeros((num_slots,), jnp.int32)
             )
             self._limit = self._replicate(jnp.zeros((num_slots,), jnp.int32))
-            self.verify_rounds_used = 0  # active-slot verify rounds
-            self.tokens_committed = 0
+        self.verify_rounds_used = 0  # active-slot verify rounds (spec mode)
+        self.tokens_committed = 0
         self._slots: List[Optional[_Request]] = [None] * num_slots
         self._queue: List[_Request] = []
         self._uid = itertools.count()

@@ -90,7 +90,7 @@ def main():
         chunk_size=args.chunk,
     )
     # warm all three programs (compile outside the timed region)
-    w = eng.submit(prompts[0], max_new=1)
+    eng.submit(prompts[0], max_new=1)
     eng.run_until_drained()
     eng.steps_run = eng.slot_steps_used = 0
 
@@ -113,7 +113,7 @@ def main():
             chunk_size=args.spec_chunk, speculative=True,
             draft_len=args.draft_len,
         )
-        w = spec.submit(prompts[0], max_new=1)
+        spec.submit(prompts[0], max_new=1)
         spec.run_until_drained()
         spec.steps_run = spec.slot_steps_used = 0
         spec.verify_rounds_used = spec.tokens_committed = 0
