@@ -111,6 +111,38 @@ def test_serving_engine_speculative_matches_greedy(key, rng):
     assert eng.pending == 0 and eng.active == 0
 
 
+def test_serving_engine_llama(key, rng):
+    """The engine is model-agnostic over the decoder families (same call
+    contract, serving.py docstring): a LlamaForCausalLM serves through
+    both the greedy and the speculative engine with per-request tokens
+    matching its batch-1 greedy decode."""
+    from hsenet_tpu.configs import LlamaConfig
+    from hsenet_tpu.models.llama import LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    prompts = [rng.integers(3, cfg.vocab_size, size=n) for n in (5, 9, 7)]
+    params = model.init(key, jnp.asarray(prompts[0][None, :]))
+
+    kwargs = dict(
+        eos_token_id=EOS, pad_token_id=0, num_slots=2, prompt_cap=16,
+        max_new_tokens=MAX_NEW, chunk_size=4, cache_dtype=jnp.float32,
+    )
+    for spec in (False, True):
+        eng = ServingEngine(model, params, speculative=spec, **kwargs)
+        uids = [eng.submit(p) for p in prompts]
+        results = eng.run_until_drained()
+        for uid, prompt in zip(uids, prompts):
+            exp = _expected(model, params, prompt)
+            assert results[uid] == exp, (
+                f"speculative={spec} uid {uid}: {results[uid]} != {exp}"
+            )
+
+
 def test_serving_engine_speculative_rejects_sampling(key, rng):
     import jax
     import pytest
