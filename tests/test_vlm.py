@@ -320,3 +320,45 @@ def test_data_parallel_generate_matches_single_device(key):
     )
     assert out3.shape[0] == 3
     np.testing.assert_array_equal(out3, ref[:3])
+
+
+def test_vlm_with_llama_backbone(key):
+    """The reference's Llama-based VLM (`LamedLlamaForCausalLM`,
+    lamed_llama.py): our assembly takes any decoder config through
+    `llama_as_phi3_config`, so `VLMConfig(llm=llama_as_phi3_config(...))`
+    IS the Llama VLM (full rotary, biasless, untied head). Forward +
+    greedy generate must run with the same contracts as the Phi3 base."""
+    import dataclasses
+
+    from hsenet_tpu.configs import LlamaConfig
+    from hsenet_tpu.eval.generate import make_greedy_generate
+    from hsenet_tpu.models.llama import llama_as_phi3_config
+
+    llama = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    cfg = dataclasses.replace(TINY_VLM, llm=llama_as_phi3_config(llama))
+    assert cfg.llm.partial_rotary_factor == 1.0  # llama rotates fully
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    batch = _batch(b=2, seq=16)
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    logits = model.apply(
+        params, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    assert logits.shape == (2, 16, 64)
+    assert bool(jnp.isfinite(logits).all())
+
+    kv_lens = batch["attention_mask"].sum(-1).astype(jnp.int32)
+    gen = make_greedy_generate(
+        model, max_new_tokens=6, eos_token_id=2, pad_token_id=0,
+        cache_dtype=jnp.float32,
+    )
+    out = np.asarray(
+        gen(params, batch["input_ids"], kv_lens, batch["image"],
+            batch["image_2d"])
+    )
+    assert out.shape == (2, 6)
