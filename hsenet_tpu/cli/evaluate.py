@@ -78,6 +78,12 @@ def main(argv=None):
                         "greedy, fewer forwards; eval/speculative.py)")
     p.add_argument("--draft-len", type=int, default=7,
                    help="spec-decode draft window (tokens verified/round)")
+    p.add_argument("--engine", action="store_true",
+                   help="generate through the continuous-batching "
+                        "ServingEngine (mixed EOS points stop idling the "
+                        "batch; composes with --spec-decode for in-engine "
+                        "speculation; greedy-only)")
+    p.add_argument("--engine-slots", type=int, default=8)
     p.add_argument("--dp", type=int, default=1,
                    help="shard eval batches over a dp-axis mesh (>1 chip)")
     p.add_argument("--tp", type=int, default=1,
@@ -295,7 +301,33 @@ def main(argv=None):
         pad_token_id=tokenizer.pad_token_id,
         cache_dtype=jnp.float32 if args.synthetic else jnp.bfloat16,
     )
-    if args.spec_decode:
+    if args.engine:
+        from hsenet_tpu.serving import ServingEngine, engine_generate_fn
+
+        assert not args.do_sample, "--engine eval is greedy-only"
+        assert args.dp <= 1, (
+            "--engine shards tensor-parallel only (--tp); for dp-style "
+            "scaling run one engine per replica"
+        )
+        mesh = None
+        if args.tp > 1:
+            from hsenet_tpu.configs import MeshConfig
+            from hsenet_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(MeshConfig(dp=1, tp=args.tp))
+        eng = ServingEngine(
+            model, params,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id,
+            num_slots=args.engine_slots,
+            prompt_cap=data_args.max_length,
+            max_new_tokens=max_new,
+            cache_dtype=jnp.float32 if args.synthetic else jnp.bfloat16,
+            mesh=mesh, multimodal=True,
+            speculative=args.spec_decode, draft_len=args.draft_len,
+        )
+        gen = engine_generate_fn(eng)
+    elif args.spec_decode:
         from hsenet_tpu.eval.speculative import make_pld_generate
 
         assert not args.do_sample, "--spec-decode is greedy-only (lossless)"
@@ -321,7 +353,7 @@ def main(argv=None):
                 params, *a,
                 rng=jax.random.fold_in(base_key, next(counter)), **kw,
             )
-    if args.dp > 1 or args.tp > 1:
+    if not args.engine and (args.dp > 1 or args.tp > 1):
         from hsenet_tpu.configs import MeshConfig
         from hsenet_tpu.eval.generate import make_data_parallel_generate
         from hsenet_tpu.parallel.mesh import create_mesh

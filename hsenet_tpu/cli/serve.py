@@ -240,6 +240,9 @@ def main(argv=None):
     }
     if args.speculative:
         summary["mean_committed_per_round"] = round(eng.mean_accepted, 2)
+    summary.update({
+        f"latency_{k}": round(v, 3) for k, v in eng.latency_stats().items()
+    })
     print(json.dumps(summary))
     return summary
 

@@ -37,6 +37,7 @@ the 8-device CPU mesh against the single-device engine).
 from __future__ import annotations
 
 import itertools
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -57,6 +58,7 @@ class _Request:
     slices: Optional[np.ndarray] = None  # (1, n_slices, feat_dim)
     tokens: List[int] = field(default_factory=list)
     done: bool = False
+    submitted_at: float = 0.0  # perf_counter at submit (latency stats)
 
 
 class ServingEngine:
@@ -205,6 +207,7 @@ class ServingEngine:
         self._uid = itertools.count()
         self.steps_run = 0
         self.slot_steps_used = 0  # active-slot steps (utilization stat)
+        self.latencies: List[float] = []  # submit->finish wall per request
 
         def _pin_row(row):
             if mesh is None:
@@ -406,6 +409,17 @@ class ServingEngine:
             raise ValueError("multimodal engine: submit() requires volume=")
         if not self.multimodal and volume is not None:
             raise ValueError("volume= requires ServingEngine(multimodal=True)")
+        if self.multimodal:
+            vcfg = self.model.config.vision
+            expect = (vcfg.in_channels, *vcfg.image_size)
+            got = tuple(np.shape(volume)[-4:])
+            if got != expect:
+                # fail here with the config shape instead of deep inside
+                # the jitted prefill with an abstract-shape mismatch
+                raise ValueError(
+                    f"volume shape {np.shape(volume)} does not match the "
+                    f"model's (C, D, H, W) = {expect}"
+                )
         req = _Request(
             uid=next(self._uid),
             prompt=prompt,
@@ -416,6 +430,7 @@ class ServingEngine:
             else np.asarray(slice_features).reshape(
                 (1,) + np.shape(slice_features)[-2:]
             ),
+            submitted_at=time.perf_counter(),
         )
         self._queue.append(req)
         return req.uid
@@ -459,6 +474,9 @@ class ServingEngine:
                     req.done = True
             if req.done:
                 finished[req.uid] = req.tokens
+                self.latencies.append(
+                    time.perf_counter() - req.submitted_at
+                )
                 self._slots[s] = None
                 self._done = self._done.at[s].set(True)
         return finished
@@ -497,9 +515,26 @@ class ServingEngine:
                     break
             if req.done:
                 finished[req.uid] = req.tokens
+                self.latencies.append(
+                    time.perf_counter() - req.submitted_at
+                )
                 self._slots[s] = None
                 self._done = self._done.at[s].set(True)
         return finished
+
+    def latency_stats(self) -> Dict[str, float]:
+        """Submit-to-finish wall-clock percentiles over finished requests
+        (includes queueing time — the production serving observable)."""
+        if not self.latencies:
+            return {}
+        lat = np.sort(np.asarray(self.latencies))
+        pick = lambda q: float(lat[min(int(q * len(lat)), len(lat) - 1)])
+        return {
+            "p50_s": pick(0.50),
+            "p95_s": pick(0.95),
+            "max_s": float(lat[-1]),
+            "mean_s": float(lat.mean()),
+        }
 
     @property
     def mean_accepted(self) -> float:
@@ -565,3 +600,42 @@ class ServingEngine:
             # decode chunk emits it as the request's first output (same
             # accounting as make_greedy_generate_llm_only)
             self._slots[s] = req
+
+
+def engine_generate_fn(engine: ServingEngine):
+    """Adapter: run a batched eval harness through a `ServingEngine`.
+
+    The eval harnesses (`eval/mrg.py`, `eval/vqa.py`,
+    `eval/segmentation.py`) take `generate_fn(params, input_ids, kv_lens,
+    volume, slices) -> (B, max_new) ids` — the reference's fixed-batch
+    `model.generate` contract (eval_HSENet_CT_Rate_MRG.py:388-428). This
+    adapter turns each row into one engine request and drains with
+    continuous batching (plus in-engine speculation when the engine has
+    it), so mixed EOS points stop idling the batch. Output is repacked in
+    row order, pad after EOS — token-identical to `make_greedy_generate`
+    (equality-tested). `params` is ignored: the engine owns its params.
+    """
+
+    def generate(params, input_ids, kv_lens, volume=None,
+                 slice_features=None):
+        del params
+        ids = np.asarray(input_ids)
+        lens = np.asarray(kv_lens)
+        uids = []
+        for i in range(len(ids)):
+            kw = {}
+            if engine.multimodal:
+                kw["volume"] = np.asarray(volume)[i : i + 1]
+                if slice_features is not None:
+                    kw["slice_features"] = np.asarray(
+                        slice_features
+                    )[i : i + 1]
+            uids.append(engine.submit(ids[i, : int(lens[i])], **kw))
+        results = engine.run_until_drained()
+        out = np.full((len(ids), engine.max_new), engine.pad, np.int32)
+        for r, uid in enumerate(uids):
+            toks = results[uid]
+            out[r, : len(toks)] = toks
+        return out
+
+    return generate

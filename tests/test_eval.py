@@ -344,6 +344,26 @@ def test_cli_evaluate_mrg_spec_decode_synthetic():
     assert "bleu1" in m and "rouge_l" in m
 
 
+def test_cli_evaluate_mrg_engine_matches_plain(tmp_path):
+    """--engine routes MRG generation through the continuous-batching
+    ServingEngine; metrics must equal the plain fixed-batch greedy run
+    (the adapter is token-identical). Also smokes --engine --spec-decode
+    (in-engine speculation, still lossless)."""
+    from hsenet_tpu.cli.evaluate import main
+
+    base = ["--task", "mrg", "--synthetic", "--max-samples", "3"]
+    plain = main(base)
+    eng = main(base + ["--engine", "--engine-slots", "2"])
+    for k in ("bleu1", "bleu4", "rouge_l", "meteor", "entity_f1"):
+        assert eng[k] == plain[k], (k, eng[k], plain[k])
+    assert eng["num_samples"] == plain["num_samples"]
+
+    spec = main(base + ["--engine", "--engine-slots", "2", "--spec-decode",
+                        "--draft-len", "3"])
+    for k in ("bleu1", "rouge_l"):
+        assert spec[k] == plain[k], (k, spec[k], plain[k])
+
+
 def test_ratescore_fallback_entity_extraction():
     """Dictionary NER + NegEx-style polarity, hand-checkable cases."""
     from hsenet_tpu.eval.ratescore import extract_entities

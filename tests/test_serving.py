@@ -109,6 +109,9 @@ def test_serving_engine_speculative_matches_greedy(key, rng):
     # every verify round commits at least the pending token
     assert eng.mean_accepted >= 1.0
     assert eng.pending == 0 and eng.active == 0
+    stats = eng.latency_stats()
+    assert len(eng.latencies) == len(prompts)
+    assert 0 < stats["p50_s"] <= stats["p95_s"] <= stats["max_s"]
 
 
 def test_serving_engine_llama(key, rng):
