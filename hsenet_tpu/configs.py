@@ -459,10 +459,14 @@ class AugmentConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """SPMD mesh layout. dp: data parallel; tp: tensor parallel (LLM);
-    fsdp: optional param sharding along dp for ZeRO-style memory savings."""
+    pp: pipeline parallel (decoder layer stages, parallel/pipeline.py);
+    fsdp: optional param sharding along dp for ZeRO-style memory savings.
+    pp > 1 builds a ("dp", "pp") mesh and requires tp == 1 (tp-inside-pp
+    is future work; see parallel/pipeline.py)."""
 
     dp: int = -1  # -1 = all remaining devices
     tp: int = 1
+    pp: int = 1
     axis_names: Tuple[str, str] = ("dp", "tp")
 
 

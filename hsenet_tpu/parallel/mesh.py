@@ -33,6 +33,15 @@ def create_mesh(
     config = config or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if config.pp > 1:
+        # pipeline mesh: ("dp", "pp"); stages are innermost so the GPipe
+        # ring's ppermute hops ride adjacent ICI links
+        assert config.tp == 1, "pp composes with dp only (pipeline.py)"
+        pp = config.pp
+        dp = config.dp if config.dp > 0 else n // pp
+        assert dp * pp <= n, f"mesh {dp}x{pp} needs more than {n} devices"
+        arr = np.array(devices[: dp * pp]).reshape(dp, pp)
+        return Mesh(arr, ("dp", "pp"))
     tp = config.tp
     dp = config.dp if config.dp > 0 else n // tp
     assert dp * tp <= n, f"mesh {dp}x{tp} needs more than {n} devices"
