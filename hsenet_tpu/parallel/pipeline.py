@@ -55,14 +55,21 @@ def _pp_size(mesh: Mesh) -> int:
 
 
 def shard_params_pp(params, mesh: Mesh):
-    """Place params for the pipeline: the scanned decoder stack's leading
+    """Place params for the pipeline: the scanned DECODER stack's leading
     layer axis over 'pp' (every leaf under decoder/layers is stacked —
-    kernels, norms scales, LoRA factors alike), everything else (embed,
-    final norm, lm head) replicated."""
+    kernels, norm scales, LoRA factors alike), everything else replicated.
+    Matches the "decoder"/"layers" path pair specifically so the vision
+    towers' own scanned `layers` (which run outside the ring) stay
+    replicated — works for both the bare causal LM ("decoder/layers")
+    and the VLM ("llm/decoder/layers")."""
 
     def spec_for(path) -> P:
         keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
-        return P("pp") if "layers" in keys else P()
+        staged = any(
+            a == "decoder" and b == "layers"
+            for a, b in zip(keys, keys[1:])
+        )
+        return P("pp") if staged else P()
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     placed = [
@@ -73,7 +80,8 @@ def shard_params_pp(params, mesh: Mesh):
 
 
 def _gpipe_hidden(
-    model,
+    cfg,
+    dtype,
     layers_params,
     xs,
     lens_q,
@@ -97,7 +105,7 @@ def _gpipe_hidden(
     from hsenet_tpu.models.phi3 import Phi3Block
 
     stage = jax.lax.axis_index("pp")
-    block = Phi3Block(model.config, dtype=model.dtype)
+    block = Phi3Block(cfg, dtype=dtype)
 
     def run_stack(x, lens):
         def body(carry, layer_p):
@@ -148,6 +156,53 @@ def _gpipe_hidden(
     )
 
 
+def _make_pp_hidden_fn(cfg, dtype, mesh: Mesh, n_micro: int, remat: bool):
+    """(decoder_layers_params, inputs_embeds, kv_lens) -> final-layer hidden
+    (B, S, D), pre-final-norm — the pipelined core shared by the bare
+    causal LM and the VLM (which splices image embeddings first)."""
+    from hsenet_tpu.models.phi3 import RMSNorm, _longrope_params, _rope_cos_sin
+
+    pp = _pp_size(mesh)
+    dp = mesh.shape.get("dp", 1)
+    assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
+
+    body = functools.partial(
+        _gpipe_hidden, cfg, dtype, pp=pp, n_micro=n_micro, remat=remat
+    )
+
+    def hidden_fn(layers, embeds, kv_lens):
+        b, s, d = embeds.shape
+        assert b % (n_micro * dp) == 0, (
+            f"batch {b} must split into n_micro={n_micro} x dp={dp} "
+            f"microbatches"
+        )
+        mb = b // n_micro
+        ext, scaling = _longrope_params(cfg, s)
+        cos, sin = _rope_cos_sin(
+            jnp.arange(s)[None, :], cfg.rotary_dim, cfg.rope_theta,
+            ext_factors=ext, attention_scaling=scaling,
+        )
+        xs = embeds.reshape(n_micro, mb, s, d)
+        lens_q = kv_lens.astype(jnp.int32).reshape(n_micro, mb)
+        specs = jax.tree.map(lambda _: P("pp"), layers)
+        hidden = _shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(specs, P(None, "dp"), P(None, "dp"), P(), P()),
+            out_specs=P(None, "dp"),
+            check_vma=False,
+        )(layers, xs, lens_q, cos, sin)
+        return hidden.reshape(b, s, d)
+
+    def final_norm(decoder_params, hidden):
+        return RMSNorm(cfg.rms_norm_eps).apply(
+            {"params": decoder_params["norm"]}, hidden
+        )
+
+    hidden_fn.final_norm = final_norm
+    return hidden_fn
+
+
 def make_pp_causal_lm_forward(
     model, mesh: Mesh, n_micro: int, *, remat: bool = True
 ):
@@ -158,54 +213,19 @@ def make_pp_causal_lm_forward(
     outside the ring (their params are replicated — they are <3% of a
     3.8B decoder); only the layer stack is staged.
     """
-    from hsenet_tpu.models.phi3 import (
-        Phi3ForCausalLM,
-        RMSNorm,
-        _longrope_params,
-        _rope_cos_sin,
-    )
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
 
-    cfg = model.config
-    pp = _pp_size(mesh)
-    dp = mesh.shape.get("dp", 1)
-    assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
-
-    body = functools.partial(
-        _gpipe_hidden, model, pp=pp, n_micro=n_micro, remat=remat
+    hidden_fn = _make_pp_hidden_fn(
+        model.config, model.dtype, mesh, n_micro, remat
     )
 
     def forward(params, input_ids, kv_lens):
-        b, s = input_ids.shape
-        assert b % (n_micro * dp) == 0, (
-            f"batch {b} must split into n_micro={n_micro} x dp={dp} "
-            f"microbatches"
-        )
-        mb = b // n_micro
         embeds = model.apply(
             params, input_ids, method=Phi3ForCausalLM.embed_tokens
         )
-        ext, scaling = _longrope_params(cfg, s)
-        cos, sin = _rope_cos_sin(
-            jnp.arange(s)[None, :], cfg.rotary_dim, cfg.rope_theta,
-            ext_factors=ext, attention_scaling=scaling,
-        )
-        xs = embeds.reshape(n_micro, mb, s, embeds.shape[-1])
-        lens_q = kv_lens.astype(jnp.int32).reshape(n_micro, mb)
-        layers = params["params"]["decoder"]["layers"]
-
-        specs = jax.tree.map(lambda _: P("pp"), layers)
-        hidden = _shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(specs, P(None, "dp"), P(None, "dp"), P(), P()),
-            out_specs=P(None, "dp"),
-            check_vma=False,
-        )(layers, xs, lens_q, cos, sin)
-
-        hidden = hidden.reshape(b, s, hidden.shape[-1])
-        hidden = RMSNorm(cfg.rms_norm_eps).apply(
-            {"params": params["params"]["decoder"]["norm"]}, hidden
-        )
+        dec = params["params"]["decoder"]
+        hidden = hidden_fn(dec["layers"], embeds, kv_lens)
+        hidden = hidden_fn.final_norm(dec, hidden)
         return model.apply(
             params, hidden, method=Phi3ForCausalLM.compute_logits
         )
@@ -238,15 +258,75 @@ def make_pp_causal_lm_train_step(
         loss, acc = masked_lm_loss(logits, batch["labels"])
         return loss, {"loss": loss, "token_acc": acc}
 
-    def train_step(state: TrainState, batch):
+    return _make_step(loss_fn, tx, mesh, trainable_mask, with_rng=False)
+
+
+def make_pp_vlm_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    n_micro: int,
+    *,
+    remat: bool = True,
+    trainable_mask=None,
+):
+    """Pipelined VLM finetune step: vision towers + packers + splice run
+    outside the ring (replicated — they are ~90M of a ~4B model, XLA
+    auto-shards them over dp), the LLM decoder stack is GPipe'd over 'pp'.
+    Same batch contract as train/vlm.py::make_vlm_train_step.
+
+    Deviation from the plain step: block-INTERNAL dropout (LoRA dropout
+    inside the staged layers) runs OFF in pp mode — threading per-tick
+    RNGs through the ring isn't worth it for a 0.05-rate regularizer;
+    projector/tower dropout outside the ring still applies through
+    `rngs`. Equality vs the plain step is tested at dropout_rate=0.
+    """
+    from hsenet_tpu.models.mllm import HSENetVLM
+
+    hidden_fn = _make_pp_hidden_fn(
+        model.config.llm, model.dtype, mesh, n_micro, remat
+    )
+
+    def loss_fn(params, batch, dropout_rng):
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        kv_lens = batch["attention_mask"].sum(axis=-1).astype(jnp.int32)
+        embeds = model.apply(
+            params,
+            batch["input_ids"],
+            batch.get("image"),
+            batch.get("image_2d"),
+            deterministic=dropout_rng is None,
+            rngs=rngs,
+            method=HSENetVLM.multimodal_embeds,
+        )
+        dec = params["params"]["llm"]["decoder"]
+        hidden = hidden_fn(dec["layers"], embeds, kv_lens)
+        hidden = hidden_fn.final_norm(dec, hidden)
+        logits = model.apply(
+            params, hidden, method=lambda m, h: m.llm.compute_logits(h)
+        )
+        loss, acc = masked_lm_loss(logits, batch["labels"])
+        return loss, {"loss": loss, "token_acc": acc}
+
+    return _make_step(loss_fn, tx, mesh, trainable_mask, with_rng=True)
+
+
+def _make_step(loss_fn, tx, mesh, trainable_mask, *, with_rng):
+    def train_step(state: TrainState, batch, rng=None):
         batch = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P("dp"))
             ),
             batch,
         )
+        args = (batch,)
+        if with_rng:
+            dropout_rng = (
+                None if rng is None else jax.random.fold_in(rng, state.step)
+            )
+            args = (batch, dropout_rng)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+            state.params, *args
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -263,4 +343,4 @@ def make_pp_causal_lm_train_step(
             metrics,
         )
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,), static_argnums=())

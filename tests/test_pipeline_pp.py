@@ -130,6 +130,103 @@ def test_pp_train_step_matches_plain_step():
         np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=2e-6)
 
 
+def _tiny_vlm():
+    from hsenet_tpu.configs import (
+        LoRAConfig,
+        PackerConfig,
+        ViT3DConfig,
+        VLMConfig,
+    )
+    from hsenet_tpu.models.mllm import HSENetVLM
+
+    cfg = VLMConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2, num_slices=2,
+            slice_feature_dim=16,
+        ),
+        packer=PackerConfig(
+            grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=32,
+            dropout_rate=0.0,
+        ),
+        llm=Phi3Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+            tie_word_embeddings=True,
+            lora=LoRAConfig(rank=2, alpha=4, dropout_rate=0.0),
+        ),
+    )
+    return HSENetVLM(cfg, dtype=jnp.float32), cfg
+
+
+def test_pp_vlm_train_step_matches_plain():
+    """The pipelined VLM finetune step (towers/packers/splice outside the
+    ring, LLM decoder GPipe'd) must take the same optimizer step as the
+    plain single-program make_vlm_train_step (dropout rates 0)."""
+    from hsenet_tpu.parallel.pipeline import make_pp_vlm_train_step
+    from hsenet_tpu.train.vlm import (
+        make_vlm_train_step,
+        vlm_trainable_mask,
+    )
+
+    model, cfg = _tiny_vlm()
+    mesh = create_mesh(MeshConfig(dp=2, pp=2, tp=1))
+    rng = np.random.default_rng(0)
+    b, seq = 4, 16
+    n_img = cfg.num_image_tokens
+    ids = rng.integers(3, 64, (b, seq))
+    ids[:, 0] = 1
+    labels = ids.astype(np.int64).copy()
+    labels[:, : n_img + 2] = -100
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.ones((b, seq), jnp.int32),
+        "image": jnp.asarray(rng.random((b, 1, 4, 16, 16), np.float32)),
+        "image_2d": jnp.asarray(rng.random((b, 2, 16), np.float32)),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["input_ids"], batch["image"],
+        batch["image_2d"],
+    )
+    mask = vlm_trainable_mask(params)
+    tx = make_optimizer(
+        TrainConfig(total_steps=10, learning_rate=1e-3), trainable_mask=mask
+    )
+    key = jax.random.PRNGKey(7)
+
+    pp_params = shard_params_pp(params, mesh)
+
+    # deep-copy for the plain step: it donates its input state, and
+    # device_put above ALIASES replicated leaves (REUSE_INPUT on CPU), so
+    # donating the originals would delete pp_params' buffers too
+    ref_state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    ref_step = make_vlm_train_step(model, tx, mesh=None, trainable_mask=mask)
+    ref_state, ref_metrics = ref_step(ref_state, batch, key)
+    # the VLM's vision tower has its own scanned `layers` — it must stay
+    # replicated (only the LLM decoder stack is staged)
+    tower_leaf = jax.tree.leaves(
+        pp_params["params"]["vision_tower"]
+    )[0]
+    assert "pp" not in str(tower_leaf.sharding.spec)
+    state = TrainState.create(pp_params, tx)
+    step = make_pp_vlm_train_step(
+        model, tx, mesh, n_micro=2, trainable_mask=mask
+    )
+    state, metrics = step(state, batch, key)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(metrics["grad_norm"]), float(ref_metrics["grad_norm"]),
+        rtol=1e-5,
+    )
+    for r, p in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=2e-6)
+
+
 def test_pp_layer_params_actually_sharded():
     """The layer stack must live sharded over 'pp' (the memory win that
     motivates pipelining), not replicated."""
