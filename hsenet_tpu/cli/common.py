@@ -85,7 +85,9 @@ def maybe_zero1(state, args, mesh):
 def mesh_from_args(args):
     from hsenet_tpu.parallel.mesh import create_mesh
 
-    return create_mesh(MeshConfig(dp=args.dp, tp=args.tp))
+    return create_mesh(
+        MeshConfig(dp=args.dp, tp=args.tp, pp=getattr(args, "pp", 1))
+    )
 
 
 def dtype_from_args(args):

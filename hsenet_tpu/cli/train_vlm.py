@@ -69,7 +69,17 @@ def main(argv=None):
     p.add_argument("--clip-stage2-checkpoint", default="")
     p.add_argument("--resume-mllm", default="",
                    help="projector+LoRA deltas to restore")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages for the LLM decoder "
+                        "(GPipe over a 'pp' mesh axis, parallel/pipeline.py;"
+                        " requires --tp 1, composes with --dp)")
+    p.add_argument("--n-micro", type=int, default=2,
+                   help="microbatches per pipeline tick group (per dp "
+                        "replica); bubble = (pp-1)/(n_micro+pp-1)")
     args = p.parse_args(argv)
+    if args.pp > 1 and args.zero1:
+        p.error("--zero1 with --pp is unsupported: ZeRO-1's dp placement "
+                "would override the pipeline's pp-sharded moments")
 
     max_length = args.max_length or (800 if args.task == "mrg" else 330)
     cfg = build_vlm_config(args)
@@ -164,11 +174,23 @@ def main(argv=None):
 
         params = load_vlm_deltas(args.resume_mllm, params)
 
-    # tensor-parallel placement (Megatron rules; replicates everything else)
-    from hsenet_tpu.parallel.sharding import shard_params, validate_divisibility
+    if args.pp > 1:
+        # pipeline placement: LLM decoder stack staged over 'pp'
+        from hsenet_tpu.parallel.pipeline import shard_params_pp
 
-    validate_divisibility(params["params"], mesh)
-    params = shard_params(params, mesh)
+        assert cfg.llm.num_layers % args.pp == 0, (
+            f"--pp {args.pp} must divide num_layers {cfg.llm.num_layers}"
+        )
+        params = shard_params_pp(params, mesh)
+    else:
+        # tensor-parallel placement (Megatron rules; replicates the rest)
+        from hsenet_tpu.parallel.sharding import (
+            shard_params,
+            validate_divisibility,
+        )
+
+        validate_divisibility(params["params"], mesh)
+        params = shard_params(params, mesh)
 
     mask = vlm_trainable_mask(params)
     tx = make_optimizer(train_cfg, trainable_mask=mask)
@@ -176,7 +198,14 @@ def main(argv=None):
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir)
     dump_config(args.output_dir, cfg, train_cfg)
-    step_fn = make_vlm_train_step(model, tx, mesh, trainable_mask=mask)
+    if args.pp > 1:
+        from hsenet_tpu.parallel.pipeline import make_pp_vlm_train_step
+
+        step_fn = make_pp_vlm_train_step(
+            model, tx, mesh, n_micro=args.n_micro, trainable_mask=mask
+        )
+    else:
+        step_fn = make_vlm_train_step(model, tx, mesh, trainable_mask=mask)
     trainer = Trainer(
         step_fn, state, lambda: loader, train_cfg, mesh=mesh,
         checkpoint_manager=ckpt,

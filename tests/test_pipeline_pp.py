@@ -239,6 +239,34 @@ def test_pp_layer_params_actually_sharded():
     assert "pp" not in str(embed.sharding.spec)
 
 
+def test_cli_train_vlm_pp(tmp_path):
+    """End-to-end VLM finetune CLI over a dp=2 x pp=2 mesh."""
+    from hsenet_tpu.cli.train_vlm import main as vlm
+
+    out = str(tmp_path / "vlm_pp")
+    state = vlm(
+        [
+            "--synthetic",
+            "--task", "mrg",
+            "--total-steps", "2",
+            "--batch-size", "4",
+            "--log-every", "1",
+            "--checkpoint-every", "1000",
+            "--dtype", "float32",
+            "--dp", "2", "--pp", "2", "--n-micro", "2",
+            "--output-dir", out,
+        ]
+    )
+    assert int(state.step) == 2
+    layer_leaf = state.params["params"]["llm"]["decoder"]["layers"][
+        "q_proj"
+    ]["kernel"]
+    assert "pp" in str(layer_leaf.sharding.spec)
+    import os
+
+    assert os.path.exists(f"{out}/vlm_deltas")
+
+
 def test_pp_requires_divisible_layers():
     mesh = create_mesh(MeshConfig(dp=1, pp=8, tp=1))
     model = Phi3ForCausalLM(TINY, dtype=jnp.float32)  # 4 layers, 8 stages
