@@ -84,6 +84,10 @@ def main(argv=None):
                         "batch; composes with --spec-decode for in-engine "
                         "speculation; greedy-only)")
     p.add_argument("--engine-slots", type=int, default=8)
+    p.add_argument("--engine-vol-cache", type=int, default=0,
+                   help="with --engine: LRU size for per-volume image-"
+                        "feature caching (VQA asks several questions per "
+                        "scan; repeated volumes skip the vision towers)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard eval batches over a dp-axis mesh (>1 chip)")
     p.add_argument("--tp", type=int, default=1,
@@ -325,6 +329,7 @@ def main(argv=None):
             cache_dtype=jnp.float32 if args.synthetic else jnp.bfloat16,
             mesh=mesh, multimodal=True,
             speculative=args.spec_decode, draft_len=args.draft_len,
+            volume_cache_size=args.engine_vol_cache,
         )
         gen = engine_generate_fn(eng)
     elif args.spec_decode:

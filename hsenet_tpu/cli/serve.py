@@ -67,6 +67,10 @@ def main(argv=None):
                         "greedy; chunk becomes verify ROUNDS)")
     p.add_argument("--draft-len", type=int, default=7)
     p.add_argument("--ngram", type=int, default=2)
+    p.add_argument("--vol-cache", type=int, default=0,
+                   help="LRU size for per-volume image-feature caching "
+                        "(multimodal only): repeated volumes skip the "
+                        "vision towers at admission")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -160,6 +164,7 @@ def main(argv=None):
         speculative=args.speculative,
         draft_len=args.draft_len,
         ngram=args.ngram,
+        volume_cache_size=args.vol_cache if multimodal else 0,
     )
 
     # ---- build the request list ----
@@ -240,6 +245,9 @@ def main(argv=None):
     }
     if args.speculative:
         summary["mean_committed_per_round"] = round(eng.mean_accepted, 2)
+    if args.vol_cache:
+        summary["encode_hits"] = eng.encode_hits
+        summary["encode_misses"] = eng.encode_misses
     summary.update({
         f"latency_{k}": round(v, 3) for k, v in eng.latency_stats().items()
     })

@@ -208,6 +208,42 @@ class HSENetVLM(nn.Module):
         )
         return logits[:, 0], cache
 
+    def encode_images_only(
+        self,
+        volume: jax.Array,
+        slice_features: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Vision side alone: towers + packers -> (B, n_img, llm_hidden).
+
+        The prompt-independent, cacheable prefix of multimodal prefill —
+        serving traffic that asks several questions about one CT volume
+        (the reference's VQA protocol, eval_HSENet_Rad_Geome_VQA.py asks
+        per-anatomy question sets per scan) re-encodes nothing
+        (serving.py volume cache). Not valid for tower_mode='med2e3',
+        whose projector consumes the prompt embeddings."""
+        assert self.config.tower_mode != "med2e3", (
+            "med2e3 image features depend on the prompt; they cannot be "
+            "cached per volume"
+        )
+        return self.encode_images(volume, slice_features, deterministic=True)
+
+    def prefill_with_features(
+        self,
+        input_ids: jax.Array,
+        image_feats: jax.Array,
+        cache: KVCache,
+        kv_lens: jax.Array,
+    ) -> Tuple[jax.Array, KVCache]:
+        """Prefill consuming precomputed image features (disaggregated
+        encode/prefill): splice + LLM only. Composes with
+        `encode_images_only`; token-identical to `prefill` (tested)."""
+        embeds = self.llm.embed_tokens(input_ids)
+        embeds = splice_image_embeds(embeds, image_feats)
+        logits, cache = self.llm.decode_embeds(
+            embeds, kv_lens=kv_lens, cache=cache, last_token_only=True
+        )
+        return logits[:, 0], cache
+
     def decode_step(
         self, token: jax.Array, cache: KVCache
     ) -> Tuple[jax.Array, KVCache]:

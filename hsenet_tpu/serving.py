@@ -6,7 +6,9 @@ work (Bench/eval/eval_HSENet_CT_Rate_MRG.py:388-428). Under real traffic
 with mixed output lengths that idles most of the batch; continuous
 batching (vLLM-style) refills each finished row immediately.
 
-TPU-first adaptation (everything jit-compiled, three programs total):
+TPU-first adaptation (everything jit-compiled, three core programs —
+plus an optional encode program when the volume cache splits multimodal
+admission into encode-once + prefill-per-question):
 
   * a fixed number of decode SLOTS (the batch dimension never changes
     shape, so nothing recompiles as requests come and go);
@@ -38,6 +40,7 @@ from __future__ import annotations
 
 import itertools
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -113,6 +116,7 @@ class ServingEngine:
         speculative: bool = False,
         draft_len: int = 7,
         ngram: int = 2,
+        volume_cache_size: int = 0,
     ):
         self.model = model
         self.eos = eos_token_id
@@ -226,6 +230,22 @@ class ServingEngine:
                 return next_token(logits, jax.random.fold_in(rng_key, ordinal))
             return next_token(logits, None)
 
+        # Volume-feature LRU (multimodal only): serving traffic that asks
+        # several questions about the SAME CT scan (the reference's VQA
+        # protocol) pays the vision towers once per volume — admission of a
+        # cache hit runs the splice+LLM prefill only (disaggregated
+        # encode/prefill; encode is ~half the prefill cost at production
+        # shapes). Keyed by volume (+slice-features) bytes.
+        if volume_cache_size > 0:
+            if not multimodal:
+                raise ValueError("volume_cache_size requires multimodal=True")
+            # med2e3 features depend on the prompt — not cacheable
+            assert model.config.tower_mode != "med2e3"
+        self.volume_cache_size = volume_cache_size
+        self._vol_cache: "OrderedDict[bytes, jax.Array]" = OrderedDict()
+        self.encode_hits = 0
+        self.encode_misses = 0
+
         if multimodal:
 
             def _prefill(params, ids, kv_len, volume, slices, *sample_args):
@@ -237,6 +257,25 @@ class ServingEngine:
                     method=type(model).prefill,
                 )
                 return _first(logits, sample_args), _pin_row(row)
+
+            def _encode(params, volume, slices):
+                return model.apply(
+                    params, volume, slices,
+                    method=type(model).encode_images_only,
+                )
+
+            def _prefill_feats(params, ids, kv_len, feats, *sample_args):
+                """Cache-hit admission: precomputed image features ->
+                splice + LLM prefill only."""
+                row = KVCache.create(cfg, 1, capacity, dtype=cache_dtype)
+                logits, row = model.apply(
+                    params, ids, feats, row, kv_len,
+                    method=type(model).prefill_with_features,
+                )
+                return _first(logits, sample_args), _pin_row(row)
+
+            self._encode = jax.jit(_encode)
+            self._prefill_feats = jax.jit(_prefill_feats)
 
         else:
 
@@ -559,6 +598,34 @@ class ServingEngine:
 
     # ---- internals ----
 
+    def _cached_features(self, req: _Request):
+        """LRU lookup of the request's image features (key: volume +
+        slice-feature bytes); on miss, run the jitted encode program and
+        retain up to `volume_cache_size` feature blocks (~n_img x
+        llm_hidden each — KBs, not the MB-scale volumes)."""
+        import hashlib
+
+        h = hashlib.blake2b(req.volume.tobytes(), digest_size=16)
+        if req.slices is not None:
+            h.update(req.slices.tobytes())
+        key = h.digest()
+        feats = self._vol_cache.get(key)
+        if feats is not None:
+            self._vol_cache.move_to_end(key)
+            self.encode_hits += 1
+            return feats
+        self.encode_misses += 1
+        feats = self._encode(
+            self.params,
+            self._replicate(jnp.asarray(req.volume)),
+            None if req.slices is None
+            else self._replicate(jnp.asarray(req.slices)),
+        )
+        self._vol_cache[key] = feats
+        while len(self._vol_cache) > self.volume_cache_size:
+            self._vol_cache.popitem(last=False)
+        return feats
+
     def _admit(self):
         for s in range(self.num_slots):
             if self._slots[s] is not None or not self._queue:
@@ -566,8 +633,13 @@ class ServingEngine:
             req = self._queue.pop(0)
             ids = np.full((1, self.prompt_cap), self.pad, np.int32)
             ids[0, : len(req.prompt)] = req.prompt
+            prefill_fn = self._prefill
             extra = ()
-            if self.multimodal:
+            if self.multimodal and self.volume_cache_size > 0:
+                feats = self._cached_features(req)
+                prefill_fn = self._prefill_feats
+                extra = (feats,)
+            elif self.multimodal:
                 extra = (
                     self._replicate(jnp.asarray(req.volume)),
                     None if req.slices is None
@@ -577,7 +649,7 @@ class ServingEngine:
                 extra += (self._rng_prefill, jnp.int32(self._admitted))
                 self._admitted += 1
             prompt_dev = self._replicate(jnp.asarray(ids))
-            first, row = self._prefill(
+            first, row = prefill_fn(
                 self.params,
                 prompt_dev,
                 self._replicate(jnp.asarray([len(req.prompt)], jnp.int32)),

@@ -363,6 +363,11 @@ def test_cli_evaluate_mrg_engine_matches_plain(tmp_path):
     for k in ("bleu1", "rouge_l"):
         assert spec[k] == plain[k], (k, spec[k], plain[k])
 
+    cached = main(base + ["--engine", "--engine-slots", "2",
+                          "--engine-vol-cache", "4"])
+    for k in ("bleu1", "rouge_l"):
+        assert cached[k] == plain[k], (k, cached[k], plain[k])
+
 
 def test_ratescore_fallback_entity_extraction():
     """Dictionary NER + NegEx-style polarity, hand-checkable cases."""

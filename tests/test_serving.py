@@ -275,6 +275,54 @@ def test_serving_engine_multimodal_vlm(key, rng):
     for i, uid in enumerate(spec_uids):
         assert spec_results[uid] == expected(i), f"spec request {i}"
 
+    # volume-cache engine: repeated volumes pay the vision towers once;
+    # per-request tokens stay identical (prefill_with_features splice
+    # path == in-prefill encode path). Traffic: 5 requests over the 3
+    # volumes, volume 0 asked three times with different prompts.
+    cache_eng = ServingEngine(
+        model, params, eos_token_id=EOS, pad_token_id=0, num_slots=2,
+        prompt_cap=32, max_new_tokens=MAX_NEW, chunk_size=4,
+        cache_dtype=jnp.float32, multimodal=True, volume_cache_size=4,
+    )
+    extra_prompt = rng.integers(3, TINY.vocab_size, size=1 + n_img + 5)
+    extra_prompt[0] = 1
+    traffic = list(zip(prompts, volumes, slices)) + [
+        (extra_prompt, volumes[0], slices[0]),
+        (prompts[1], volumes[0], slices[0]),
+    ]
+    cache_uids = [
+        cache_eng.submit(p, volume=v, slice_features=s)
+        for p, v, s in traffic
+    ]
+    cache_results = cache_eng.run_until_drained()
+    assert cache_eng.encode_misses == 3  # one per distinct volume
+    assert cache_eng.encode_hits == 2
+    for i, uid in enumerate(cache_uids[:3]):
+        assert cache_results[uid] == expected(i), f"cached request {i}"
+
+    def expected_for(prompt, vol, sl):
+        row = np.asarray(
+            gen(
+                params, jnp.asarray(prompt[None, :]),
+                jnp.asarray([len(prompt)], jnp.int32),
+                jnp.asarray(vol), jnp.asarray(sl),
+            )
+        )[0]
+        out = []
+        for t in row:
+            out.append(int(t))
+            if t == EOS:
+                break
+        return out
+
+    for i, (p, v, s) in enumerate(traffic[3:], start=3):
+        assert cache_results[cache_uids[i]] == expected_for(
+            p, np.asarray(v), np.asarray(s)
+        ), f"cache-hit request {i}"
+
+    # LRU bound respected
+    assert len(cache_eng._vol_cache) <= 4
+
 
 def test_serving_engine_sampling(key, rng):
     """Sampling mode: tiny top_p collapses to the greedy engine's exact
