@@ -172,7 +172,11 @@ def main(argv=None):
     if args.resume_mllm:
         from hsenet_tpu.utils.checkpoint import load_vlm_deltas
 
-        params = load_vlm_deltas(args.resume_mllm, params)
+        # deltas are saved from the INNER param tree (save_vlm_deltas at
+        # the end of this entry point), so restore against the same level
+        params["params"] = load_vlm_deltas(
+            args.resume_mllm, params["params"]
+        )
 
     if args.pp > 1:
         # pipeline placement: LLM decoder stack staged over 'pp'

@@ -36,7 +36,9 @@ def make_schedule(cfg: TrainConfig) -> optax.Schedule:
             init_value=0.0,
             peak_value=cfg.learning_rate,
             warmup_steps=warmup,
-            decay_steps=cfg.total_steps,
+            # optax requires decay_steps > warmup_steps; a 1-step run
+            # (smoke tests, single-step resumes) degenerates to warmup-only
+            decay_steps=max(cfg.total_steps, warmup + 1),
             end_value=0.0,
         )
     if cfg.schedule == "constant":

@@ -266,6 +266,25 @@ def test_cli_train_vlm_pp(tmp_path):
 
     assert os.path.exists(f"{out}/vlm_deltas")
 
+    # resume round-trip under pp: the saved projector+LoRA deltas restore
+    # into a fresh pp-sharded run (sharding happens after the graft)
+    out2 = str(tmp_path / "vlm_pp_resumed")
+    state2 = vlm(
+        [
+            "--synthetic",
+            "--task", "mrg",
+            "--total-steps", "1",
+            "--batch-size", "4",
+            "--log-every", "1",
+            "--checkpoint-every", "1000",
+            "--dtype", "float32",
+            "--dp", "2", "--pp", "2", "--n-micro", "2",
+            "--output-dir", out2,
+            "--resume-mllm", f"{out}/vlm_deltas",
+        ]
+    )
+    assert int(state2.step) == 1
+
 
 def test_pp_requires_divisible_layers():
     mesh = create_mesh(MeshConfig(dp=1, pp=8, tp=1))
