@@ -73,6 +73,9 @@ def main(argv=None):
                         "vision towers at admission")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.vol_cache and args.llm_only:
+        p.error("--vol-cache caches image features; it requires the "
+                "multimodal engine (drop --llm-only)")
 
     from hsenet_tpu.serving import ServingEngine
 

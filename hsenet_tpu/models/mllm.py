@@ -221,10 +221,11 @@ class HSENetVLM(nn.Module):
         per-anatomy question sets per scan) re-encodes nothing
         (serving.py volume cache). Not valid for tower_mode='med2e3',
         whose projector consumes the prompt embeddings."""
-        assert self.config.tower_mode != "med2e3", (
-            "med2e3 image features depend on the prompt; they cannot be "
-            "cached per volume"
-        )
+        if self.config.tower_mode == "med2e3":
+            raise ValueError(
+                "med2e3 image features depend on the prompt; they cannot "
+                "be cached per volume"
+            )
         return self.encode_images(volume, slice_features, deterministic=True)
 
     def prefill_with_features(

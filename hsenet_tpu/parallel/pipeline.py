@@ -41,12 +41,18 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hsenet_tpu.train.losses import masked_lm_loss
-from hsenet_tpu.train.train_state import TrainState
 
 try:  # jax >= 0.8 top-level API
     from jax import shard_map as _shard_map
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.experimental.shard_map import shard_map as _legacy_shard_map
+
+    def _shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
+        # the legacy API spells the replication check `check_rep`
+        return _legacy_shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=check_vma,
+        )
 
 
 def _pp_size(mesh: Mesh) -> int:
@@ -258,7 +264,11 @@ def make_pp_causal_lm_train_step(
         loss, acc = masked_lm_loss(logits, batch["labels"])
         return loss, {"loss": loss, "token_acc": acc}
 
-    return _make_step(loss_fn, tx, mesh, trainable_mask, with_rng=False)
+    from hsenet_tpu.train.vlm import make_masked_train_step
+
+    return make_masked_train_step(
+        loss_fn, tx, mesh, trainable_mask, with_rng=False
+    )
 
 
 def make_pp_vlm_train_step(
@@ -308,39 +318,8 @@ def make_pp_vlm_train_step(
         loss, acc = masked_lm_loss(logits, batch["labels"])
         return loss, {"loss": loss, "token_acc": acc}
 
-    return _make_step(loss_fn, tx, mesh, trainable_mask, with_rng=True)
+    from hsenet_tpu.train.vlm import make_masked_train_step
 
-
-def _make_step(loss_fn, tx, mesh, trainable_mask, *, with_rng):
-    def train_step(state: TrainState, batch, rng=None):
-        batch = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P("dp"))
-            ),
-            batch,
-        )
-        args = (batch,)
-        if with_rng:
-            dropout_rng = (
-                None if rng is None else jax.random.fold_in(rng, state.step)
-            )
-            args = (batch, dropout_rng)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, *args
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        if trainable_mask is not None:
-            norm_grads = jax.tree.map(
-                lambda g, m: g if m else jnp.zeros((), g.dtype),
-                grads, trainable_mask,
-            )
-        else:
-            norm_grads = grads
-        metrics["grad_norm"] = optax.global_norm(norm_grads)
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            metrics,
-        )
-
-    return jax.jit(train_step, donate_argnums=(0,), static_argnums=())
+    return make_masked_train_step(
+        loss_fn, tx, mesh, trainable_mask, with_rng=True
+    )

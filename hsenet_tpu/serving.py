@@ -239,8 +239,12 @@ class ServingEngine:
         if volume_cache_size > 0:
             if not multimodal:
                 raise ValueError("volume_cache_size requires multimodal=True")
-            # med2e3 features depend on the prompt — not cacheable
-            assert model.config.tower_mode != "med2e3"
+            if model.config.tower_mode == "med2e3":
+                # med2e3 features depend on the prompt — not cacheable
+                raise ValueError(
+                    "volume_cache_size is incompatible with tower_mode="
+                    "'med2e3' (its image features depend on the prompt)"
+                )
         self.volume_cache_size = volume_cache_size
         self._vol_cache: "OrderedDict[bytes, jax.Array]" = OrderedDict()
         self.encode_hits = 0

@@ -15,7 +15,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from hsenet_tpu.models.mllm import HSENetVLM
 from hsenet_tpu.train.losses import masked_lm_loss
@@ -119,14 +119,20 @@ def vlm_seg_loss_fn(
     }
 
 
-def make_vlm_train_step(
-    model: HSENetVLM,
+def make_masked_train_step(
+    loss_fn,
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
-    seg: bool = False,
     trainable_mask=None,
+    *,
+    with_rng: bool = True,
 ):
-    """When `trainable_mask` is given, the grad-norm metric reduces over
+    """Shared train-step tail: dp batch constraint, value_and_grad, optax
+    update, trainable-only grad-norm. `loss_fn(params, batch[, dropout_rng])
+    -> (loss, metrics)`; used by the plain VLM step below and the
+    pipeline-parallel steps (parallel/pipeline.py).
+
+    When `trainable_mask` is given, the grad-norm metric reduces over
     TRAINABLE grads only. This is not cosmetic: `optax.masked` never reads
     the frozen leaves' gradient VALUES (set_to_zero uses only shapes), so
     XLA dead-code-eliminates the whole frozen-weight backward — the memory
@@ -134,20 +140,21 @@ def make_vlm_train_step(
     (the reference gets the same effect from requires_grad=False,
     train_VLM.py:406-414). A full-tree global_norm would silently force all
     8 GB of frozen grads back into existence."""
-    loss_fn = vlm_seg_loss_fn if seg else vlm_loss_fn
 
-    def train_step(state: TrainState, batch, rng):
-        dropout_rng = jax.random.fold_in(rng, state.step)
+    def train_step(state: TrainState, batch, rng=None):
         if mesh is not None:
-            batch = jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, P("dp"))
-                ),
-                batch,
+            from hsenet_tpu.parallel.mesh import constrain_batch
+
+            batch = constrain_batch(batch, mesh)
+        args = (batch,)
+        if with_rng:
+            dropout_rng = (
+                None if rng is None else jax.random.fold_in(rng, state.step)
             )
-        (loss, metrics), grads = jax.value_and_grad(
-            functools.partial(loss_fn, model), has_aux=True
-        )(state.params, batch, dropout_rng)
+            args = (batch, dropout_rng)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, *args
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if trainable_mask is not None:
@@ -167,3 +174,19 @@ def make_vlm_train_step(
         )
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_vlm_train_step(
+    model: HSENetVLM,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    seg: bool = False,
+    trainable_mask=None,
+):
+    """Plain (single-program) VLM finetune step; see make_masked_train_step
+    for the trainable-only grad-norm rationale."""
+    loss_fn = vlm_seg_loss_fn if seg else vlm_loss_fn
+    return make_masked_train_step(
+        functools.partial(loss_fn, model), tx, mesh, trainable_mask,
+        with_rng=True,
+    )
