@@ -162,6 +162,8 @@ def main(argv=None):
     state = TrainState.create(student_params, tx)
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir)
+    if args.resume:
+        state = CheckpointManager(args.resume).restore(state)
     dump_config(args.output_dir, student_cfg, train_cfg)
     step_fn = make_stage2_train_step(
         student, teacher, student_cfg, tx, teacher_params, mesh,

@@ -201,6 +201,10 @@ def main(argv=None):
     state = TrainState.create(params, tx)
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir)
+    if args.resume:
+        # full-state resume (step + params + optimizer moments); restored
+        # leaves keep the template's placement, so tp/pp shardings survive
+        state = CheckpointManager(args.resume).restore(state)
     dump_config(args.output_dir, cfg, train_cfg)
     if args.pp > 1:
         from hsenet_tpu.parallel.pipeline import make_pp_vlm_train_step

@@ -251,7 +251,7 @@ def test_cli_train_vlm_pp(tmp_path):
             "--total-steps", "2",
             "--batch-size", "4",
             "--log-every", "1",
-            "--checkpoint-every", "1000",
+            "--checkpoint-every", "1",
             "--dtype", "float32",
             "--dp", "2", "--pp", "2", "--n-micro", "2",
             "--output-dir", out,
@@ -284,6 +284,29 @@ def test_cli_train_vlm_pp(tmp_path):
         ]
     )
     assert int(state2.step) == 1
+
+    # full-state --resume (step + optimizer moments) under pp: picks up at
+    # step 2 from the first run's orbax checkpoints and trains to 3
+    out3 = str(tmp_path / "vlm_pp_full_resume")
+    state3 = vlm(
+        [
+            "--synthetic",
+            "--task", "mrg",
+            "--total-steps", "3",
+            "--batch-size", "4",
+            "--log-every", "1",
+            "--checkpoint-every", "1000",
+            "--dtype", "float32",
+            "--dp", "2", "--pp", "2", "--n-micro", "2",
+            "--output-dir", out3,
+            "--resume", out,
+        ]
+    )
+    assert int(state3.step) == 3
+    layer_leaf3 = state3.params["params"]["llm"]["decoder"]["layers"][
+        "q_proj"
+    ]["kernel"]
+    assert "pp" in str(layer_leaf3.sharding.spec)
 
 
 def test_pp_requires_divisible_layers():

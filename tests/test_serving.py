@@ -431,6 +431,20 @@ def test_cli_serve_requests_file(tmp_path):
         ])
 
 
+def test_cli_serve_vol_cache_rejects_llm_only():
+    """--vol-cache needs the multimodal engine; combining it with
+    --llm-only must error at argparse time, not silently no-op."""
+    import pytest
+
+    from hsenet_tpu.cli.serve import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--synthetic", "--llm-only", "--vol-cache", "4",
+            "--num-requests", "1", "--slots", "2",
+        ])
+
+
 def test_cli_serve_synthetic_llm_only_tp():
     """--llm-only --tp 4: bare-decoder serving over a tp mesh."""
     from hsenet_tpu.cli.serve import main
