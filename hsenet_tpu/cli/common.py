@@ -25,6 +25,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dp", type=int, default=-1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence parallelism: shard the vision tower's "
+                        "token axis over an 'sp' mesh axis (ring attention; "
+                        "stage-1 only, parallel/sp.py)")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the dp axis (ZeRO-1)")
     p.add_argument("--dtype", default="bfloat16",
@@ -86,7 +90,8 @@ def mesh_from_args(args):
     from hsenet_tpu.parallel.mesh import create_mesh
 
     return create_mesh(
-        MeshConfig(dp=args.dp, tp=args.tp, pp=getattr(args, "pp", 1))
+        MeshConfig(dp=args.dp, tp=args.tp, pp=getattr(args, "pp", 1),
+                   sp=getattr(args, "sp", 1))
     )
 
 

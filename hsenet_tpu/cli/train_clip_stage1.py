@@ -129,7 +129,12 @@ def main(argv=None):
         state = CheckpointManager(args.resume).restore(state)
 
     dump_config(args.output_dir, clip_cfg, train_cfg)
-    step_fn = make_stage1_train_step(model, tx, mesh)
+    if getattr(args, "sp", 1) > 1:
+        from hsenet_tpu.parallel.sp import make_sp_stage1_train_step
+
+        step_fn = make_sp_stage1_train_step(model, tx, mesh)
+    else:
+        step_fn = make_stage1_train_step(model, tx, mesh)
 
     # in-training retrieval eval over the validation split (the reference
     # evaluates every 4% of steps with retrieval-logit accuracy)

@@ -460,13 +460,16 @@ class AugmentConfig:
 class MeshConfig:
     """SPMD mesh layout. dp: data parallel; tp: tensor parallel (LLM);
     pp: pipeline parallel (decoder layer stages, parallel/pipeline.py);
+    sp: sequence parallel (vision-tower token ring, parallel/sp.py);
     fsdp: optional param sharding along dp for ZeRO-style memory savings.
     pp > 1 builds a ("dp", "pp") mesh and requires tp == 1 (tp-inside-pp
-    is future work; see parallel/pipeline.py)."""
+    is future work; see parallel/pipeline.py); sp > 1 likewise builds a
+    ("dp", "sp") mesh and requires tp == pp == 1."""
 
     dp: int = -1  # -1 = all remaining devices
     tp: int = 1
     pp: int = 1
+    sp: int = 1
     axis_names: Tuple[str, str] = ("dp", "tp")
 
 

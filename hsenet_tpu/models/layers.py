@@ -79,7 +79,11 @@ class SelfAttention(nn.Module):
     attn_block_q: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
+    def __call__(
+        self, x, *, kv_lens=None, deterministic: bool = True,
+        sp_axis: Optional[str] = None, sp_size: int = 1,
+        sp_kv_len: Optional[int] = None,
+    ):
         b, s, h = x.shape
         head_dim = h // self.num_heads
         qkv = _dense(
@@ -91,10 +95,23 @@ class SelfAttention(nn.Module):
         def heads(t):
             return rearrange(t, "b s (n d) -> b n s d", n=self.num_heads)
 
-        out = multi_head_attention(
-            heads(q), heads(k), heads(v), kv_lens=kv_lens,
-            block_q=self.attn_block_q,
-        )
+        if sp_axis is not None:
+            # sequence-parallel: x is this device's chunk of the sequence
+            # (sharded over the 'sp' mesh axis inside shard_map); exact
+            # attention via the K/V ring. Per-row kv_lens masking is a
+            # decoder concern — the encoder towers never use it.
+            assert kv_lens is None, "kv_lens unsupported under sp"
+            from hsenet_tpu.ops.ring_attention import ring_attention
+
+            out = ring_attention(
+                heads(q), heads(k), heads(v),
+                axis_name=sp_axis, axis_size=sp_size, kv_len=sp_kv_len,
+            )
+        else:
+            out = multi_head_attention(
+                heads(q), heads(k), heads(v), kv_lens=kv_lens,
+                block_q=self.attn_block_q,
+            )
         out = rearrange(out, "b n s d -> b s (n d)")
         out = _dense(h, quant=self.quant, quant_static=self.quant_static,
                      dtype=self.dtype, name="out_proj")(out)
@@ -114,7 +131,11 @@ class TransformerBlock(nn.Module):
     attn_block_q: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, *, kv_lens=None, deterministic: bool = True):
+    def __call__(
+        self, x, *, kv_lens=None, deterministic: bool = True,
+        sp_axis: Optional[str] = None, sp_size: int = 1,
+        sp_kv_len: Optional[int] = None,
+    ):
         h = x.shape[-1]
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
         y = SelfAttention(
@@ -126,7 +147,10 @@ class TransformerBlock(nn.Module):
             quant_static=self.quant_static,
             attn_block_q=self.attn_block_q,
             name="attn",
-        )(y, kv_lens=kv_lens, deterministic=deterministic)
+        )(
+            y, kv_lens=kv_lens, deterministic=deterministic,
+            sp_axis=sp_axis, sp_size=sp_size, sp_kv_len=sp_kv_len,
+        )
         x = x + y
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         y = MlpBlock(

@@ -59,6 +59,8 @@ class TransformerTower(nn.Module):
     def __call__(
         self, x, *, kv_lens=None, deterministic: bool = True,
         skip_final_norm: bool = False,
+        sp_axis: Optional[str] = None, sp_size: int = 1,
+        sp_kv_len: Optional[int] = None,
     ):
         block_cls = TransformerBlock
         if self.remat:
@@ -68,7 +70,8 @@ class TransformerTower(nn.Module):
 
         def body(block, carry):
             y = block(
-                carry, kv_lens=kv_lens, deterministic=deterministic
+                carry, kv_lens=kv_lens, deterministic=deterministic,
+                sp_axis=sp_axis, sp_size=sp_size, sp_kv_len=sp_kv_len,
             )
             return y, None
 
@@ -117,7 +120,17 @@ class ViT3D(nn.Module):
         *,
         deterministic: bool = True,
         return_scores: bool = False,
+        sp_axis: Optional[str] = None,
+        sp_size: int = 1,
     ):
+        """`sp_axis`/`sp_size`: sequence-parallel mode — must be called
+        inside `shard_map` over that mesh axis (see parallel/sp.py). Patch
+        embedding (+ the 2E3 slice-guided scoring, which reads all tokens)
+        runs replicated on every sp member — it is <2% of tower FLOPs —
+        then each device keeps its contiguous token chunk and the tower
+        runs with ring attention. Returns this device's (B, S/sp, D)
+        output chunk (padded tail tokens included; the sp wrapper strips
+        them after shard_map reassembly)."""
         cfg = self.config
         x = PatchEmbed3D(
             cfg.patch_size,
@@ -159,6 +172,14 @@ class ViT3D(nn.Module):
             )
             x = jnp.concatenate([cls, x], axis=1)
 
+        sp_kv_len = None
+        if sp_axis is not None:
+            from hsenet_tpu.ops.ring_attention import local_chunk, pad_to_multiple
+
+            sp_kv_len = x.shape[1]  # true token count before padding
+            x = pad_to_multiple(x, sp_size, axis=1)
+            x = local_chunk(x, sp_axis, sp_size, axis=1)
+
         x = TransformerTower(
             num_layers=cfg.num_layers,
             num_heads=cfg.num_heads,
@@ -172,7 +193,10 @@ class ViT3D(nn.Module):
             gelu_approx=cfg.gelu_approx,
             attn_block_q=cfg.attn_block_q,
             name="tower",
-        )(x, deterministic=deterministic)
+        )(
+            x, deterministic=deterministic,
+            sp_axis=sp_axis, sp_size=sp_size, sp_kv_len=sp_kv_len,
+        )
 
         if return_scores:
             return x, scores

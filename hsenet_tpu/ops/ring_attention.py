@@ -1,0 +1,140 @@
+"""Ring attention: exact attention with the sequence axis sharded.
+
+The reference caps its context at whatever one GPU's attention memory
+allows (a 2049-token ViT sequence, `vit.py:464-466`; a few-K-token LLM
+context) and has no sequence-scaling story at all (SURVEY.md §2.10 — DDP
+only). On TPU the natural scale-out for long sequences is a ring over an
+'sp' mesh axis: every device holds one contiguous sequence chunk of Q, K
+and V, computes blockwise attention of its local Q against the K/V chunk
+it currently holds, accumulates with the online-softmax recurrence
+(running row-max m, normalizer l, unnormalized accumulator acc — the
+flash-attention state), and rotates K/V one hop around the ring with
+`jax.lax.ppermute` so after `sp` steps every Q block has seen every K/V
+block. Attention memory and score-matrix FLOPs per device drop by sp×,
+collectives ride adjacent ICI links, and the result is bit-for-bit the
+same softmax as the dense computation (up to f32 accumulation order).
+
+Designed to run INSIDE `shard_map` (see `parallel/sp.py` for the jit-level
+wrappers). Reverse-mode AD works end-to-end: `ppermute` transposes to the
+inverse rotation, so `jax.grad` through a ring-attention forward IS ring
+backprop — no hand-written backward schedule.
+
+The per-hop attention is plain einsum + online softmax (f32 accumulators)
+rather than a Pallas call: each hop's score block is (S/sp, S/sp), small
+enough that XLA fuses the mask/exp/scale chain into the two MXU matmuls;
+the Pallas flash kernel stays the single-device path (ops/flash_attention).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # finite mask value: exp(_NEG_INF - m) underflows to 0 in f32
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    axis_size: int,
+    kv_len: Optional[int] = None,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Exact attention over a sequence sharded on `axis_name`.
+
+    Must be called inside `shard_map` with the sequence axis of q/k/v
+    sharded over `axis_name` in contiguous chunks (chunk i = global
+    positions [i*S_local, (i+1)*S_local)).
+
+    Args:
+      q, k, v: (B, H, S_local, D) local sequence chunks.
+      axis_name: mesh axis the sequence is sharded over.
+      axis_size: static size of that axis (sp degree).
+      kv_len: optional static global count of valid tokens; global key
+        positions >= kv_len are masked out (tail padding from rounding the
+        sequence up to a multiple of axis_size). Padded QUERY rows produce
+        garbage that callers must drop — only key masking is applied.
+      causal: apply the global causal mask (query position >= key position).
+      sm_scale: softmax scale, default 1/sqrt(D).
+
+    Returns (B, H, S_local, D) in q.dtype — this device's output chunk.
+    """
+    b, h, s_local, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    idx = jax.lax.axis_index(axis_name)
+    q_pos = idx * s_local + jnp.arange(s_local, dtype=jnp.int32)  # (S,)
+
+    m = jnp.full((b, h, s_local), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, h, s_local), jnp.float32)
+    acc = jnp.zeros((b, h, s_local, d), jnp.float32)
+    # send-left rotation: after t hops this device holds chunk (idx+t)%sp,
+    # so consecutive hops touch adjacent ICI neighbours
+    perm = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+
+    k_c, v_c = k, v
+    for t in range(axis_size):
+        src = (idx + t) % axis_size  # global chunk index currently held
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_c, preferred_element_type=jnp.float32
+        ) * sm_scale
+        k_pos = src * s_local + jnp.arange(s_local, dtype=jnp.int32)
+        mask = None
+        if kv_len is not None and kv_len < axis_size * s_local:
+            mask = k_pos < kv_len  # (S,)
+            mask = mask[None, None, None, :]
+        if causal:
+            c = k_pos[None, :] <= q_pos[:, None]  # (Sq, Sk)
+            c = c[None, None]
+            mask = c if mask is None else jnp.logical_and(mask, c)
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        # fully-masked-so-far rows: keep m at a finite sentinel so exp()
+        # below sees finite arguments (their mass washes out once a real
+        # chunk raises m_new; see _NEG_INF note)
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m - m_new)  # first hop: exp(-inf - finite) = 0
+        l = l * alpha + p.sum(axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            p.astype(v_c.dtype),
+            v_c,
+            preferred_element_type=jnp.float32,
+        )
+        m = m_new
+        if t != axis_size - 1:  # last hop's rotation would be a no-op wait
+            k_c = jax.lax.ppermute(k_c, axis_name, perm)
+            v_c = jax.lax.ppermute(v_c, axis_name, perm)
+
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.astype(q.dtype)
+
+
+def pad_to_multiple(x: jax.Array, multiple: int, axis: int) -> jax.Array:
+    """Zero-pad `axis` of x up to the next multiple (no-op if already there)."""
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def local_chunk(x: jax.Array, axis_name: str, axis_size: int, axis: int):
+    """Slice this device's contiguous chunk of `axis` (inside shard_map).
+
+    `x` must already be padded so shape[axis] % axis_size == 0."""
+    size = x.shape[axis]
+    assert size % axis_size == 0, (size, axis_size)
+    chunk = size // axis_size
+    idx = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk, axis=axis)

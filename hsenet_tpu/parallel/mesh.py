@@ -36,12 +36,23 @@ def create_mesh(
     if config.pp > 1:
         # pipeline mesh: ("dp", "pp"); stages are innermost so the GPipe
         # ring's ppermute hops ride adjacent ICI links
-        assert config.tp == 1, "pp composes with dp only (pipeline.py)"
+        assert config.tp == 1 and config.sp == 1, (
+            "pp composes with dp only (pipeline.py)"
+        )
         pp = config.pp
         dp = config.dp if config.dp > 0 else n // pp
         assert dp * pp <= n, f"mesh {dp}x{pp} needs more than {n} devices"
         arr = np.array(devices[: dp * pp]).reshape(dp, pp)
         return Mesh(arr, ("dp", "pp"))
+    if config.sp > 1:
+        # sequence-parallel mesh: ("dp", "sp"); the token ring is innermost
+        # so ring-attention's ppermute hops ride adjacent ICI links
+        assert config.tp == 1, "sp composes with dp only (parallel/sp.py)"
+        sp = config.sp
+        dp = config.dp if config.dp > 0 else n // sp
+        assert dp * sp <= n, f"mesh {dp}x{sp} needs more than {n} devices"
+        arr = np.array(devices[: dp * sp]).reshape(dp, sp)
+        return Mesh(arr, ("dp", "sp"))
     tp = config.tp
     dp = config.dp if config.dp > 0 else n // tp
     assert dp * tp <= n, f"mesh {dp}x{tp} needs more than {n} devices"

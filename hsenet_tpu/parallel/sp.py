@@ -1,0 +1,182 @@
+"""Sequence parallelism ('sp' mesh axis) for the 3D vision towers.
+
+The reference's attention memory caps the encoder at one GPU's worth of
+tokens (2049 for a 32x256x256 CT volume, `vit.py:464-466`) and it has no
+long-sequence scaling story (SURVEY.md §2.10 — DDP only). Here the token
+axis itself shards over an 'sp' mesh axis: every device embeds the volume
+(patch embed is <2% of tower FLOPs — replicated), keeps one contiguous
+token chunk, and runs the 12-block tower with exact ring attention
+(`ops/ring_attention.py` — K/V rotate around the ICI ring with ppermute,
+online-softmax accumulation). LayerNorm and the MLP are per-token, so the
+whole tower is local except attention; per-device attention memory and
+score FLOPs drop by sp×, which is what unlocks finer patchings / larger
+volumes (e.g. 512^3 at (4,16,16) patches → 65k tokens) that cannot fit a
+single chip's flash-attention working set.
+
+Composition: sp composes with dp (mesh ("dp", "sp"): batch rows sharded
+over dp, each dp row's tokens sharded over its sp group). `shard_map` is
+differentiable, so the stage-1 contrastive train step below backprops
+through the ring (ppermute transposes to the reverse rotation) while the
+text encoder, projections and the global InfoNCE run outside the ring
+under plain jit — XLA still inserts the dp feature all-gather for the
+global (B, B) logit matrix exactly as in `train/stage1.py`.
+
+Deviation (same policy as pipeline.py's in-ring dropout): tower dropout
+runs OFF inside the sp region — threading per-chunk RNGs through the ring
+isn't worth a 0.0-by-default regularizer; text-side dropout still applies.
+Equality vs the plain path is tested at dropout_rate=0
+(tests/test_sp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hsenet_tpu.models.clip import CLIPModel
+from hsenet_tpu.models.vit import ViT3D
+from hsenet_tpu.parallel.pipeline import _shard_map
+from hsenet_tpu.train.losses import clip_contrastive_loss, retrieval_accuracy
+from hsenet_tpu.train.train_state import TrainState
+
+
+def _sp_size(mesh: Mesh) -> int:
+    assert "sp" in mesh.axis_names, f"mesh {mesh.axis_names} has no 'sp' axis"
+    return mesh.shape["sp"]
+
+
+def vit3d_token_count(cfg, volume_shape) -> int:
+    """Tower sequence length for a (..., D, H, W) volume: patches (+ CLS)."""
+    d, h, w = volume_shape[-3:]
+    p0, p1, p2 = cfg.patch_size
+    assert d % p0 == 0 and h % p1 == 0 and w % p2 == 0, (
+        volume_shape, cfg.patch_size
+    )
+    return (d // p0) * (h // p1) * (w // p2) + (1 if cfg.classification else 0)
+
+
+def sp_encode_tokens(
+    vit: ViT3D,
+    mesh: Mesh,
+    params,
+    volume: jax.Array,
+    slice_features: Optional[jax.Array] = None,
+):
+    """Sequence-parallel ViT3D forward -> (B, S, D) global token array.
+
+    `params` is the ViT3D variable dict ({"params": ...}), replicated over
+    the mesh; `volume` rows shard over 'dp', tokens over 'sp'. Call under
+    jit (or jit the caller); differentiable.
+    """
+    sp = _sp_size(mesh)
+    s_true = vit3d_token_count(vit.config, volume.shape)
+
+    if slice_features is None:
+        def local(p, vol):
+            return vit.apply(
+                p, vol, deterministic=True, sp_axis="sp", sp_size=sp
+            )
+
+        in_specs = (P(), P("dp"))
+        args = (params, volume)
+    else:
+        def local(p, vol, sf):
+            return vit.apply(
+                p, vol, sf, deterministic=True, sp_axis="sp", sp_size=sp
+            )
+
+        in_specs = (P(), P("dp"), P("dp"))
+        args = (params, volume, slice_features)
+
+    tokens = _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P("dp", "sp"),
+        check_vma=False,
+    )(*args)
+    return tokens[:, :s_true]  # strip ring padding
+
+
+def make_sp_encode_fn(vit: ViT3D, mesh: Mesh):
+    """encode(params, volume, slice_features=None) -> (B, S, D), jitted."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def encode(params, volume, slice_features=None):
+        return sp_encode_tokens(vit, mesh, params, volume, slice_features)
+
+    return encode
+
+
+def make_sp_stage1_train_step(
+    model: CLIPModel,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+):
+    """Stage-1 CLIP train step with the vision tower sequence-parallel.
+
+    Same contract as train/stage1.py::make_stage1_train_step — the vision
+    encode runs inside shard_map over ("dp", "sp") with ring attention;
+    CLS pooling, the vision projection, the text encoder and the global
+    contrastive loss run outside under jit (batch dp-sharded, sp members
+    share each dp row's work). Gradients flow through the ring via
+    shard_map AD.
+    """
+    vit = ViT3D(model.config.vision, dtype=model.dtype, remat=model.remat)
+
+    def loss_fn(
+        params, batch: Dict[str, jax.Array], dropout_rng
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        tokens = sp_encode_tokens(
+            vit,
+            mesh,
+            {"params": params["params"]["vision_encoder"]},
+            batch["image"],
+        )
+        img = model.apply(
+            params, tokens[:, 0], method=lambda m, f: m.mm_vision_proj(f)
+        )
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt, _ = model.apply(
+            params,
+            batch["input_ids"],
+            batch.get("attention_mask"),
+            deterministic=dropout_rng is None,
+            rngs=rngs,
+            method=CLIPModel.encode_text,
+        )
+        scale = model.apply(params, method=CLIPModel.scale)
+        loss, logits_i, _ = clip_contrastive_loss(img, txt, scale)
+        metrics = {
+            "loss": loss,
+            "retrieval_acc": retrieval_accuracy(logits_i),
+            "logit_scale": scale,
+        }
+        return loss, metrics
+
+    def train_step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        batch = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("dp"))
+            ),
+            batch,
+        )
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, dropout_rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -1,0 +1,251 @@
+"""Sequence parallelism: ring attention + sp-sharded ViT3D / stage-1 step.
+
+Everything is checked for exact-math equality against the dense
+single-device path (the ring computes the same softmax, only the
+accumulation order differs), including gradients through the ppermute
+ring — the property that makes sp a *training* axis, not a demo.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hsenet_tpu.configs import BertConfig, CLIPConfig, MeshConfig, ViT3DConfig
+from hsenet_tpu.models.clip import CLIPModel
+from hsenet_tpu.models.vit import ViT3D
+from hsenet_tpu.ops.attention import sdpa_reference
+from hsenet_tpu.ops.ring_attention import pad_to_multiple, ring_attention
+from hsenet_tpu.parallel.mesh import create_mesh
+from hsenet_tpu.parallel.pipeline import _shard_map
+from hsenet_tpu.parallel.sp import (
+    make_sp_encode_fn,
+    make_sp_stage1_train_step,
+    vit3d_token_count,
+)
+from hsenet_tpu.train.stage1 import make_stage1_train_step
+from hsenet_tpu.train.train_state import TrainState
+
+TINY_VIT = ViT3DConfig(
+    image_size=(8, 16, 16),
+    patch_size=(2, 8, 8),
+    hidden_size=32,
+    mlp_dim=64,
+    num_layers=2,
+    num_heads=4,
+    num_slices=4,
+    slice_feature_dim=32,
+)
+TINY_BERT = BertConfig(
+    vocab_size=64,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=32,
+)
+
+
+def _ring_on_mesh(q, k, v, sp, **kwargs):
+    """Run ring_attention over an sp-axis mesh, return the global result."""
+    mesh = create_mesh(MeshConfig(dp=1, sp=sp))
+
+    def local(q, k, v):
+        return ring_attention(
+            q, k, v, axis_name="sp", axis_size=sp, **kwargs
+        )
+
+    fn = _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, "sp"), P(None, None, "sp"), P(None, None, "sp")),
+        out_specs=P(None, None, "sp"),
+        check_vma=False,
+    )
+    return jax.jit(fn)(q, k, v)
+
+
+def test_ring_attention_matches_sdpa(rng):
+    b, h, s, d = 2, 3, 40, 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+        for _ in range(3)
+    )
+    out = _ring_on_mesh(q, k, v, sp=8)
+    ref = sdpa_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_ring_attention_padding_mask(rng):
+    """kv_len masks the global tail padding exactly like truncation."""
+    b, h, s_true, d, sp = 1, 2, 37, 8, 8
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s_true, d)), jnp.float32)
+        for _ in range(3)
+    )
+    qp = pad_to_multiple(q, sp, axis=2)
+    kp = pad_to_multiple(k, sp, axis=2)
+    vp = pad_to_multiple(v, sp, axis=2)
+    out = _ring_on_mesh(qp, kp, vp, sp=sp, kv_len=s_true)
+    ref = sdpa_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, :s_true], np.asarray(ref), atol=2e-6
+    )
+
+
+def test_ring_attention_causal(rng):
+    b, h, s, d, sp = 2, 2, 32, 8, 4
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+        for _ in range(3)
+    )
+    out = _ring_on_mesh(q, k, v, sp=sp, causal=True)
+    ref = sdpa_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_ring_attention_grads(rng):
+    """Reverse-mode through the ppermute ring == dense attention grads."""
+    b, h, s, d, sp = 1, 2, 24, 8, 4
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+        for _ in range(3)
+    )
+    w = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    mesh = create_mesh(MeshConfig(dp=1, sp=sp))
+
+    def ring_loss(q, k, v):
+        def local(q, k, v, w):
+            out = ring_attention(q, k, v, axis_name="sp", axis_size=sp)
+            # psum so every device returns the same scalar (out_specs P())
+            return jax.lax.psum(jnp.sum(out * w), "sp")
+
+        spec = P(None, None, "sp")
+        return _shard_map(
+            local, mesh=mesh, in_specs=(spec,) * 4, out_specs=P(),
+            check_vma=False,
+        )(q, k, v, w)
+
+    def dense_loss(q, k, v):
+        return jnp.sum(sdpa_reference(q, k, v) * w)
+
+    g_ring = jax.jit(jax.grad(ring_loss, argnums=(0, 1, 2)))(q, k, v)
+    g_dense = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+    for gr, gd in zip(g_ring, g_dense):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gd), atol=5e-6)
+
+
+def test_sp_encode_matches_plain(rng, key):
+    """ViT3D under ("dp", "sp") == plain single-device forward (CLS + pad)."""
+    model = ViT3D(TINY_VIT, dtype=jnp.float32)
+    vol = jnp.asarray(rng.random((4, 1, 8, 16, 16), np.float32))
+    params = model.init(key, vol[:1])
+    plain = model.apply(params, vol)
+
+    mesh = create_mesh(MeshConfig(dp=2, sp=4))
+    encode = make_sp_encode_fn(model, mesh)
+    out = encode(params, vol)
+    s = vit3d_token_count(TINY_VIT, vol.shape)
+    assert s == 17 and out.shape == plain.shape  # 16 patches + CLS, padded to 20
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain), atol=2e-5)
+
+
+def test_sp_encode_slice_guided(rng, key):
+    """2E3 (slice-guided) scoring happens pre-ring; sp must reproduce it."""
+    cfg = dataclasses.replace(TINY_VIT, slice_guided=True)
+    model = ViT3D(cfg, dtype=jnp.float32)
+    vol = jnp.asarray(rng.random((2, 1, 8, 16, 16), np.float32))
+    sf = jnp.asarray(rng.standard_normal((2, 4, 32)), np.float32)
+    params = model.init(key, vol[:1], sf[:1])
+    plain = model.apply(params, vol, sf)
+
+    mesh = create_mesh(MeshConfig(dp=2, sp=4))
+    encode = make_sp_encode_fn(model, mesh)
+    out = encode(params, vol, sf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain), atol=2e-5)
+
+
+def test_sp_stage1_train_step_matches_plain(rng, key):
+    """One sp-sharded stage-1 step == the plain step: loss, grads, update."""
+    cfg = CLIPConfig(vision=TINY_VIT, text=TINY_BERT, projection_dim=32)
+    model = CLIPModel(cfg, dtype=jnp.float32)
+    batch = {
+        "image": jnp.asarray(rng.random((8, 1, 8, 16, 16), np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 64, (8, 12))),
+        "attention_mask": jnp.ones((8, 12), jnp.int32),
+    }
+    params = model.init(
+        key, batch["image"][:1], batch["input_ids"][:1],
+        batch["attention_mask"][:1],
+    )
+    # SGD: the update is linear in the gradient, so the comparison below is
+    # a true grad-equality check (adamw's m/sqrt(v) amplifies f32
+    # accumulation-order noise on near-zero grads into relative blowups)
+    tx = optax.sgd(1e-2)
+
+    def fresh_state():
+        p = jax.tree.map(jnp.copy, params)
+        return TrainState(step=jnp.asarray(0), params=p,
+                          opt_state=tx.init(p))
+
+    step_rng = jax.random.key(7)
+    plain_step = make_stage1_train_step(model, tx)
+    s_plain, m_plain = plain_step(fresh_state(), batch, step_rng)
+
+    mesh = create_mesh(MeshConfig(dp=2, sp=4))
+    sp_step = make_sp_stage1_train_step(model, tx, mesh)
+    s_sp, m_sp = sp_step(fresh_state(), batch, step_rng)
+
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_plain["loss"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_sp["grad_norm"]), float(m_plain["grad_norm"]), rtol=1e-4
+    )
+    flat_sp = jax.tree_util.tree_leaves(s_sp.params)
+    flat_plain = jax.tree_util.tree_leaves(s_plain.params)
+    for a, b in zip(flat_sp, flat_plain):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5
+        )
+
+
+def test_stage1_cli_sp(tmp_path):
+    """--sp 4 end-to-end through the stage-1 CLI (dp=2 x sp=4 mesh)."""
+    from hsenet_tpu.cli.train_clip_stage1 import main as stage1
+
+    state = stage1([
+        "--synthetic",
+        "--image-size", "8", "32", "32",
+        "--patch-size", "2", "8", "8",
+        "--hidden-size", "32",
+        "--mlp-dim", "64",
+        "--num-layers", "2",
+        "--num-heads", "4",
+        "--num-slices", "4",
+        "--slice-dim", "32",
+        "--text-hidden", "32",
+        "--max-text-len", "16",
+        "--dtype", "float32",
+        "--dp", "2",
+        "--sp", "4",
+        "--batch-size", "4",
+        "--log-every", "1",
+        "--checkpoint-every", "1000",
+        "--total-steps", "2",
+        "--output-dir", str(tmp_path / "sp_stage1"),
+    ])
+    assert int(state.step) == 2
+
+
+def test_mesh_config_sp_axis():
+    mesh = create_mesh(MeshConfig(dp=2, sp=4))
+    assert mesh.axis_names == ("dp", "sp")
+    assert mesh.shape["sp"] == 4 and mesh.shape["dp"] == 2
+    with pytest.raises(AssertionError):
+        create_mesh(MeshConfig(dp=1, sp=2, tp=2))
