@@ -80,6 +80,8 @@ def main(argv=None):
     if args.pp > 1 and args.zero1:
         p.error("--zero1 with --pp is unsupported: ZeRO-1's dp placement "
                 "would override the pipeline's pp-sharded moments")
+    if args.pp > 1 and args.sp > 1:
+        p.error("--sp composes with dp only (pick one of --pp / --sp)")
 
     max_length = args.max_length or (800 if args.task == "mrg" else 330)
     cfg = build_vlm_config(args)
@@ -186,6 +188,12 @@ def main(argv=None):
             f"--pp {args.pp} must divide num_layers {cfg.llm.num_layers}"
         )
         params = shard_params_pp(params, mesh)
+    elif args.sp > 1:
+        # sequence-parallel placement: params replicated (the sequence —
+        # an activation axis — is what shards; parallel/sp.py)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = jax.device_put(params, NamedSharding(mesh, P()))
     else:
         # tensor-parallel placement (Megatron rules; replicates the rest)
         from hsenet_tpu.parallel.sharding import (
@@ -211,6 +219,12 @@ def main(argv=None):
 
         step_fn = make_pp_vlm_train_step(
             model, tx, mesh, n_micro=args.n_micro, trainable_mask=mask
+        )
+    elif args.sp > 1:
+        from hsenet_tpu.parallel.sp import make_sp_vlm_train_step
+
+        step_fn = make_sp_vlm_train_step(
+            model, tx, mesh, remat=remat, trainable_mask=mask
         )
     else:
         step_fn = make_vlm_train_step(model, tx, mesh, trainable_mask=mask)

@@ -157,8 +157,17 @@ class Phi3Block(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, cos, sin, kv_lens, layer_cache, *, deterministic=True):
+    def __call__(
+        self, x, cos, sin, kv_lens, layer_cache, *, deterministic=True,
+        sp_axis=None, sp_size=1,
+    ):
         """layer_cache: None or (k, v, lengths), k/v (B, Hkv, T, D).
+
+        `sp_axis`/`sp_size`: sequence-parallel training (inside shard_map,
+        x = this device's token chunk, cos/sin already per-chunk global
+        positions, kv_lens = per-row GLOBAL lengths); attention runs the
+        causal K/V ring (ops/ring_attention.py). Cache paths don't compose
+        with sp (generation is token-recurrent, not sequence-wide).
 
         Returns (x, new_layer_kv or None).
         """
@@ -187,7 +196,20 @@ class Phi3Block(nn.Module):
         v = rearrange(v, "b s (n d) -> b n s d", n=cfg.num_kv_heads)
         q, k = apply_rope(q, k, cos, sin, cfg.rotary_dim)
 
-        if layer_cache is None:
+        if sp_axis is not None:
+            assert layer_cache is None, "sp is a training-path axis"
+            from hsenet_tpu.ops.ring_attention import ring_attention
+
+            rep = cfg.num_heads // cfg.num_kv_heads
+            if rep > 1:  # GQA: expand kv heads before they enter the ring
+                k = jnp.repeat(k, rep, axis=1)
+                v = jnp.repeat(v, rep, axis=1)
+            attn = ring_attention(
+                q, k, v, axis_name=sp_axis, axis_size=sp_size,
+                kv_lens=kv_lens, causal=True,
+            )
+            new_kv = None
+        elif layer_cache is None:
             attn = multi_head_attention(q, k, v, kv_lens=kv_lens, causal=True)
             new_kv = None
         else:
@@ -269,19 +291,41 @@ class Phi3Decoder(nn.Module):
         cache: Optional[KVCache] = None,
         positions: Optional[jax.Array] = None,
         deterministic: bool = True,
+        sp_axis: Optional[str] = None,
+        sp_size: int = 1,
+        sp_global_len: Optional[int] = None,
     ) -> Tuple[jax.Array, Optional[KVCache]]:
+        """`sp_axis`/`sp_size`/`sp_global_len`: sequence-parallel training —
+        must run inside shard_map with `inputs_embeds` being this device's
+        contiguous token chunk and `kv_lens` per-row GLOBAL lengths;
+        positions and LongRoPE factors come from the global sequence
+        (sp_global_len), attention is the causal ring (parallel/sp.py)."""
         cfg = self.config
         x = inputs_embeds.astype(self.dtype)
         b, s, _ = x.shape
 
-        if positions is None:
+        if sp_axis is not None:
+            assert cache is None and positions is None, "sp = training path"
+            assert kv_lens is not None, "sp needs global kv_lens"
+            assert sp_global_len is not None
+            idx = jax.lax.axis_index(sp_axis)
+            positions = jnp.broadcast_to(
+                idx * s + jnp.arange(s)[None, :], (b, s)
+            )
+        elif positions is None:
             if cache is not None:
                 positions = cache.lengths[:, None] + jnp.arange(s)[None, :]
             else:
                 positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         # LongRoPE factor choice is static: the max reachable position is the
-        # cache capacity (generation) or the sequence length (training)
-        total_len = cache.k.shape[3] if cache is not None else s
+        # cache capacity (generation), the global sequence length (sp
+        # training), or the local sequence length (plain training)
+        if cache is not None:
+            total_len = cache.k.shape[3]
+        elif sp_axis is not None:
+            total_len = sp_global_len
+        else:
+            total_len = s
         ext_factors, attn_scaling = _longrope_params(cfg, total_len)
         cos, sin = _rope_cos_sin(
             positions, cfg.rotary_dim, cfg.rope_theta,
@@ -291,32 +335,38 @@ class Phi3Decoder(nn.Module):
         if kv_lens is None:
             kv_lens = jnp.full((b,), s, jnp.int32)
 
-        block_cls = Phi3Block
-        if self.remat:
+        def maybe_remat(body_fn):
+            # remat the scan BODY FUNCTION, not the module class: statics
+            # (the deterministic flag, sp axis/size) stay in the closure,
+            # where jax.checkpoint never traces them. nn.remat(Phi3Block)
+            # would convert bool kwargs to tracers and crash every
+            # dropout>0 config at `if deterministic` (flax stochastic.py).
+            if not self.remat:
+                return body_fn
             policy = None  # "full": save block inputs only
             if cfg.remat_policy == "dots":
                 policy = (
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                 )
-            block_cls = nn.remat(
-                Phi3Block, prevent_cse=False, policy=policy
-            )
+            return nn.remat(body_fn, prevent_cse=False, policy=policy)
 
         if cache is None:
 
             def body(block, carry):
                 y, _ = block(
-                    carry, cos, sin, kv_lens, None, deterministic=deterministic
+                    carry, cos, sin, kv_lens, None,
+                    deterministic=deterministic,
+                    sp_axis=sp_axis, sp_size=sp_size,
                 )
                 return y, None
 
             stack = nn.scan(
-                body,
+                maybe_remat(body),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=cfg.num_layers,
             )
-            x, _ = stack(block_cls(cfg, dtype=self.dtype, name="layers"), x)
+            x, _ = stack(Phi3Block(cfg, dtype=self.dtype, name="layers"), x)
             new_cache = None
         else:
 
@@ -332,7 +382,7 @@ class Phi3Decoder(nn.Module):
                 return y, new_kv
 
             stack = nn.scan(
-                body,
+                maybe_remat(body),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=0,
@@ -340,7 +390,7 @@ class Phi3Decoder(nn.Module):
                 length=cfg.num_layers,
             )
             x, (new_k, new_v) = stack(
-                block_cls(cfg, dtype=self.dtype, name="layers"),
+                Phi3Block(cfg, dtype=self.dtype, name="layers"),
                 x,
                 (cache.k, cache.v),
             )

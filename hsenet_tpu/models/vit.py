@@ -62,18 +62,18 @@ class TransformerTower(nn.Module):
         sp_axis: Optional[str] = None, sp_size: int = 1,
         sp_kv_len: Optional[int] = None,
     ):
-        block_cls = TransformerBlock
-        if self.remat:
-            block_cls = nn.remat(
-                TransformerBlock, static_argnums=(), prevent_cse=False
-            )
-
         def body(block, carry):
             y = block(
                 carry, kv_lens=kv_lens, deterministic=deterministic,
                 sp_axis=sp_axis, sp_size=sp_size, sp_kv_len=sp_kv_len,
             )
             return y, None
+
+        if self.remat:
+            # remat the body fn, not the module class: the static kwargs
+            # (deterministic, sp axis/size) stay closure-captured where
+            # jax.checkpoint never traces them (see Phi3Decoder note)
+            body = nn.remat(body, prevent_cse=False)
 
         stack = nn.scan(
             body,
@@ -84,7 +84,7 @@ class TransformerTower(nn.Module):
             length=self.num_layers,
         )
         x, _ = stack(
-            block_cls(
+            TransformerBlock(
                 num_heads=self.num_heads,
                 mlp_dim=self.mlp_dim,
                 qkv_bias=self.qkv_bias,

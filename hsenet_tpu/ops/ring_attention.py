@@ -44,6 +44,7 @@ def ring_attention(
     axis_name: str,
     axis_size: int,
     kv_len: Optional[int] = None,
+    kv_lens: Optional[jax.Array] = None,
     causal: bool = False,
     sm_scale: Optional[float] = None,
 ) -> jax.Array:
@@ -61,6 +62,9 @@ def ring_attention(
         positions >= kv_len are masked out (tail padding from rounding the
         sequence up to a multiple of axis_size). Padded QUERY rows produce
         garbage that callers must drop — only key masking is applied.
+      kv_lens: optional (B,) per-row valid GLOBAL lengths (ragged
+        right-padded batches, the decoder convention); key positions >=
+        kv_lens[b] are masked for row b. Composes with kv_len/causal.
       causal: apply the global causal mask (query position >= key position).
       sm_scale: softmax scale, default 1/sqrt(D).
 
@@ -90,6 +94,9 @@ def ring_attention(
         if kv_len is not None and kv_len < axis_size * s_local:
             mask = k_pos < kv_len  # (S,)
             mask = mask[None, None, None, :]
+        if kv_lens is not None:
+            r = k_pos[None, None, None, :] < kv_lens[:, None, None, None]
+            mask = r if mask is None else jnp.logical_and(mask, r)
         if causal:
             c = k_pos[None, :] <= q_pos[:, None]  # (Sq, Sk)
             c = c[None, None]

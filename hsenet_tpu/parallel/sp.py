@@ -113,6 +113,131 @@ def make_sp_encode_fn(vit: ViT3D, mesh: Mesh):
     return encode
 
 
+def make_sp_decoder_hidden_fn(cfg, dtype, mesh: Mesh, *, remat: bool = False):
+    """(decoder_params, inputs_embeds, kv_lens) -> (B, S, D) hidden states
+    (post final RMSNorm) with the token axis sharded over 'sp' and the
+    causal attention run as a K/V ring — the sequence-parallel core shared
+    by the bare causal LM and the VLM finetune step. kv_lens are per-row
+    GLOBAL lengths; the tail ring-padding is stripped before returning.
+    Block-internal (LoRA) dropout runs off inside the sp region (same
+    policy as pipeline.py's in-ring dropout)."""
+    from hsenet_tpu.models.phi3 import Phi3Decoder
+    from hsenet_tpu.ops.ring_attention import pad_to_multiple
+
+    sp = _sp_size(mesh)
+    decoder = Phi3Decoder(cfg, dtype=dtype, remat=remat)
+
+    def hidden_fn(decoder_params, embeds, kv_lens):
+        b, s, d = embeds.shape
+        padded = pad_to_multiple(embeds, sp, axis=1)
+
+        def local(p, x, lens):
+            h, _ = decoder.apply(
+                {"params": p}, x, kv_lens=lens, deterministic=True,
+                sp_axis="sp", sp_size=sp, sp_global_len=padded.shape[1],
+            )
+            return h
+
+        hidden = _shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P("dp", "sp"), P("dp")),
+            out_specs=P("dp", "sp"),
+            check_vma=False,
+        )(decoder_params, padded, kv_lens)
+        return hidden[:, :s]
+
+    return hidden_fn
+
+
+def make_sp_causal_lm_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    remat: bool = False,
+    trainable_mask=None,
+):
+    """Causal-LM train step with the decoder sequence-parallel over 'sp'.
+
+    Same batch contract as train/vlm.py::make_vlm_train_step (input_ids /
+    labels / attention_mask). Embedding lookup and the LM head run outside
+    the ring (replicated params, dp-sharded rows); the decoder stack runs
+    inside shard_map with ring attention; backward rides shard_map AD.
+    """
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+    from hsenet_tpu.train.losses import masked_lm_loss
+    from hsenet_tpu.train.vlm import make_masked_train_step
+
+    hidden_fn = make_sp_decoder_hidden_fn(
+        model.config, model.dtype, mesh, remat=remat
+    )
+
+    def loss_fn(params, batch):
+        kv_lens = batch["attention_mask"].sum(axis=-1).astype(jnp.int32)
+        embeds = model.apply(
+            params, batch["input_ids"], method=Phi3ForCausalLM.embed_tokens
+        )
+        hidden = hidden_fn(params["params"]["decoder"], embeds, kv_lens)
+        logits = model.apply(
+            params, hidden, method=Phi3ForCausalLM.compute_logits
+        )
+        loss, acc = masked_lm_loss(logits, batch["labels"])
+        return loss, {"loss": loss, "token_acc": acc}
+
+    return make_masked_train_step(
+        loss_fn, tx, mesh, trainable_mask, with_rng=False
+    )
+
+
+def make_sp_vlm_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    remat: bool = False,
+    trainable_mask=None,
+):
+    """VLM finetune step with the LLM decoder sequence-parallel over 'sp'.
+
+    Vision towers + packers + BOS splice run outside the ring (dp-sharded
+    rows, replicated params — they are ~90M of a ~4B model); the spliced
+    embedding sequence then shards over 'sp' through the causal ring.
+    Same batch contract as train/vlm.py::make_vlm_train_step; equality vs
+    the plain step is tested at dropout 0 (tests/test_sp.py).
+    """
+    from hsenet_tpu.models.mllm import HSENetVLM
+    from hsenet_tpu.train.losses import masked_lm_loss
+    from hsenet_tpu.train.vlm import make_masked_train_step
+
+    hidden_fn = make_sp_decoder_hidden_fn(
+        model.config.llm, model.dtype, mesh, remat=remat
+    )
+
+    def loss_fn(params, batch, dropout_rng):
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        kv_lens = batch["attention_mask"].sum(axis=-1).astype(jnp.int32)
+        embeds = model.apply(
+            params,
+            batch["input_ids"],
+            batch.get("image"),
+            batch.get("image_2d"),
+            deterministic=dropout_rng is None,
+            rngs=rngs,
+            method=HSENetVLM.multimodal_embeds,
+        )
+        hidden = hidden_fn(params["params"]["llm"]["decoder"], embeds, kv_lens)
+        logits = model.apply(
+            params, hidden, method=lambda m, h: m.llm.compute_logits(h)
+        )
+        loss, acc = masked_lm_loss(logits, batch["labels"])
+        return loss, {"loss": loss, "token_acc": acc}
+
+    return make_masked_train_step(
+        loss_fn, tx, mesh, trainable_mask, with_rng=True
+    )
+
+
 def make_sp_stage1_train_step(
     model: CLIPModel,
     tx: optax.GradientTransformation,

@@ -215,6 +215,152 @@ def test_sp_stage1_train_step_matches_plain(rng, key):
         )
 
 
+def test_ring_attention_kv_lens_causal(rng):
+    """Per-row global lengths (ragged right-padded batch) + causal mask."""
+    b, h, s, d, sp = 3, 2, 24, 8, 4
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+        for _ in range(3)
+    )
+    kv_lens = jnp.asarray([24, 13, 7], jnp.int32)
+    mesh = create_mesh(MeshConfig(dp=1, sp=sp))
+
+    def local(q, k, v, lens):
+        return ring_attention(
+            q, k, v, axis_name="sp", axis_size=sp, kv_lens=lens, causal=True
+        )
+
+    spec = P(None, None, "sp")
+    out = jax.jit(_shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec, P()),
+        out_specs=spec, check_vma=False,
+    ))(q, k, v, kv_lens)
+    ref = sdpa_reference(q, k, v, kv_lens=kv_lens, causal=True)
+    # only rows < kv_lens are defined (padding queries are dropped by loss
+    # masking downstream)
+    for row in range(b):
+        n = int(kv_lens[row])
+        np.testing.assert_allclose(
+            np.asarray(out)[row, :, :n], np.asarray(ref)[row, :, :n],
+            atol=2e-6,
+        )
+
+
+TINY_PHI3_KW = dict(
+    vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+    num_heads=4, num_kv_heads=2, head_dim=8, tie_word_embeddings=True,
+)
+
+
+def test_sp_causal_lm_forward_matches_plain(rng):
+    """Decoder hidden states through the causal ring == plain decoder,
+    with GQA (kv-head expansion before the ring), ragged kv_lens and a
+    sequence length that does NOT divide sp (ring tail padding)."""
+    from hsenet_tpu.configs import Phi3Config
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+    from hsenet_tpu.parallel.sp import make_sp_decoder_hidden_fn
+
+    model = Phi3ForCausalLM(Phi3Config(**TINY_PHI3_KW), dtype=jnp.float32)
+    b, seq = 4, 13
+    ids = jnp.asarray(rng.integers(3, 64, (b, seq)))
+    kv_lens = jnp.asarray([13, 9, 5, 13], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:1])
+    ref = model.apply(params, ids, kv_lens=kv_lens)[0]
+
+    mesh = create_mesh(MeshConfig(dp=2, sp=4))
+    hidden_fn = make_sp_decoder_hidden_fn(model.config, jnp.float32, mesh)
+
+    @jax.jit
+    def sp_logits(params, ids, kv_lens):
+        embeds = model.apply(
+            params, ids, method=Phi3ForCausalLM.embed_tokens
+        )
+        hidden = hidden_fn(params["params"]["decoder"], embeds, kv_lens)
+        return model.apply(
+            params, hidden, method=Phi3ForCausalLM.compute_logits
+        )
+
+    got = sp_logits(params, ids, kv_lens)
+    for row in range(b):
+        n = int(kv_lens[row])
+        np.testing.assert_allclose(
+            np.asarray(got)[row, :n], np.asarray(ref)[row, :n], atol=2e-5
+        )
+
+
+def test_sp_vlm_train_step_matches_plain(rng):
+    """The sp VLM finetune step (towers/splice outside the ring, decoder
+    sequence-parallel) takes the same optimizer step as the plain
+    make_vlm_train_step (dropout rates 0)."""
+    from hsenet_tpu.configs import (
+        LoRAConfig, PackerConfig, Phi3Config, TrainConfig, VLMConfig,
+    )
+    from hsenet_tpu.models.mllm import HSENetVLM
+    from hsenet_tpu.parallel.sp import make_sp_vlm_train_step
+    from hsenet_tpu.train.train_state import make_optimizer
+    from hsenet_tpu.train.vlm import make_vlm_train_step, vlm_trainable_mask
+
+    cfg = VLMConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2, num_slices=2,
+            slice_feature_dim=16,
+        ),
+        packer=PackerConfig(
+            grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=32,
+            dropout_rate=0.0,
+        ),
+        llm=Phi3Config(
+            **{**TINY_PHI3_KW, "num_layers": 2},
+            lora=LoRAConfig(rank=2, alpha=4, dropout_rate=0.0),
+        ),
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    b, seq = 4, 16
+    n_img = cfg.num_image_tokens
+    ids = rng.integers(3, 64, (b, seq))
+    ids[:, 0] = 1
+    labels = ids.astype(np.int64).copy()
+    labels[:, : n_img + 2] = -100
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.ones((b, seq), jnp.int32),
+        "image": jnp.asarray(rng.random((b, 1, 4, 16, 16), np.float32)),
+        "image_2d": jnp.asarray(rng.random((b, 2, 16), np.float32)),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["input_ids"], batch["image"],
+        batch["image_2d"],
+    )
+    mask = vlm_trainable_mask(params)
+    tx = make_optimizer(
+        TrainConfig(total_steps=10, learning_rate=1e-3), trainable_mask=mask
+    )
+    key = jax.random.PRNGKey(7)
+    from hsenet_tpu.train.train_state import TrainState as TS
+
+    ref_state = TS.create(jax.tree.map(jnp.copy, params), tx)
+    ref_step = make_vlm_train_step(model, tx, mesh=None, trainable_mask=mask)
+    ref_state, ref_metrics = ref_step(ref_state, batch, key)
+
+    mesh = create_mesh(MeshConfig(dp=2, sp=2))
+    state = TS.create(params, tx)
+    step = make_sp_vlm_train_step(model, tx, mesh, trainable_mask=mask)
+    state, metrics = step(state, batch, key)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(metrics["grad_norm"]), float(ref_metrics["grad_norm"]),
+        rtol=1e-5,
+    )
+    for r, p in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=2e-6)
+
+
 def test_stage1_cli_sp(tmp_path):
     """--sp 4 end-to-end through the stage-1 CLI (dp=2 x sp=4 mesh)."""
     from hsenet_tpu.cli.train_clip_stage1 import main as stage1
@@ -239,6 +385,26 @@ def test_stage1_cli_sp(tmp_path):
         "--checkpoint-every", "1000",
         "--total-steps", "2",
         "--output-dir", str(tmp_path / "sp_stage1"),
+    ])
+    assert int(state.step) == 2
+
+
+def test_vlm_cli_sp(tmp_path):
+    """--sp 2 end-to-end through the VLM finetune CLI (dp=4 x sp=2 mesh),
+    WITH --remat: covers nn.remat(Phi3Block) receiving the sp kwargs."""
+    from hsenet_tpu.cli.train_vlm import main as vlm
+
+    state = vlm([
+        "--synthetic",
+        "--task", "mrg",
+        "--total-steps", "2",
+        "--batch-size", "4",
+        "--log-every", "1",
+        "--checkpoint-every", "1000",
+        "--dtype", "float32",
+        "--dp", "4", "--sp", "2",
+        "--remat",
+        "--output-dir", str(tmp_path / "sp_vlm"),
     ])
     assert int(state.step) == 2
 
