@@ -73,6 +73,11 @@ def main(argv=None):
                    help="pipeline-parallel stages for the LLM decoder "
                         "(GPipe over a 'pp' mesh axis, parallel/pipeline.py;"
                         " requires --tp 1, composes with --dp)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard parameters (and thus optimizer moments) "
+                        "over the dp axis — XLA-auto FSDP / ZeRO-3 "
+                        "(parallel/sharding.py::shard_params_fsdp); "
+                        "composes with --tp")
     p.add_argument("--n-micro", type=int, default=2,
                    help="microbatches per pipeline tick group (per dp "
                         "replica); bubble = (pp-1)/(n_micro+pp-1)")
@@ -82,6 +87,12 @@ def main(argv=None):
                 "would override the pipeline's pp-sharded moments")
     if args.pp > 1 and args.sp > 1:
         p.error("--sp composes with dp only (pick one of --pp / --sp)")
+    if args.fsdp and (args.pp > 1 or args.sp > 1):
+        p.error("--fsdp shards params over dp on the (dp, tp) mesh; it "
+                "doesn't compose with --pp / --sp placements")
+    if args.fsdp and args.zero1:
+        p.error("--fsdp already shards optimizer moments (they inherit "
+                "the param placement); drop --zero1")
 
     max_length = args.max_length or (800 if args.task == "mrg" else 330)
     cfg = build_vlm_config(args)
@@ -194,6 +205,15 @@ def main(argv=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         params = jax.device_put(params, NamedSharding(mesh, P()))
+    elif args.fsdp:
+        # fully-sharded placement: TP rules + 'dp' on the largest free dim
+        from hsenet_tpu.parallel.sharding import (
+            shard_params_fsdp,
+            validate_divisibility,
+        )
+
+        validate_divisibility(params["params"], mesh)
+        params = shard_params_fsdp(params, mesh)
     else:
         # tensor-parallel placement (Megatron rules; replicates the rest)
         from hsenet_tpu.parallel.sharding import (

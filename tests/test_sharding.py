@@ -160,3 +160,128 @@ def test_tp_train_gradients_match_single_device(key, rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5
         )
+
+
+def test_fsdp_specs_shard_large_leaves_only(key, rng):
+    """FSDP placement: large leaves gain a 'dp' dim (the scan layer axis
+    stays intact, tp dims are kept), small leaves stay replicated."""
+    from hsenet_tpu.parallel.sharding import make_fsdp_specs
+
+    model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 8)))
+    params = model.init(key, ids)["params"]
+    mesh = create_mesh(MeshConfig(dp=2, tp=4))
+
+    specs = make_fsdp_specs(params, mesh, min_size=0)
+    # stacked q kernel (L, hidden, q_dim): tp on dim 2 (rule), dp added on
+    # dim 1 (largest free dim), layer axis untouched
+    assert specs["decoder"]["layers"]["q_proj"]["kernel"] == P(
+        None, "dp", "tp"
+    )
+    # embeddings (vocab, hidden): vocab tp-sharded, hidden dp-sharded
+    assert specs["embed"]["embedding"] == P("tp", "dp")
+    # norm scales (L, hidden): hidden=32 divides dp -> sharded at min_size=0
+    assert specs["decoder"]["layers"]["input_norm"]["scale"] == P(None, "dp")
+
+    # with the real threshold, tiny leaves stay replicated
+    specs_default = make_fsdp_specs(params, mesh)
+    assert specs_default["decoder"]["layers"]["input_norm"]["scale"] == P()
+
+
+def test_fsdp_train_step_matches_plain(key, rng):
+    """One VLM finetune step with FSDP-placed params == the plain step,
+    and the updated params keep their dp sharding (the memory win)."""
+    from hsenet_tpu.configs import (
+        LoRAConfig, PackerConfig, TrainConfig, ViT3DConfig, VLMConfig,
+    )
+    from hsenet_tpu.models.mllm import HSENetVLM
+    from hsenet_tpu.parallel.sharding import shard_params_fsdp
+    from hsenet_tpu.train.train_state import TrainState, make_optimizer
+    from hsenet_tpu.train.vlm import make_vlm_train_step, vlm_trainable_mask
+
+    cfg = VLMConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2, num_slices=2,
+            slice_feature_dim=16,
+        ),
+        packer=PackerConfig(
+            grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=32,
+            dropout_rate=0.0,
+        ),
+        llm=TINY.__class__(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+            tie_word_embeddings=True,
+            lora=LoRAConfig(rank=2, alpha=4, dropout_rate=0.0),
+        ),
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    b, seq = 4, 16
+    n_img = cfg.num_image_tokens
+    ids = rng.integers(3, 64, (b, seq))
+    ids[:, 0] = 1
+    labels = ids.astype(np.int64).copy()
+    labels[:, : n_img + 2] = -100
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.ones((b, seq), jnp.int32),
+        "image": jnp.asarray(rng.random((b, 1, 4, 16, 16), np.float32)),
+        "image_2d": jnp.asarray(rng.random((b, 2, 16), np.float32)),
+    }
+    params = model.init(key, batch["input_ids"], batch["image"],
+                        batch["image_2d"])
+    mask = vlm_trainable_mask(params)
+    tx = make_optimizer(
+        TrainConfig(total_steps=10, learning_rate=1e-3), trainable_mask=mask
+    )
+    step_rng = jax.random.PRNGKey(7)
+
+    ref_state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    ref_step = make_vlm_train_step(model, tx, mesh=None, trainable_mask=mask)
+    ref_state, ref_metrics = ref_step(ref_state, batch, step_rng)
+
+    mesh = create_mesh(MeshConfig(dp=4, tp=2))
+    fsdp_params = shard_params_fsdp(params, mesh, min_size=0)
+    # the q kernel really lives sharded over BOTH dp and tp
+    q = fsdp_params["params"]["llm"]["decoder"]["layers"]["q_proj"]["kernel"]
+    assert "dp" in str(q.sharding.spec) and "tp" in str(q.sharding.spec)
+    state = TrainState.create(fsdp_params, tx)
+    step = make_vlm_train_step(model, tx, mesh, trainable_mask=mask)
+    state, metrics = step(state, batch, step_rng)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), atol=1e-6
+    )
+    for r, p in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=2e-6)
+    # placement survives the update: Adam moments + updated params sharded
+    q2 = state.params["params"]["llm"]["decoder"]["layers"]["q_proj"][
+        "kernel"
+    ]
+    assert "dp" in str(q2.sharding.spec)
+    m_leaf = [
+        l for l in jax.tree.leaves(state.opt_state)
+        if getattr(l, "ndim", 0) == 3
+    ]
+    assert any("dp" in str(l.sharding.spec) for l in m_leaf)
+
+
+def test_cli_train_vlm_fsdp(tmp_path):
+    """End-to-end VLM finetune CLI with --fsdp on a dp=4 x tp=2 mesh."""
+    from hsenet_tpu.cli.train_vlm import main as vlm
+
+    state = vlm([
+        "--synthetic",
+        "--task", "mrg",
+        "--total-steps", "2",
+        "--batch-size", "4",
+        "--log-every", "1",
+        "--checkpoint-every", "1000",
+        "--dtype", "float32",
+        "--dp", "4", "--tp", "2", "--fsdp",
+        "--output-dir", str(tmp_path / "vlm_fsdp"),
+    ])
+    assert int(state.step) == 2
