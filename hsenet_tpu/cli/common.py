@@ -25,10 +25,6 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dp", type=int, default=-1)
     p.add_argument("--tp", type=int, default=1)
-    p.add_argument("--sp", type=int, default=1,
-                   help="sequence parallelism: shard the vision tower's "
-                        "token axis over an 'sp' mesh axis (ring attention; "
-                        "stage-1 only, parallel/sp.py)")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the dp axis (ZeRO-1)")
     p.add_argument("--dtype", default="bfloat16",

@@ -55,6 +55,11 @@ def build_dataset(args, tokenizer, clip_cfg):
 def main(argv=None):
     p = argparse.ArgumentParser()
     add_train_args(p)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence parallelism: shard the ViT's token axis "
+                        "over an 'sp' mesh axis (ring attention, "
+                        "parallel/sp.py); tower dropout runs off inside "
+                        "the ring")
     p.add_argument("--image-size", type=int, nargs=3, default=[32, 256, 256])
     p.add_argument("--patch-size", type=int, nargs=3, default=[4, 16, 16])
     p.add_argument("--hidden-size", type=int, default=768)

@@ -73,6 +73,12 @@ def main(argv=None):
                    help="pipeline-parallel stages for the LLM decoder "
                         "(GPipe over a 'pp' mesh axis, parallel/pipeline.py;"
                         " requires --tp 1, composes with --dp)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence parallelism for the LLM decoder: shard "
+                        "the token axis over an 'sp' mesh axis (causal "
+                        "ring attention, parallel/sp.py). Block-internal "
+                        "LoRA dropout runs OFF inside the ring (same "
+                        "policy as --pp)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard parameters (and thus optimizer moments) "
                         "over the dp axis — XLA-auto FSDP / ZeRO-3 "

@@ -200,10 +200,8 @@ class Phi3Block(nn.Module):
             assert layer_cache is None, "sp is a training-path axis"
             from hsenet_tpu.ops.ring_attention import ring_attention
 
-            rep = cfg.num_heads // cfg.num_kv_heads
-            if rep > 1:  # GQA: expand kv heads before they enter the ring
-                k = jnp.repeat(k, rep, axis=1)
-                v = jnp.repeat(v, rep, axis=1)
+            # GQA is handled inside the ring (queries grouped per kv head)
+            # so only the Hkv-sized k/v chunks ride the ICI hops
             attn = ring_attention(
                 q, k, v, axis_name=sp_axis, axis_size=sp_size,
                 kv_lens=kv_lens, causal=True,

@@ -55,7 +55,11 @@ def ring_attention(
     positions [i*S_local, (i+1)*S_local)).
 
     Args:
-      q, k, v: (B, H, S_local, D) local sequence chunks.
+      q: (B, H, S_local, D) local query chunk.
+      k, v: (B, Hkv, S_local, D) local key/value chunks. Hkv may divide H
+        (GQA): the UNEXPANDED kv heads travel the ring — a hop's ICI
+        payload stays Hkv-sized — and queries are grouped per kv head for
+        the score/value einsums instead of materializing repeats.
       axis_name: mesh axis the sequence is sharded over.
       axis_size: static size of that axis (sp degree).
       kv_len: optional static global count of valid tokens; global key
@@ -71,35 +75,48 @@ def ring_attention(
     Returns (B, H, S_local, D) in q.dtype — this device's output chunk.
     """
     b, h, s_local, d = q.shape
+    hkv = k.shape[1]
+    assert h % hkv == 0, (h, hkv)
+    g = h // hkv  # GQA group size; queries grouped per kv head
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     idx = jax.lax.axis_index(axis_name)
     q_pos = idx * s_local + jnp.arange(s_local, dtype=jnp.int32)  # (S,)
+    qg = q.reshape(b, hkv, g, s_local, d)
 
-    m = jnp.full((b, h, s_local), -jnp.inf, jnp.float32)
-    l = jnp.zeros((b, h, s_local), jnp.float32)
-    acc = jnp.zeros((b, h, s_local, d), jnp.float32)
+    m = jnp.full((b, hkv, g, s_local), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, hkv, g, s_local), jnp.float32)
+    acc = jnp.zeros((b, hkv, g, s_local, d), jnp.float32)
     # send-left rotation: after t hops this device holds chunk (idx+t)%sp,
     # so consecutive hops touch adjacent ICI neighbours
     perm = [(i, (i - 1) % axis_size) for i in range(axis_size)]
 
     k_c, v_c = k, v
     for t in range(axis_size):
+        # issue the next hop's rotation BEFORE this hop's math: the
+        # collective has no data dependency on the einsums below, so the
+        # scheduler can overlap the ICI transfer with the attention block
+        if t != axis_size - 1:  # last hop's rotation would be a no-op wait
+            k_n = jax.lax.ppermute(k_c, axis_name, perm)
+            v_n = jax.lax.ppermute(v_c, axis_name, perm)
         src = (idx + t) % axis_size  # global chunk index currently held
         s = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k_c, preferred_element_type=jnp.float32
+            "bhgqd,bhkd->bhgqk", qg, k_c, preferred_element_type=jnp.float32
         ) * sm_scale
         k_pos = src * s_local + jnp.arange(s_local, dtype=jnp.int32)
         mask = None
         if kv_len is not None and kv_len < axis_size * s_local:
             mask = k_pos < kv_len  # (S,)
-            mask = mask[None, None, None, :]
+            mask = mask[None, None, None, None, :]
         if kv_lens is not None:
-            r = k_pos[None, None, None, :] < kv_lens[:, None, None, None]
+            r = (
+                k_pos[None, None, None, None, :]
+                < kv_lens[:, None, None, None, None]
+            )
             mask = r if mask is None else jnp.logical_and(mask, r)
         if causal:
             c = k_pos[None, :] <= q_pos[:, None]  # (Sq, Sk)
-            c = c[None, None]
+            c = c[None, None, None]
             mask = c if mask is None else jnp.logical_and(mask, c)
         if mask is not None:
             s = jnp.where(mask, s, _NEG_INF)
@@ -111,18 +128,17 @@ def ring_attention(
         alpha = jnp.exp(m - m_new)  # first hop: exp(-inf - finite) = 0
         l = l * alpha + p.sum(axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd",
+            "bhgqk,bhkd->bhgqd",
             p.astype(v_c.dtype),
             v_c,
             preferred_element_type=jnp.float32,
         )
         m = m_new
-        if t != axis_size - 1:  # last hop's rotation would be a no-op wait
-            k_c = jax.lax.ppermute(k_c, axis_name, perm)
-            v_c = jax.lax.ppermute(v_c, axis_name, perm)
+        if t != axis_size - 1:
+            k_c, v_c = k_n, v_n
 
     out = acc / jnp.maximum(l, 1e-30)[..., None]
-    return out.astype(q.dtype)
+    return out.reshape(b, h, s_local, d).astype(q.dtype)
 
 
 def pad_to_multiple(x: jax.Array, multiple: int, axis: int) -> jax.Array:

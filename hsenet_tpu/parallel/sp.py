@@ -36,13 +36,12 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from hsenet_tpu.models.clip import CLIPModel
 from hsenet_tpu.models.vit import ViT3D
 from hsenet_tpu.parallel.pipeline import _shard_map
 from hsenet_tpu.train.losses import clip_contrastive_loss, retrieval_accuracy
-from hsenet_tpu.train.train_state import TrainState
 
 
 def _sp_size(mesh: Mesh) -> int:
@@ -132,9 +131,14 @@ def make_sp_decoder_hidden_fn(cfg, dtype, mesh: Mesh, *, remat: bool = False):
         padded = pad_to_multiple(embeds, sp, axis=1)
 
         def local(p, x, lens):
+            # sp_global_len = the TRUE sequence length: the LongRoPE
+            # short/long factor choice must match the dense path (ring
+            # padding would flip it right at original_max_position; the
+            # pad tokens' rope values are never used — they're masked as
+            # keys by kv_lens and discarded as queries)
             h, _ = decoder.apply(
                 {"params": p}, x, kv_lens=lens, deterministic=True,
-                sp_axis="sp", sp_size=sp, sp_global_len=padded.shape[1],
+                sp_axis="sp", sp_size=sp, sp_global_len=s,
             )
             return h
 
@@ -285,23 +289,8 @@ def make_sp_stage1_train_step(
         }
         return loss, metrics
 
-    def train_step(state: TrainState, batch, rng):
-        dropout_rng = jax.random.fold_in(rng, state.step)
-        batch = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P("dp"))
-            ),
-            batch,
-        )
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, dropout_rng
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            metrics,
-        )
+    # the update tail (dp batch constraint, value_and_grad, optax update,
+    # grad norm, jit+donate) is shared with the plain stage-1 step
+    from hsenet_tpu.train.stage1 import make_stage1_train_step
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return make_stage1_train_step(model, tx, mesh, loss_fn=loss_fn)

@@ -46,8 +46,16 @@ def make_stage1_train_step(
     model: CLIPModel,
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    loss_fn=None,
 ):
-    """Returns train_step(state, batch, rng) -> (state, metrics), jitted."""
+    """Returns train_step(state, batch, rng) -> (state, metrics), jitted.
+
+    `loss_fn(params, batch, dropout_rng) -> (loss, metrics)` replaces the
+    default contrastive loss — the hook the sequence-parallel step
+    (parallel/sp.py) uses to swap in the ring-attention vision encode
+    while sharing this update tail."""
+    if loss_fn is None:
+        loss_fn = functools.partial(stage1_loss_fn, model)
 
     def train_step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -59,7 +67,7 @@ def make_stage1_train_step(
                 batch,
             )
         (loss, metrics), grads = jax.value_and_grad(
-            functools.partial(stage1_loss_fn, model), has_aux=True
+            loss_fn, has_aux=True
         )(state.params, batch, dropout_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -288,6 +288,56 @@ def test_sp_causal_lm_forward_matches_plain(rng):
         )
 
 
+def test_sp_causal_lm_train_step_matches_plain(rng):
+    """One optimizer step through the sp causal-LM step equals one step of
+    a plain jitted value_and_grad + optax update (ragged kv_lens)."""
+    import optax as _optax
+
+    from hsenet_tpu.configs import Phi3Config, TrainConfig
+    from hsenet_tpu.models.phi3 import Phi3ForCausalLM
+    from hsenet_tpu.parallel.sp import make_sp_causal_lm_train_step
+    from hsenet_tpu.train.losses import masked_lm_loss
+    from hsenet_tpu.train.train_state import TrainState as TS, make_optimizer
+
+    model = Phi3ForCausalLM(Phi3Config(**TINY_PHI3_KW), dtype=jnp.float32)
+    b, seq = 4, 12
+    ids = jnp.asarray(rng.integers(3, 64, (b, seq)))
+    kv_lens = jnp.asarray([12, 9, 6, 12], jnp.int32)
+    labels = np.asarray(ids).copy()
+    labels[np.arange(seq)[None, :] >= np.asarray(kv_lens)[:, None]] = -100
+    labels[:, :2] = -100
+    batch = {
+        "input_ids": ids,
+        "labels": jnp.asarray(labels),
+        "attention_mask": (
+            jnp.arange(seq)[None, :] < kv_lens[:, None]
+        ).astype(jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), ids[:1])
+    tx = make_optimizer(TrainConfig(total_steps=10, learning_rate=1e-3))
+
+    def plain_loss(p, bt):
+        lens = bt["attention_mask"].sum(axis=-1).astype(jnp.int32)
+        logits = model.apply(p, bt["input_ids"], kv_lens=lens)[0]
+        return masked_lm_loss(logits, bt["labels"])[0]
+
+    g = jax.jit(jax.grad(plain_loss))(params, batch)
+    ref_state = TS.create(jax.tree.map(jnp.copy, params), tx)
+    updates, _ = tx.update(g, ref_state.opt_state, params)
+    ref_params = _optax.apply_updates(params, updates)
+
+    mesh = create_mesh(MeshConfig(dp=2, sp=4))
+    state = TS.create(params, tx)
+    step = make_sp_causal_lm_train_step(model, tx, mesh)
+    state, metrics = step(state, batch)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    for r, p in zip(
+        jax.tree.leaves(ref_params), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=2e-6)
+
+
 def test_sp_vlm_train_step_matches_plain(rng):
     """The sp VLM finetune step (towers/splice outside the ring, decoder
     sequence-parallel) takes the same optimizer step as the plain
