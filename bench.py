@@ -413,7 +413,55 @@ def bench_e2e_prefill(batch=8):
     return max(statistics.median(samples) - RELAY_FIXED_COST_S, 0.0)
 
 
+ALL_METRICS = (
+    "ct_volumes_per_sec_per_chip_encode",
+    "ct_volumes_per_sec_per_chip_encode_serving",
+    "tokens_per_sec_decode",
+    "tokens_per_sec_decode_speculative_ceiling",
+    "tokens_per_sec_decode_batch8",
+    "useful_tokens_per_sec_serving_speculative_ceiling",
+    "reports_per_min_e2e",
+)
+
+
+def _require_backend(timeout_s: float = 180.0) -> bool:
+    """Bounded backend probe: the remote-relay TPU init can hang FOREVER
+    when the relay is down (observed 2026-08-18), which would leave the
+    driver's bench artifact empty. Probe jax.devices() in a daemon thread;
+    on timeout emit one honest error line per metric and bail."""
+    import os
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        try:
+            jax.devices()
+            ok.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if ok.is_set():
+        return True
+    for m in ALL_METRICS:
+        print(
+            json.dumps({
+                "metric": m,
+                "error": (
+                    f"TPU backend unavailable: jax.devices() did not "
+                    f"return within {timeout_s:.0f}s (relay down)"
+                ),
+            }),
+            flush=True,
+        )
+    os._exit(1)  # daemon/backend threads may be wedged; hard-exit
+
+
 def main():
+    _require_backend()
     best = bench_encode()
     emit(
         "ct_volumes_per_sec_per_chip_encode", best, "volumes/s/chip",
