@@ -106,6 +106,7 @@ class SelfAttention(nn.Module):
             out = ring_attention(
                 heads(q), heads(k), heads(v),
                 axis_name=sp_axis, axis_size=sp_size, kv_len=sp_kv_len,
+                block_q=self.attn_block_q,
             )
         else:
             out = multi_head_attention(

@@ -159,7 +159,7 @@ class Phi3Block(nn.Module):
     @nn.compact
     def __call__(
         self, x, cos, sin, kv_lens, layer_cache, *, deterministic=True,
-        sp_axis=None, sp_size=1,
+        sp_axis=None, sp_size=1, sp_block_q=None,
     ):
         """layer_cache: None or (k, v, lengths), k/v (B, Hkv, T, D).
 
@@ -204,7 +204,7 @@ class Phi3Block(nn.Module):
             # so only the Hkv-sized k/v chunks ride the ICI hops
             attn = ring_attention(
                 q, k, v, axis_name=sp_axis, axis_size=sp_size,
-                kv_lens=kv_lens, causal=True,
+                kv_lens=kv_lens, causal=True, block_q=sp_block_q,
             )
             new_kv = None
         elif layer_cache is None:
@@ -292,6 +292,7 @@ class Phi3Decoder(nn.Module):
         sp_axis: Optional[str] = None,
         sp_size: int = 1,
         sp_global_len: Optional[int] = None,
+        sp_block_q: Optional[int] = None,
     ) -> Tuple[jax.Array, Optional[KVCache]]:
         """`sp_axis`/`sp_size`/`sp_global_len`: sequence-parallel training —
         must run inside shard_map with `inputs_embeds` being this device's
@@ -354,7 +355,7 @@ class Phi3Decoder(nn.Module):
                 y, _ = block(
                     carry, cos, sin, kv_lens, None,
                     deterministic=deterministic,
-                    sp_axis=sp_axis, sp_size=sp_size,
+                    sp_axis=sp_axis, sp_size=sp_size, sp_block_q=sp_block_q,
                 )
                 return y, None
 

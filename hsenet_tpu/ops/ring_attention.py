@@ -47,6 +47,7 @@ def ring_attention(
     kv_lens: Optional[jax.Array] = None,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    block_q: Optional[int] = None,
 ) -> jax.Array:
     """Exact attention over a sequence sharded on `axis_name`.
 
@@ -71,6 +72,12 @@ def ring_attention(
         kv_lens[b] are masked for row b. Composes with kv_len/causal.
       causal: apply the global causal mask (query position >= key position).
       sm_scale: softmax scale, default 1/sqrt(D).
+      block_q: when set, each hop streams query blocks of this size
+        through the chunk (flash pattern at the XLA level, body
+        rematerialized for backward) instead of materializing the full
+        (S_local, S_local) score block — REQUIRED once S_local grows past
+        a few K tokens, where the dense per-hop scores would blow HBM
+        (the 65k-token workloads sp exists for). None = dense hop.
 
     Returns (B, H, S_local, D) in q.dtype — this device's output chunk.
     """
@@ -91,6 +98,74 @@ def ring_attention(
     # so consecutive hops touch adjacent ICI neighbours
     perm = [(i, (i - 1) % axis_size) for i in range(axis_size)]
 
+    def hop_stats(k_c, v_c, k_pos):
+        """(m_hop, l_hop, pv_hop) of local queries vs the held chunk.
+
+        m_hop: per-query row max of the (masked) scores; l_hop: sum of
+        exp(s - m_hop); pv_hop: exp(s - m_hop) @ V — the hop-local flash
+        statistics merged across hops below.
+        """
+        k_mask = None
+        if kv_len is not None and kv_len < axis_size * s_local:
+            k_mask = k_pos < kv_len  # (Sk,)
+        if kv_lens is not None:
+            r = k_pos[None, :] < kv_lens[:, None]  # (B, Sk)
+            k_mask = (
+                r if k_mask is None else jnp.logical_and(k_mask[None, :], r)
+            )
+
+        def block(q_blk, q_pos_blk):
+            s = jnp.einsum(
+                "bhgqd,bhkd->bhgqk", q_blk, k_c,
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            mask = None
+            if k_mask is not None:
+                km = k_mask if k_mask.ndim == 2 else k_mask[None, :]
+                mask = km[:, None, None, None, :]  # (B|1,1,1,1,Sk)
+            if causal:
+                c = k_pos[None, :] <= q_pos_blk[:, None]  # (Sq, Sk)
+                c = c[None, None, None]
+                mask = c if mask is None else jnp.logical_and(mask, c)
+            if mask is not None:
+                s = jnp.where(mask, s, _NEG_INF)
+            m_h = s.max(axis=-1)
+            p = jnp.exp(s - m_h[..., None])
+            l_h = p.sum(axis=-1)
+            pv = jnp.einsum(
+                "bhgqk,bhkd->bhgqd",
+                p.astype(v_c.dtype),
+                v_c,
+                preferred_element_type=jnp.float32,
+            )
+            return m_h, l_h, pv
+
+        if block_q is None or block_q >= s_local:
+            return block(qg, q_pos)
+        # stream query blocks through the chunk: peak score memory drops
+        # from (S_local, S_local) to (block_q, S_local); the body is
+        # rematerialized so backward recomputes p instead of saving it
+        nb = -(-s_local // block_q)
+        pad = nb * block_q - s_local
+        qp = jnp.pad(qg, ((0, 0),) * 3 + ((0, pad), (0, 0)))
+        # padded q rows: sentinel position past every key — their garbage
+        # rows are trimmed below
+        pp = jnp.pad(
+            q_pos, (0, pad), constant_values=axis_size * s_local
+        )
+        qb = jnp.moveaxis(
+            qp.reshape(b, hkv, g, nb, block_q, d), 3, 0
+        )  # (nb, B, Hkv, G, bq, D)
+        pb = pp.reshape(nb, block_q)
+        m_h, l_h, pv = jax.lax.map(
+            jax.checkpoint(lambda args: block(*args)), (qb, pb)
+        )
+        def unblk(x):
+            x = jnp.moveaxis(x, 0, 3)  # (B,Hkv,G,nb,bq,...)
+            x = x.reshape((b, hkv, g, nb * block_q) + x.shape[5:])
+            return x[:, :, :, :s_local]
+        return unblk(m_h), unblk(l_h), unblk(pv)
+
     k_c, v_c = k, v
     for t in range(axis_size):
         # issue the next hop's rotation BEFORE this hop's math: the
@@ -100,39 +175,16 @@ def ring_attention(
             k_n = jax.lax.ppermute(k_c, axis_name, perm)
             v_n = jax.lax.ppermute(v_c, axis_name, perm)
         src = (idx + t) % axis_size  # global chunk index currently held
-        s = jnp.einsum(
-            "bhgqd,bhkd->bhgqk", qg, k_c, preferred_element_type=jnp.float32
-        ) * sm_scale
         k_pos = src * s_local + jnp.arange(s_local, dtype=jnp.int32)
-        mask = None
-        if kv_len is not None and kv_len < axis_size * s_local:
-            mask = k_pos < kv_len  # (S,)
-            mask = mask[None, None, None, None, :]
-        if kv_lens is not None:
-            r = (
-                k_pos[None, None, None, None, :]
-                < kv_lens[:, None, None, None, None]
-            )
-            mask = r if mask is None else jnp.logical_and(mask, r)
-        if causal:
-            c = k_pos[None, :] <= q_pos[:, None]  # (Sq, Sk)
-            c = c[None, None, None]
-            mask = c if mask is None else jnp.logical_and(mask, c)
-        if mask is not None:
-            s = jnp.where(mask, s, _NEG_INF)
-        m_new = jnp.maximum(m, s.max(axis=-1))
+        m_hop, l_hop, pv_hop = hop_stats(k_c, v_c, k_pos)
+        m_new = jnp.maximum(m, m_hop)
         # fully-masked-so-far rows: keep m at a finite sentinel so exp()
         # below sees finite arguments (their mass washes out once a real
         # chunk raises m_new; see _NEG_INF note)
-        p = jnp.exp(s - m_new[..., None])
         alpha = jnp.exp(m - m_new)  # first hop: exp(-inf - finite) = 0
-        l = l * alpha + p.sum(axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum(
-            "bhgqk,bhkd->bhgqd",
-            p.astype(v_c.dtype),
-            v_c,
-            preferred_element_type=jnp.float32,
-        )
+        beta = jnp.exp(m_hop - m_new)
+        l = l * alpha + l_hop * beta
+        acc = acc * alpha[..., None] + pv_hop * beta[..., None]
         m = m_new
         if t != axis_size - 1:
             k_c, v_c = k_n, v_n

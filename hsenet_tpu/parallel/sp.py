@@ -112,7 +112,8 @@ def make_sp_encode_fn(vit: ViT3D, mesh: Mesh):
     return encode
 
 
-def make_sp_decoder_hidden_fn(cfg, dtype, mesh: Mesh, *, remat: bool = False):
+def make_sp_decoder_hidden_fn(cfg, dtype, mesh: Mesh, *, remat: bool = False,
+                              block_q: Optional[int] = None):
     """(decoder_params, inputs_embeds, kv_lens) -> (B, S, D) hidden states
     (post final RMSNorm) with the token axis sharded over 'sp' and the
     causal attention run as a K/V ring — the sequence-parallel core shared
@@ -139,6 +140,7 @@ def make_sp_decoder_hidden_fn(cfg, dtype, mesh: Mesh, *, remat: bool = False):
             h, _ = decoder.apply(
                 {"params": p}, x, kv_lens=lens, deterministic=True,
                 sp_axis="sp", sp_size=sp, sp_global_len=s,
+                sp_block_q=block_q,
             )
             return h
 
@@ -161,6 +163,7 @@ def make_sp_causal_lm_train_step(
     *,
     remat: bool = False,
     trainable_mask=None,
+    sp_block_q: Optional[int] = None,
 ):
     """Causal-LM train step with the decoder sequence-parallel over 'sp'.
 
@@ -174,7 +177,7 @@ def make_sp_causal_lm_train_step(
     from hsenet_tpu.train.vlm import make_masked_train_step
 
     hidden_fn = make_sp_decoder_hidden_fn(
-        model.config, model.dtype, mesh, remat=remat
+        model.config, model.dtype, mesh, remat=remat, block_q=sp_block_q
     )
 
     def loss_fn(params, batch):
@@ -201,6 +204,7 @@ def make_sp_vlm_train_step(
     *,
     remat: bool = False,
     trainable_mask=None,
+    sp_block_q: Optional[int] = None,
 ):
     """VLM finetune step with the LLM decoder sequence-parallel over 'sp'.
 
@@ -215,7 +219,7 @@ def make_sp_vlm_train_step(
     from hsenet_tpu.train.vlm import make_masked_train_step
 
     hidden_fn = make_sp_decoder_hidden_fn(
-        model.config.llm, model.dtype, mesh, remat=remat
+        model.config.llm, model.dtype, mesh, remat=remat, block_q=sp_block_q
     )
 
     def loss_fn(params, batch, dropout_rng):

@@ -246,6 +246,49 @@ def test_ring_attention_kv_lens_causal(rng):
         )
 
 
+def test_ring_attention_blockwise_hop(rng):
+    """block_q streams query blocks through each hop (the long-chunk
+    memory path): must equal the dense hop exactly, including a block
+    size that does NOT divide the chunk, causal+ragged masks and grads."""
+    b, h, s, d, sp = 2, 2, 24, 8, 4
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+        for _ in range(3)
+    )
+    kv_lens = jnp.asarray([20, 11], jnp.int32)
+    dense = _ring_on_mesh(q, k, v, sp=sp, kv_lens=kv_lens, causal=True)
+    for bq in (4, 5, 16):  # 5 does not divide the 6-token chunk
+        blk = _ring_on_mesh(
+            q, k, v, sp=sp, kv_lens=kv_lens, causal=True, block_q=bq
+        )
+        np.testing.assert_allclose(
+            np.asarray(blk), np.asarray(dense), atol=2e-6, err_msg=str(bq)
+        )
+
+    # grads through the rematerialized block body == dense-hop grads
+    w = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    mesh = create_mesh(MeshConfig(dp=1, sp=sp))
+
+    def loss(block_q):
+        def local(q, k, v, w):
+            out = ring_attention(
+                q, k, v, axis_name="sp", axis_size=sp, causal=True,
+                block_q=block_q,
+            )
+            return jax.lax.psum(jnp.sum(out * w), "sp")
+
+        spec = P(None, None, "sp")
+        f = _shard_map(
+            local, mesh=mesh, in_specs=(spec,) * 4, out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(jax.grad(lambda q: f(q, k, v, w)))(q)
+
+    np.testing.assert_allclose(
+        np.asarray(loss(4)), np.asarray(loss(None)), atol=5e-6
+    )
+
+
 TINY_PHI3_KW = dict(
     vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
     num_heads=4, num_kv_heads=2, head_dim=8, tie_word_embeddings=True,
@@ -285,6 +328,29 @@ def test_sp_causal_lm_forward_matches_plain(rng):
         n = int(kv_lens[row])
         np.testing.assert_allclose(
             np.asarray(got)[row, :n], np.asarray(ref)[row, :n], atol=2e-5
+        )
+
+    # blockwise hops through the decoder: same logits
+    hidden_blk = make_sp_decoder_hidden_fn(
+        model.config, jnp.float32, mesh, block_q=2
+    )
+
+    @jax.jit
+    def sp_logits_blk(params, ids, kv_lens):
+        embeds = model.apply(
+            params, ids, method=Phi3ForCausalLM.embed_tokens
+        )
+        hidden = hidden_blk(params["params"]["decoder"], embeds, kv_lens)
+        return model.apply(
+            params, hidden, method=Phi3ForCausalLM.compute_logits
+        )
+
+    got_blk = sp_logits_blk(params, ids, kv_lens)
+    for row in range(b):
+        n = int(kv_lens[row])
+        np.testing.assert_allclose(
+            np.asarray(got_blk)[row, :n], np.asarray(got)[row, :n],
+            atol=2e-6,
         )
 
 
