@@ -25,6 +25,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dp", type=int, default=-1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--async-save", action="store_true",
+                   help="checkpoint saves return once the state is "
+                        "snapshotted; the write runs on orbax background "
+                        "threads (utils/checkpoint.py)")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the dp axis (ZeRO-1)")
     p.add_argument("--dtype", default="bfloat16",

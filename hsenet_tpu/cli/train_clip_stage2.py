@@ -161,7 +161,7 @@ def main(argv=None):
     tx = make_optimizer(train_cfg)
     state = TrainState.create(student_params, tx)
     state = maybe_zero1(state, args, mesh)
-    ckpt = CheckpointManager(args.output_dir)
+    ckpt = CheckpointManager(args.output_dir, async_save=getattr(args, 'async_save', False))
     if args.resume:
         state = CheckpointManager(args.resume).restore(state)
     dump_config(args.output_dir, student_cfg, train_cfg)

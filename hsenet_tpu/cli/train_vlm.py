@@ -234,7 +234,7 @@ def main(argv=None):
     tx = make_optimizer(train_cfg, trainable_mask=mask)
     state = TrainState.create(params, tx)
     state = maybe_zero1(state, args, mesh)
-    ckpt = CheckpointManager(args.output_dir)
+    ckpt = CheckpointManager(args.output_dir, async_save=getattr(args, 'async_save', False))
     if args.resume:
         # full-state resume (step + params + optimizer moments); restored
         # leaves keep the template's placement, so tp/pp shardings survive

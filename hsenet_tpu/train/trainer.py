@@ -141,4 +141,6 @@ class Trainer:
                     or step in self.hooks.milestone_steps
                 ):
                     self.ckpt.save(step, self.state)
+        if self.ckpt is not None and hasattr(self.ckpt, "wait"):
+            self.ckpt.wait()  # join an in-flight async save before returning
         return self.state

@@ -22,8 +22,20 @@ from hsenet_tpu.train.train_state import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    """Orbax manager with optional ASYNC saves.
+
+    `async_save=True` lets `save()` return as soon as the on-device state
+    is snapshotted — the serialize+write runs on orbax's background
+    threads while training continues (a multi-GB full-state dump would
+    otherwise stall the step loop for the whole write; the reference
+    blocks inside HF Trainer's save the same way). `wait()` (or the next
+    save/restore, which call it) joins the in-flight write.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = False):
         self.directory = os.path.abspath(directory)
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
@@ -37,13 +49,19 @@ class CheckpointManager:
         self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
         if config is not None:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 json.dump(config, f, indent=2, default=str)
 
+    def wait(self) -> None:
+        """Join any in-flight async save."""
+        self._mgr.wait_until_finished()
+
     def restore(self, state_template: TrainState, step: Optional[int] = None
                 ) -> TrainState:
+        self._mgr.wait_until_finished()  # a step being written counts
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")

@@ -299,3 +299,27 @@ def test_zero1_opt_state_sharding(key):
     mu_w = sharded[0].mu["w"]
     # 64 rows over 8 dp shards -> 8 rows per device
     assert mu_w.sharding.shard_shape(mu_w.shape) == (8, 4)
+
+
+def test_async_checkpoint_roundtrip(key, tmp_path):
+    """async_save: save() returns before the write completes; wait()/
+    restore() join the in-flight write and the state round-trips."""
+    model, state, step, loader, cfg, mesh = _make_setup(key)
+    ckpt = CheckpointManager(
+        str(tmp_path / "ckpt_async"), max_to_keep=2, async_save=True
+    )
+    trainer = Trainer(
+        step, state, lambda: loader, cfg, mesh=mesh,
+        checkpoint_manager=ckpt,
+    )
+    final = trainer.fit()  # fit() joins the last in-flight save
+    assert ckpt.latest_step() == int(final.step)
+    template = jax.tree.map(np.zeros_like, jax.device_get(final))
+    restored = ckpt.restore(template)
+    np.testing.assert_array_equal(
+        np.asarray(restored.step), int(final.step)
+    )
+    for a, b in zip(
+        jax.tree.leaves(final.params), jax.tree.leaves(restored.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
