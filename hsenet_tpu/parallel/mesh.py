@@ -81,10 +81,22 @@ def create_multihost_mesh(
         )
     config = config or MeshConfig()
     n = len(jax.devices())
-    tp = config.tp
-    dp = config.dp if config.dp > 0 else n // tp
     from jax.experimental import mesh_utils
 
+    # same axis layouts as create_mesh, but via mesh_utils so the inner
+    # (ring) axis lands on physically adjacent chips across hosts
+    if config.pp > 1:
+        assert config.tp == 1 and config.sp == 1
+        dp = config.dp if config.dp > 0 else n // config.pp
+        devices = mesh_utils.create_device_mesh((dp, config.pp))
+        return Mesh(devices, ("dp", "pp"))
+    if config.sp > 1:
+        assert config.tp == 1
+        dp = config.dp if config.dp > 0 else n // config.sp
+        devices = mesh_utils.create_device_mesh((dp, config.sp))
+        return Mesh(devices, ("dp", "sp"))
+    tp = config.tp
+    dp = config.dp if config.dp > 0 else n // tp
     devices = mesh_utils.create_device_mesh((dp, tp))
     return Mesh(devices, config.axis_names)
 

@@ -176,3 +176,9 @@ def test_create_multihost_mesh_single_process():
     # dp inferred from device count when unset
     mesh2 = create_multihost_mesh(MeshConfig(dp=-1, tp=2))
     assert mesh2.devices.shape == (len(jax.devices()) // 2, 2)
+
+    # pp / sp layouts take the same shapes as create_mesh
+    mesh3 = create_multihost_mesh(MeshConfig(dp=4, pp=2))
+    assert mesh3.axis_names == ("dp", "pp") and mesh3.devices.shape == (4, 2)
+    mesh4 = create_multihost_mesh(MeshConfig(dp=-1, sp=4))
+    assert mesh4.axis_names == ("dp", "sp") and mesh4.devices.shape == (2, 4)
