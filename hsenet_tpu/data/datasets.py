@@ -491,6 +491,10 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch = max(prefetch, 1)
         self.epoch = 0
+        # one-shot intra-epoch fast-forward (deterministic resume): the next
+        # __iter__ drops this many leading batches from the epoch's order
+        # WITHOUT decoding them, then resets to 0
+        self.skip_next_batches = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -513,6 +517,9 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
+        if self.skip_next_batches:
+            order = order[self.skip_next_batches * self.batch_size:]
+            self.skip_next_batches = 0
         if self.num_workers <= 0:
             for idxs in self._batches(order):
                 yield self.collate_fn([self.dataset[i] for i in idxs])

@@ -88,14 +88,46 @@ class Trainer:
 
     def fit(self, total_steps: Optional[int] = None) -> TrainState:
         total = total_steps or self.cfg.total_steps
-        rng = jax.random.PRNGKey(self.cfg.seed)
+        # Per-step RNG is fold_in(base, step) — a pure function of
+        # (seed, step) — and the data position is fast-forwarded below, so
+        # a run restored from a checkpoint consumes exactly the batches and
+        # randomness an unbroken run would have. (A chained `split` stream
+        # restarts from the seed after a process restart and diverges; the
+        # reference has no deterministic-resume story at all, its only
+        # resume knob reloads weights — train_VLM.py:505-511.)
+        base_rng = jax.random.PRNGKey(self.cfg.seed)
         step = int(self.state.step)
+        epoch: Optional[int] = None
+        pending_skip = 0
         t_last = time.perf_counter()
         while step < total:
-            for batch in self.loader_factory():
+            loader = self.loader_factory()
+            if epoch is None:
+                epoch = 0
+                if step:  # resumed: recover (epoch, intra-epoch offset)
+                    try:
+                        steps_per_epoch = len(loader)
+                    except TypeError:
+                        steps_per_epoch = 0
+                    if steps_per_epoch:
+                        epoch = step // steps_per_epoch
+                        pending_skip = step % steps_per_epoch
+            if hasattr(loader, "epoch"):
+                loader.epoch = epoch
+            if pending_skip and hasattr(loader, "skip_next_batches"):
+                # consumed by DataLoader.__iter__ without decoding samples
+                loader.skip_next_batches = pending_skip
+                pending_skip = 0
+            batches = iter(loader)
+            for _ in range(pending_skip):  # generic-iterable fallback
+                next(batches, None)
+            pending_skip = 0
+            for batch in batches:
                 if step >= total:
                     break
-                rng, aug_rng, step_rng = jax.random.split(rng, 3)
+                aug_rng, step_rng = jax.random.split(
+                    jax.random.fold_in(base_rng, step)
+                )
                 device_batch = self._device_batch(batch, aug_rng)
                 self.state, metrics = self.train_step(
                     self.state, device_batch, step_rng
@@ -141,6 +173,7 @@ class Trainer:
                     or step in self.hooks.milestone_steps
                 ):
                     self.ckpt.save(step, self.state)
+            epoch += 1
         if self.ckpt is not None and hasattr(self.ckpt, "wait"):
             self.ckpt.wait()  # join an in-flight async save before returning
         return self.state

@@ -102,6 +102,59 @@ def test_trainer_runs_and_checkpoints(key, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_deterministic_resume(key):
+    """A run resumed from step 3 (mid-epoch: 2 steps/epoch) must reproduce
+    an unbroken run bit-for-bit: fold_in per-step RNG + epoch fast-forward
+    + intra-epoch batch skip, with shuffle AND augmentation on. (The
+    reference's only resume mechanism reloads weights, train_VLM.py:505-511;
+    data order and RNG restart from scratch there.)"""
+    from hsenet_tpu.configs import AugmentConfig
+
+    def fresh(state=None):
+        """Simulates a process (re)start: new model/loader/trainer objects."""
+        model = CLIPModel(TINY_CLIP)
+        ds = SyntheticCTDataset(
+            n=8, shape=(1, 4, 16, 16), mode="clip",
+            args=DataArgs(max_text_len=16),
+        )
+        for i in range(len(ds)):
+            ds[i]  # SimpleTokenizer assigns word ids on first sight; warm
+            # the vocab in index order so a restarted "process" tokenizes
+            # like the unbroken one (real tokenizers have a fixed vocab)
+        cfg = TrainConfig(
+            total_steps=5, learning_rate=1e-3, log_every=100, eval_every=0,
+            checkpoint_every=100,
+        )
+        if state is None:
+            batch = next(iter(DataLoader(ds, 4, shuffle=False)))
+            params = model.init(
+                key,
+                jnp.asarray(batch["image"]),
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+            )
+            state = TrainState.create(params, make_optimizer(cfg))
+        mesh = create_mesh(MeshConfig(dp=4, tp=1))
+        step_fn = make_stage1_train_step(model, make_optimizer(cfg), mesh)
+        return Trainer(
+            step_fn, state,
+            lambda: DataLoader(ds, 4, shuffle=True, seed=cfg.seed),
+            cfg, mesh=mesh, augment=AugmentConfig(),
+        )
+
+    unbroken = fresh().fit(5)
+
+    first_leg = fresh().fit(3)
+    assert int(first_leg.step) == 3
+    resumed = fresh(state=first_leg).fit(5)
+
+    assert int(unbroken.step) == int(resumed.step) == 5
+    for a, b in zip(
+        jax.tree.leaves(unbroken.params), jax.tree.leaves(resumed.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_save_restore_params_roundtrip(key, tmp_path):
     params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3), "b": {"c": np.ones(4, np.float32)}}
     path = str(tmp_path / "params")
