@@ -1,6 +1,7 @@
 """Box utils, Llama variant, legacy masked CLIP."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -182,3 +183,28 @@ def test_export_greedy_decode_roundtrip(tmp_path):
     loaded = load_exported_file(str(path))
     served = loaded(params, ids, kv)
     np.testing.assert_array_equal(np.asarray(served), np.asarray(live))
+
+
+def test_packaging_entry_points_resolve():
+    """pyproject.toml console scripts must point at importable callables and
+    the dynamic version attr must resolve (the reference ships no package
+    at all — it is driven by `accelerate launch path/to/script.py`)."""
+    import importlib
+    import tomllib
+
+    import hsenet_tpu
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+
+    assert meta["project"]["name"] == "hsenet-tpu"
+    attr = meta["tool"]["setuptools"]["dynamic"]["version"]["attr"]
+    mod_name, _, attr_name = attr.rpartition(".")
+    assert getattr(importlib.import_module(mod_name), attr_name) == hsenet_tpu.__version__
+
+    scripts = meta["project"]["scripts"]
+    assert len(scripts) >= 6
+    for name, target in scripts.items():
+        mod_name, _, fn_name = target.partition(":")
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+        assert callable(fn), f"{name} -> {target} is not callable"
