@@ -74,6 +74,46 @@ def export_greedy_decode(
     )
 
 
+def export_encode(
+    model,
+    params,
+    *,
+    batch: int = 1,
+    with_slice_features: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the vision side: dual towers + packers -> image features.
+
+    Convention: `(params, volume (B, 1, D, H, W) f32[, slice_features
+    (B, S, F) f32]) -> (B, n_img, llm_hidden)` — the same as
+    `HSENetVLM.encode_images_only`, i.e. the prompt-independent prefix a
+    disaggregated encode tier computes (paired with the decode artifact
+    from `export_greedy_decode` this covers the full inference pipeline;
+    the reference's deployment export covers only its SAM predictor,
+    `segment_anything_volumetric/utils/onnx.py`)."""
+    import numpy as np
+
+    v = model.config.vision
+    vol = np.zeros((batch, 1) + tuple(v.image_size), np.float32)
+    if with_slice_features:
+        sf = np.zeros(
+            (batch, v.num_slices, v.slice_feature_dim), np.float32
+        )
+
+        def fn(p, volume, slice_features):
+            return model.apply(
+                p, volume, slice_features,
+                method=model.encode_images_only,
+            )
+
+        return export_fn(fn, params, vol, sf, platforms=platforms)
+
+    def fn(p, volume):
+        return model.apply(p, volume, method=model.encode_images_only)
+
+    return export_fn(fn, params, vol, platforms=platforms)
+
+
 def save_exported(path: str, blob: bytes) -> None:
     with open(path, "wb") as f:
         f.write(blob)

@@ -208,3 +208,56 @@ def test_packaging_entry_points_resolve():
         mod_name, _, fn_name = target.partition(":")
         fn = getattr(importlib.import_module(mod_name), fn_name)
         assert callable(fn), f"{name} -> {target} is not callable"
+
+
+def test_export_encode_roundtrip(key, tmp_path):
+    """AOT-exported encode graph (towers + packers) must reproduce the live
+    encode_images_only output after a disk round-trip."""
+    from hsenet_tpu.configs import (
+        LoRAConfig,
+        PackerConfig,
+        Phi3Config,
+        ViT3DConfig,
+        VLMConfig,
+    )
+    from hsenet_tpu.models.mllm import HSENetVLM
+    from hsenet_tpu.utils.export import (
+        export_encode,
+        load_exported_file,
+        save_exported,
+    )
+
+    cfg = VLMConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2, num_slices=2,
+            slice_feature_dim=16,
+        ),
+        packer=PackerConfig(
+            grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=32,
+            dropout_rate=0.0,
+        ),
+        llm=Phi3Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_layers=1, num_heads=4, num_kv_heads=2, head_dim=8,
+            tie_word_embeddings=True,
+            lora=LoRAConfig(rank=2, alpha=4, dropout_rate=0.0),
+        ),
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.random((1, 1, 4, 16, 16), np.float32))
+    sf = jnp.asarray(rng.random((1, 2, 16), np.float32))
+    ids = jnp.asarray(rng.integers(3, 64, (1, 12)), jnp.int32)
+    ids = ids.at[:, 0].set(1)
+    params = model.init(key, ids, vol, sf)
+
+    blob = export_encode(model, params, batch=1)
+    path = tmp_path / "encode.hlo"
+    save_exported(str(path), blob)
+
+    live = model.apply(params, vol, sf, method=model.encode_images_only)
+    served = load_exported_file(str(path))(params, vol, sf)
+    np.testing.assert_allclose(
+        np.asarray(served), np.asarray(live), atol=1e-6
+    )
