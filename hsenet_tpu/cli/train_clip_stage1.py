@@ -118,7 +118,12 @@ def main(argv=None):
 
     from hsenet_tpu.data.datasets import DataLoader
 
-    loader = DataLoader(dataset, args.batch_size, shuffle=True, seed=args.seed)
+    loader = DataLoader(
+        dataset, args.batch_size, shuffle=True, seed=args.seed,
+        # per-process shard of the global batch (multi-host SPMD);
+        # 1/0 on a single host
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+    )
     batch = next(iter(loader))
     params = jax.jit(model.init)(
         jax.random.PRNGKey(train_cfg.seed),

@@ -155,7 +155,12 @@ def main(argv=None):
             data_args, tokenizer, args.manifest, "train"
         )
 
-    loader = DataLoader(dataset, args.batch_size, shuffle=True, seed=args.seed)
+    loader = DataLoader(
+        dataset, args.batch_size, shuffle=True, seed=args.seed,
+        # per-process shard of the global batch (multi-host SPMD);
+        # 1/0 on a single host
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+    )
     remat = args.remat if args.remat is not None else not args.synthetic
     model = HSENetVLM(cfg, dtype=dtype, remat=remat)
     batch = next(iter(loader))

@@ -481,6 +481,8 @@ class DataLoader:
         collate_fn: Callable = collate,
         num_workers: int = 0,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -490,6 +492,16 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.num_workers = num_workers
         self.prefetch = max(prefetch, 1)
+        # multi-host SPMD: every process shuffles the SAME global order
+        # (seeded by epoch), then takes a disjoint strided slice — the
+        # analog of torch's DistributedSampler the reference gets from
+        # DDP/accelerate. batch_size is per-process here.
+        if not 0 <= shard_index < num_shards:
+            raise ValueError(
+                f"shard_index {shard_index} not in [0, {num_shards})"
+            )
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self.epoch = 0
         # one-shot intra-epoch fast-forward (deterministic resume): the next
         # __iter__ drops this many leading batches from the epoch's order
@@ -497,7 +509,8 @@ class DataLoader:
         self.skip_next_batches = 0
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards if self.num_shards > 1 \
+            else len(self.dataset)
         if self.drop_remainder:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -517,6 +530,11 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
+        if self.num_shards > 1:
+            # truncate to the common length FIRST so every process runs the
+            # same number of steps (no host left waiting in a collective)
+            order = order[: len(order) - len(order) % self.num_shards]
+            order = order[self.shard_index :: self.num_shards]
         if self.skip_next_batches:
             order = order[self.skip_next_batches * self.batch_size:]
             self.skip_next_batches = 0

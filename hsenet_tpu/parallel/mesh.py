@@ -111,11 +111,38 @@ def replicated_spec() -> P:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host pytree of arrays batch-sharded onto the mesh."""
+    """Place a host pytree of arrays batch-sharded onto the mesh.
+
+    Multi-process: `batch` is this process's LOCAL shard of the global
+    batch (produced by `DataLoader(num_shards=process_count,
+    shard_index=process_index)`) and the result is the global dp-sharded
+    array — the SPMD analog of the reference's DistributedSampler + DDP
+    input split (HF Trainer/accelerate does this implicitly)."""
+    if jax.process_count() > 1:
+        return shard_batch_multihost(batch, mesh)
     sharding = NamedSharding(mesh, P("dp"))
 
     def put(x):
         return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def shard_batch_multihost(batch, mesh: Mesh):
+    """Assemble a global dp-sharded batch from per-process local batches.
+
+    Each process holds only its addressable devices' rows; `device_put` of
+    host data onto a global sharding is invalid there, so the global array
+    is built with `make_array_from_process_local_data`. Single-process
+    calls degenerate to the same result as `shard_batch` (tested)."""
+    sharding = NamedSharding(mesh, P("dp"))
+
+    def put(x):
+        import numpy as np
+
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        )
 
     return jax.tree.map(put, batch)
 

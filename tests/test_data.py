@@ -704,6 +704,68 @@ def test_dataloader_prefetch_workers(tmp_path):
         np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
 
 
+def test_dataloader_process_sharding():
+    """num_shards/shard_index (multi-host SPMD analog of the reference's
+    DDP DistributedSampler): shards are disjoint, equal-length, cover the
+    common-truncated epoch, and reshuffle together per epoch."""
+    ds = SyntheticCTDataset(n=11, shape=(1, 4, 8, 8), mode="clip",
+                            args=DataArgs(max_text_len=16))
+    for i in range(len(ds)):
+        ds[i]  # warm the SimpleTokenizer vocab in index order
+
+    def ids_of(loader):
+        # image voxels are default_rng(idx)-generated -> unique per sample
+        return [(float(b["image"].ravel()[0]),) for b in loader]
+
+    full = DataLoader(ds, batch_size=1, shuffle=True, seed=3)
+    s0 = DataLoader(ds, batch_size=1, shuffle=True, seed=3,
+                    num_shards=2, shard_index=0)
+    s1 = DataLoader(ds, batch_size=1, shuffle=True, seed=3,
+                    num_shards=2, shard_index=1)
+    assert len(s0) == len(s1) == 5  # 11 -> common-truncated to 10 -> 5 each
+    f = [t[0] for t in ids_of(full)]
+    a = [t[0] for t in ids_of(s0)]
+    b = [t[0] for t in ids_of(s1)]
+    assert len(a) == len(b) == 5
+    # strided split of the SAME shuffled global order, truncated to 10
+    assert a == f[:10][0::2]
+    assert b == f[:10][1::2]
+    assert not (set(a) & set(b))
+
+    # second epoch reshuffles both shards consistently
+    a2 = [t[0] for t in ids_of(s0)]
+    b2 = [t[0] for t in ids_of(s1)]
+    assert a2 != a and not (set(a2) & set(b2))
+
+    with pytest.raises(ValueError):
+        DataLoader(ds, 1, num_shards=2, shard_index=2)
+
+
+def test_shard_batch_multihost_single_process():
+    """make_array_from_process_local_data degenerates to shard_batch on one
+    process: same values, same sharding."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hsenet_tpu.configs import MeshConfig
+    from hsenet_tpu.parallel.mesh import (
+        create_mesh,
+        shard_batch,
+        shard_batch_multihost,
+    )
+
+    mesh = create_mesh(MeshConfig(dp=8, tp=1))
+    batch = {"x": np.arange(32, dtype=np.float32).reshape(16, 2),
+             "y": np.ones((16,), np.int32)}
+    a = shard_batch(batch, mesh)
+    b = shard_batch_multihost(batch, mesh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert b[k].sharding.is_equivalent_to(
+            NamedSharding(mesh, P("dp")), b[k].ndim
+        )
+
+
 def test_term_dictionary():
     import random as _random
 
