@@ -39,6 +39,12 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--checkpoint-every", type=int, default=1000)
     p.add_argument("--resume", default="", help="checkpoint dir to resume")
+    p.add_argument("--profile", default="",
+                   help="write a jax.profiler device trace of steps "
+                        "[--profile-start, --profile-stop) to this dir "
+                        "(TensorBoard/Perfetto-viewable)")
+    p.add_argument("--profile-start", type=int, default=2)
+    p.add_argument("--profile-stop", type=int, default=4)
 
 
 def train_config_from_args(args) -> TrainConfig:
@@ -51,6 +57,9 @@ def train_config_from_args(args) -> TrainConfig:
         seed=args.seed,
         log_every=args.log_every,
         checkpoint_every=args.checkpoint_every,
+        profile_dir=getattr(args, "profile", ""),
+        profile_start=getattr(args, "profile_start", 2),
+        profile_stop=getattr(args, "profile_stop", 4),
     )
 
 

@@ -492,6 +492,12 @@ class TrainConfig:
     eval_every: int = 500
     checkpoint_every: int = 1000
     zero1: bool = False  # shard optimizer state along dp
+    # jax.profiler device trace over steps [profile_start, profile_stop)
+    # written to profile_dir (TensorBoard/Perfetto-viewable); "" = off.
+    # Default window skips step 1's compile so the trace shows steady state.
+    profile_dir: str = ""
+    profile_start: int = 2
+    profile_stop: int = 4
 
 
 def replace(cfg, **kw):

@@ -125,6 +125,18 @@ class Trainer:
             for batch in batches:
                 if step >= total:
                     break
+                if self.cfg.profile_dir:
+                    # trace a steady-state step window (the reference has no
+                    # profiling at all, SURVEY.md §5)
+                    if step == self.cfg.profile_start:
+                        jax.profiler.start_trace(self.cfg.profile_dir)
+                        self._tracing = True
+                    elif step == self.cfg.profile_stop and getattr(
+                        self, "_tracing", False
+                    ):
+                        jax.block_until_ready(self.state.params)
+                        jax.profiler.stop_trace()
+                        self._tracing = False
                 aug_rng, step_rng = jax.random.split(
                     jax.random.fold_in(base_rng, step)
                 )
@@ -174,6 +186,10 @@ class Trainer:
                 ):
                     self.ckpt.save(step, self.state)
             epoch += 1
+        if getattr(self, "_tracing", False):  # stop hit past total_steps
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+            self._tracing = False
         if self.ckpt is not None and hasattr(self.ckpt, "wait"):
             self.ckpt.wait()  # join an in-flight async save before returning
         return self.state

@@ -1,5 +1,6 @@
 """Trainer loop + checkpointing + conversion mapping tests."""
 
+import dataclasses
 import os
 
 import jax
@@ -153,6 +154,25 @@ def test_deterministic_resume(key):
         jax.tree.leaves(unbroken.params), jax.tree.leaves(resumed.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_profile_trace(key, tmp_path):
+    """profile_dir writes a TensorBoard-viewable device trace of the
+    configured step window (the reference has no profiling, SURVEY.md §5)."""
+    import glob
+
+    model, state, step, loader, cfg, mesh = _make_setup(key)
+    cfg = dataclasses.replace(
+        cfg, profile_dir=str(tmp_path / "trace"), profile_start=2,
+        profile_stop=4,
+    )
+    trainer = Trainer(step, state, lambda: loader, cfg, mesh=mesh)
+    final = trainer.fit()
+    assert int(final.step) == 6
+    files = glob.glob(
+        str(tmp_path / "trace" / "plugins" / "profile" / "*" / "*")
+    )
+    assert files, "no profiler artifacts written"
 
 
 def test_save_restore_params_roundtrip(key, tmp_path):
