@@ -69,6 +69,11 @@ def main(argv=None):
     p.add_argument("--clip-stage2-checkpoint", default="")
     p.add_argument("--resume-mllm", default="",
                    help="projector+LoRA deltas to restore")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="microbatches accumulated inside one jitted step "
+                        "(lax.scan; the reference's HF "
+                        "gradient_accumulation_steps analog). batch-size "
+                        "must divide evenly; plain step only")
     p.add_argument("--pp", type=int, default=1,
                    help="pipeline-parallel stages for the LLM decoder "
                         "(GPipe over a 'pp' mesh axis, parallel/pipeline.py;"
@@ -258,7 +263,10 @@ def main(argv=None):
             model, tx, mesh, remat=remat, trainable_mask=mask
         )
     else:
-        step_fn = make_vlm_train_step(model, tx, mesh, trainable_mask=mask)
+        step_fn = make_vlm_train_step(
+            model, tx, mesh, trainable_mask=mask,
+            grad_accum=args.grad_accum,
+        )
     trainer = Trainer(
         step_fn, state, lambda: loader, train_cfg, mesh=mesh,
         checkpoint_manager=ckpt,

@@ -126,6 +126,7 @@ def make_masked_train_step(
     trainable_mask=None,
     *,
     with_rng: bool = True,
+    grad_accum: int = 1,
 ):
     """Shared train-step tail: dp batch constraint, value_and_grad, optax
     update, trainable-only grad-norm. `loss_fn(params, batch[, dropout_rng])
@@ -139,22 +140,90 @@ def make_masked_train_step(
     difference between fitting and OOM for the 4B finetune on a 16 GB chip
     (the reference gets the same effect from requires_grad=False,
     train_VLM.py:406-414). A full-tree global_norm would silently force all
-    8 GB of frozen grads back into existence."""
+    8 GB of frozen grads back into existence.
+
+    `grad_accum > 1` accumulates gradients over that many microbatches
+    INSIDE the jitted step (a lax.scan over an equal split of the batch —
+    one dispatch, activation memory of one microbatch), the TPU analog of
+    the reference's HF `gradient_accumulation_steps` (train_VLM.py:159).
+    Frozen leaves are carried as SCALAR zeros through the scan so the
+    dead-code elimination above still prunes the frozen backward. Metrics
+    (and the loss) are microbatch means — same mean-of-means semantics as
+    the reference's Trainer. Only sound for per-sample-decomposable losses
+    (the VLM LM/seg losses); NOT for the global contrastive stages."""
+
+    def _accum_grads(params, batch, dropout_rng):
+        mb = jax.tree.map(
+            lambda x: x.reshape(
+                (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]
+            ),
+            batch,
+        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mb = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(None, "dp"))
+                ),
+                mb,
+            )
+        mask = trainable_mask
+
+        def prune(g):
+            if mask is None:
+                return g
+            return jax.tree.map(
+                lambda gg, m: gg if m else jnp.zeros((), gg.dtype), g, mask
+            )
+
+        def body(g_sum, xs):
+            micro, i = xs
+            args = (micro,)
+            if with_rng:
+                rng_i = (
+                    None if dropout_rng is None
+                    else jax.random.fold_in(dropout_rng, i)
+                )
+                args = (micro, rng_i)
+            (_, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, *args
+            )
+            return jax.tree.map(jnp.add, g_sum, prune(g)), metrics
+
+        g0 = prune(jax.tree.map(jnp.zeros_like, params))
+        g_sum, metrics_stack = jax.lax.scan(
+            body, g0, (mb, jnp.arange(grad_accum))
+        )
+        if mask is None:
+            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+        else:
+            grads = jax.tree.map(
+                lambda g, p, m: g / grad_accum if m else jnp.zeros_like(p),
+                g_sum, params, mask,
+            )
+        metrics = jax.tree.map(lambda m: m.mean(), metrics_stack)
+        return metrics["loss"], metrics, grads
 
     def train_step(state: TrainState, batch, rng=None):
         if mesh is not None:
             from hsenet_tpu.parallel.mesh import constrain_batch
 
             batch = constrain_batch(batch, mesh)
-        args = (batch,)
-        if with_rng:
-            dropout_rng = (
-                None if rng is None else jax.random.fold_in(rng, state.step)
-            )
-            args = (batch, dropout_rng)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, *args
+        dropout_rng = (
+            None
+            if (rng is None or not with_rng)
+            else jax.random.fold_in(rng, state.step)
         )
+        if grad_accum > 1:
+            loss, metrics, grads = _accum_grads(
+                state.params, batch, dropout_rng
+            )
+        else:
+            args = (batch, dropout_rng) if with_rng else (batch,)
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, *args)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if trainable_mask is not None:
@@ -182,11 +251,12 @@ def make_vlm_train_step(
     mesh: Optional[Mesh] = None,
     seg: bool = False,
     trainable_mask=None,
+    grad_accum: int = 1,
 ):
     """Plain (single-program) VLM finetune step; see make_masked_train_step
-    for the trainable-only grad-norm rationale."""
+    for the trainable-only grad-norm rationale and grad_accum semantics."""
     loss_fn = vlm_seg_loss_fn if seg else vlm_loss_fn
     return make_masked_train_step(
         functools.partial(loss_fn, model), tx, mesh, trainable_mask,
-        with_rng=True,
+        with_rng=True, grad_accum=grad_accum,
     )

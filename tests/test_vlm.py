@@ -362,3 +362,65 @@ def test_vlm_with_llama_backbone(key):
             batch["image_2d"])
     )
     assert out.shape == (2, 6)
+
+
+def test_grad_accum_matches_full_batch(key):
+    """grad_accum=2 (in-jit lax.scan microbatching, the reference's HF
+    gradient_accumulation_steps analog) must match the full-batch step when
+    the loss decomposes (uniform valid-token counts per row). SGD so f32
+    accumulation-order noise isn't amplified by Adam normalization."""
+    import optax
+
+    from hsenet_tpu.train.vlm import make_masked_train_step
+    import functools
+
+    model = HSENetVLM(TINY_VLM, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    b, seq = 4, 24
+    ids = rng.integers(3, 64, (b, seq))
+    ids[:, 0] = 1
+    labels = ids.copy().astype(np.int64)
+    labels[:, : N_IMG + 4] = -100  # same masked prefix on EVERY row
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.ones((b, seq), jnp.int64),
+        "image": jnp.asarray(rng.random((b, 1, 4, 16, 16), np.float32)),
+        "image_2d": jnp.asarray(rng.random((b, 2, 16), np.float32)),
+    }
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    mask = vlm_trainable_mask(params)
+    tx = optax.masked(optax.sgd(1e-2), mask)
+    tx = optax.chain(
+        tx,
+        optax.masked(
+            optax.set_to_zero(), jax.tree.map(lambda m: not m, mask)
+        ),
+    )
+    from hsenet_tpu.train.vlm import vlm_loss_fn
+
+    loss_fn = functools.partial(vlm_loss_fn, model)
+    # deep-copy: both steps donate their input state; shared buffers would
+    # be deleted by the first call
+    params2 = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    state1 = TrainState.create(params, tx)
+    state2 = TrainState.create(params2, tx)
+    full = make_masked_train_step(loss_fn, tx, trainable_mask=mask)
+    accum = make_masked_train_step(
+        loss_fn, tx, trainable_mask=mask, grad_accum=2
+    )
+    # deterministic (no dropout rng) so the two paths see identical math
+    s1, m1 = full(state1, batch)
+    s2, m2 = accum(state2, batch)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5
+    )
+    for a, c in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=2e-6
+        )
