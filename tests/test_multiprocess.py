@@ -1,0 +1,137 @@
+"""True multi-process SPMD test: two jax.distributed processes (2 local CPU
+devices each, Gloo cross-process collectives) train stage-1 CLIP on a global
+dp=4 mesh via the worker in _mp_stage1_worker.py, and the result must match
+a single-process run on the identical global batches.
+
+This covers what the reference can only exercise by physically launching 8
+GPUs (SURVEY.md §4): multihost mesh construction, per-process dataset
+shards, global-batch assembly from process-local data, and cross-process
+gradient all-reduce.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_mp_stage1_worker.py")
+
+
+def test_two_process_stage1_matches_single_process(tmp_path):
+    port = 29500 + (os.getpid() % 900)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            # a clean env: the conftest's 8-device XLA_FLAGS must not leak;
+            # PYTHONPATH makes the in-repo package importable from a script
+            env={
+                **{k: v for k, v in os.environ.items()
+                   if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+                "PYTHONPATH": os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))
+                ),
+            },
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+
+    r0 = np.load(tmp_path / "proc0.npz")
+    r1 = np.load(tmp_path / "proc1.npz")
+    assert int(r0["step"]) == int(r1["step"]) == 2
+    # SPMD: both processes computed the same (replicated) losses
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
+
+    # ---- single-process reference on the identical global batches ----
+    from hsenet_tpu.configs import (
+        BertConfig,
+        CLIPConfig,
+        MeshConfig,
+        TrainConfig,
+        ViT3DConfig,
+    )
+    from hsenet_tpu.data.datasets import (
+        DataArgs,
+        DataLoader,
+        SyntheticCTDataset,
+        collate,
+    )
+    from hsenet_tpu.models.clip import CLIPModel
+    from hsenet_tpu.parallel.mesh import create_mesh
+    from hsenet_tpu.train.stage1 import make_stage1_train_step
+    from hsenet_tpu.train.train_state import TrainState
+    from hsenet_tpu.train.trainer import Trainer
+
+    cfg = CLIPConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2,
+        ),
+        text=BertConfig(
+            vocab_size=512, hidden_size=16, num_layers=1, num_heads=2,
+            intermediate_size=32, max_position_embeddings=32,
+        ),
+        projection_dim=16,
+    )
+    model = CLIPModel(cfg)
+    ds = SyntheticCTDataset(
+        n=8, shape=(1, 4, 16, 16), mode="clip", args=DataArgs(max_text_len=16)
+    )
+    for i in range(len(ds)):
+        ds[i]
+    train_cfg = TrainConfig(
+        total_steps=2, learning_rate=1e-3, log_every=1, eval_every=0,
+        checkpoint_every=1000,
+    )
+
+    # global row order the multihost run assembled: process 0's local rows
+    # land on devices 0-1, process 1's on devices 2-3 -> per step the global
+    # batch is [shard0 rows, shard1 rows] of the same seeded epoch order
+    order = np.arange(8)
+    np.random.default_rng(train_cfg.seed + 0).shuffle(order)
+    shard0, shard1 = order[0::2], order[1::2]
+    global_batches = [
+        collate([ds[int(i)] for i in
+                 (*shard0[s * 2:(s + 1) * 2], *shard1[s * 2:(s + 1) * 2])])
+        for s in range(2)
+    ]
+
+    probe = next(iter(DataLoader(ds, 2, shuffle=False)))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(probe["image"]),
+        jnp.asarray(probe["input_ids"]),
+        jnp.asarray(probe["attention_mask"]),
+    )
+    import optax
+
+    tx = optax.sgd(1e-2)  # matches the worker (see its comment re Adam noise)
+    state = TrainState.create(params, tx)
+    mesh = create_mesh(MeshConfig(dp=4, tp=1))
+    step_fn = make_stage1_train_step(model, tx, mesh)
+    trainer = Trainer(
+        step_fn, state, lambda: global_batches, train_cfg, mesh=mesh
+    )
+    final = trainer.fit()
+
+    ref_losses = [row["loss"] for row in trainer.history]
+    np.testing.assert_allclose(r0["losses"], ref_losses, rtol=1e-5)
+    ref_leaves = [
+        np.asarray(x) for x in jax.tree.leaves(jax.device_get(final.params))
+    ]
+    mp_keys = sorted((k for k in r0.files if k.startswith("arr_")),
+                 key=lambda k: int(k[4:]))
+    mp_leaves = [r0[k] for k in mp_keys]
+    assert len(ref_leaves) == len(mp_leaves)
+    for a, b in zip(ref_leaves, mp_leaves):
+        np.testing.assert_allclose(a, b, atol=2e-5)
