@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +60,9 @@ def build_vlm_config(args) -> VLMConfig:
 def main(argv=None):
     p = argparse.ArgumentParser()
     add_train_args(p)
-    p.add_argument("--task", choices=["mrg", "vqa"], default="mrg")
+    p.add_argument("--task", choices=["mrg", "vqa", "seg"], default="mrg",
+                   help="seg trains the [SEG]-routed SegVol branch "
+                        "(dice+BCE added to the LM loss)")
     p.add_argument("--max-length", type=int, default=0,
                    help="0 = task default (mrg 800 / vqa 330)")
     p.add_argument("--tokenizer", default="")
@@ -106,6 +109,8 @@ def main(argv=None):
                 "the param placement); drop --zero1")
 
     max_length = args.max_length or (800 if args.task == "mrg" else 330)
+    if args.task == "seg" and (args.pp > 1 or args.sp > 1):
+        p.error("--task seg uses the plain train step (no --pp / --sp)")
     cfg = build_vlm_config(args)
     train_cfg = train_config_from_args(args)
     mesh = mesh_from_args(args)
@@ -128,6 +133,13 @@ def main(argv=None):
             {"additional_special_tokens": SPECIAL_TOKENS}
         )
 
+    if args.task == "seg":
+        cfg = dataclasses.replace(
+            cfg,
+            seg_enable=True,
+            seg_token_id=int(tokenizer.convert_tokens_to_ids("[SEG]")),
+        )
+
     from hsenet_tpu.data.datasets import DataArgs, DataLoader
 
     data_args = DataArgs(
@@ -144,7 +156,7 @@ def main(argv=None):
             n=max(args.batch_size * 2, 8),
             shape=(1, *cfg.vision.image_size),
             tokenizer=tokenizer,
-            mode="caption",
+            mode="seg" if args.task == "seg" else "caption",
             args=data_args,
             num_slices=cfg.vision.num_slices,
             slice_dim=cfg.vision.slice_feature_dim,
@@ -153,6 +165,10 @@ def main(argv=None):
         from hsenet_tpu.data.datasets import CaptionDataset
 
         dataset = CaptionDataset(data_args, tokenizer, args.manifest, "train")
+    elif args.task == "seg":
+        from hsenet_tpu.data.datasets import SegQADataset
+
+        dataset = SegQADataset(data_args, tokenizer, args.manifest, "train")
     else:
         from hsenet_tpu.data.datasets import VQALocationDataset
 
@@ -169,7 +185,11 @@ def main(argv=None):
     remat = args.remat if args.remat is not None else not args.synthetic
     model = HSENetVLM(cfg, dtype=dtype, remat=remat)
     batch = next(iter(loader))
-    params = jax.jit(model.init)(
+    init_kwargs = {}
+    if args.task == "seg":
+        # trace the [SEG] branch so seg_projector/seg_module params exist
+        init_kwargs["method"] = HSENetVLM.forward_with_seg
+    params = jax.jit(functools.partial(model.init, **init_kwargs))(
         jax.random.PRNGKey(train_cfg.seed),
         jnp.asarray(batch["input_ids"]),
         jnp.asarray(batch["image"]),
@@ -264,7 +284,7 @@ def main(argv=None):
         )
     else:
         step_fn = make_vlm_train_step(
-            model, tx, mesh, trainable_mask=mask,
+            model, tx, mesh, seg=args.task == "seg", trainable_mask=mask,
             grad_accum=args.grad_accum,
         )
     trainer = Trainer(

@@ -640,6 +640,33 @@ class SyntheticCTDataset(_RetryDataset):
                 "attention_mask": tok["attention_mask"][0],
                 "text": text,
             }
+        if self.mode == "seg":
+            # synthetic seg QA: a random box blob + [SEG]-token answer
+            # (reference SegDataset semantics, multi_dataset.py:1354-1516)
+            seg = np.zeros(self.shape, np.float32)
+            d, h, w = self.shape[-3:]
+            z0 = int(rng.integers(0, max(d // 2, 1)))
+            y0 = int(rng.integers(0, max(h // 2, 1)))
+            x0 = int(rng.integers(0, max(w // 2, 1)))
+            seg[..., z0:z0 + d // 2, y0:y0 + h // 2, x0:x0 + w // 2] = 1.0
+            question = (
+                IM_PATCH_TOKEN * self.args.proj_out_num
+                + "Can you segment the lesion in this image?"
+            )
+            answer = "It is [SEG]."
+            tok = tokenize_qa_sample(
+                self.tokenizer, question, answer, self.args.max_length
+            )
+            return {
+                "image": image,
+                "image_2d": image_2d,
+                "seg": seg,
+                "input_ids": tok["input_ids"],
+                "attention_mask": tok["attention_mask"],
+                "labels": tok["labels"],
+                "question": question,
+                "answer": answer,
+            }
         question = IM_PATCH_TOKEN * self.args.proj_out_num + "Describe the scan."
         tok = tokenize_qa_sample(
             self.tokenizer, question, text, self.args.max_length

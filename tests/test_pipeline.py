@@ -182,3 +182,34 @@ def test_create_multihost_mesh_single_process():
     assert mesh3.axis_names == ("dp", "pp") and mesh3.devices.shape == (4, 2)
     mesh4 = create_multihost_mesh(MeshConfig(dp=-1, sp=4))
     assert mesh4.axis_names == ("dp", "sp") and mesh4.devices.shape == (2, 4)
+
+
+def test_cli_train_vlm_seg_task(tmp_path):
+    """`--task seg` end to end through the CLI: SegVol branch enabled,
+    [SEG]-token answers, dice+BCE added to the LM loss (reference
+    train_VLM.py seg routing + loss.py)."""
+    import os
+
+    from hsenet_tpu.cli.train_vlm import main as vlm
+
+    out = str(tmp_path / "vlm_seg")
+    state = vlm(
+        [
+            "--synthetic",
+            "--task", "seg",
+            "--total-steps", "2",
+            "--batch-size", "2",
+            "--log-every", "1",
+            "--checkpoint-every", "1000",
+            "--dtype", "float32",
+            "--dp", "1",
+            "--output-dir", out,
+        ]
+    )
+    assert int(state.step) == 2
+    assert os.path.exists(f"{out}/vlm_deltas")
+    # the seg branch actually exists in the trained tree
+    import jax
+
+    params = jax.device_get(state.params)
+    assert "seg_projector" in params["params"], list(params["params"])
