@@ -88,6 +88,10 @@ def main(argv=None):
                    help="with --engine: LRU size for per-volume image-"
                         "feature caching (VQA asks several questions per "
                         "scan; repeated volumes skip the vision towers)")
+    p.add_argument("--engine-kv-prefix-cache", type=int, default=0,
+                   help="with --engine: LRU size for per-volume KV-prefix "
+                        "caching (repeat questions skip the towers AND "
+                        "the BOS+image-block share of the LLM prefill)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard eval batches over a dp-axis mesh (>1 chip)")
     p.add_argument("--tp", type=int, default=1,
@@ -330,6 +334,7 @@ def main(argv=None):
             mesh=mesh, multimodal=True,
             speculative=args.spec_decode, draft_len=args.draft_len,
             volume_cache_size=args.engine_vol_cache,
+            kv_prefix_cache_size=args.engine_kv_prefix_cache,
         )
         gen = engine_generate_fn(eng)
     elif args.spec_decode:

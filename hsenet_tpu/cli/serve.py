@@ -48,6 +48,10 @@ def main(argv=None):
     p.add_argument("--output", default="", help="JSONL responses path")
     p.add_argument("--num-requests", type=int, default=8,
                    help="synthetic request count")
+    p.add_argument("--distinct-volumes", type=int, default=0,
+                   help="synthetic multimodal traffic: cycle requests over "
+                        "this many distinct volumes (0 = all distinct); "
+                        ">0 makes --vol-cache / --kv-prefix-cache hit")
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--prompt-cap", type=int, default=512)
@@ -71,11 +75,19 @@ def main(argv=None):
                    help="LRU size for per-volume image-feature caching "
                         "(multimodal only): repeated volumes skip the "
                         "vision towers at admission")
+    p.add_argument("--kv-prefix-cache", type=int, default=0,
+                   help="LRU size for per-volume KV-prefix caching "
+                        "(multimodal only): repeat questions about one "
+                        "volume skip the towers AND the BOS+image-block "
+                        "share of the LLM prefill")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     if args.vol_cache and args.llm_only:
         p.error("--vol-cache caches image features; it requires the "
                 "multimodal engine (drop --llm-only)")
+    if args.kv_prefix_cache and args.llm_only:
+        p.error("--kv-prefix-cache caches the image-block KV; it requires "
+                "the multimodal engine (drop --llm-only)")
 
     from hsenet_tpu.serving import ServingEngine
 
@@ -168,25 +180,38 @@ def main(argv=None):
         draft_len=args.draft_len,
         ngram=args.ngram,
         volume_cache_size=args.vol_cache if multimodal else 0,
+        kv_prefix_cache_size=args.kv_prefix_cache if multimodal else 0,
     )
 
     # ---- build the request list ----
     id_of = {}
     if args.synthetic and not args.requests:
+        n_vols = args.distinct_volumes or args.num_requests
+        vols = [
+            (
+                rng.standard_normal(
+                    (1, 1, *cfg.vision.image_size)
+                ).astype(np.float32),
+                rng.standard_normal(
+                    (1, cfg.vision.num_slices, cfg.vision.slice_feature_dim)
+                ).astype(np.float32),
+            )
+            for _ in range(min(n_vols, args.num_requests))
+        ] if multimodal else []
         for i in range(args.num_requests):
             n_text = int(rng.integers(2, 8))
             if multimodal:
                 ids = rng.integers(3, vocab, size=1 + n_img + n_text)
                 ids[0] = 1
+                # repeated placeholder block, as the datasets lay it out
+                # (byte-identical prefix -> the KV-prefix cache can hit)
+                ids[1 : 1 + n_img] = 4
+                vol, sl = vols[i % len(vols)]
                 uid = eng.submit(
                     ids,
                     max_new=int(rng.integers(4, args.max_new_tokens + 1)),
-                    volume=rng.standard_normal(
-                        (1, 1, *cfg.vision.image_size)
-                    ).astype(np.float32),
-                    slice_features=rng.standard_normal(
-                        (1, cfg.vision.num_slices, cfg.vision.slice_feature_dim)
-                    ).astype(np.float32),
+                    volume=vol,
+                    slice_features=sl,
                 )
             else:
                 ids = rng.integers(3, vocab, size=4 + n_text)
@@ -251,6 +276,9 @@ def main(argv=None):
     if args.vol_cache:
         summary["encode_hits"] = eng.encode_hits
         summary["encode_misses"] = eng.encode_misses
+    if args.kv_prefix_cache:
+        summary["prefix_hits"] = eng.prefix_hits
+        summary["prefix_misses"] = eng.prefix_misses
     summary.update({
         f"latency_{k}": round(v, 3) for k, v in eng.latency_stats().items()
     })

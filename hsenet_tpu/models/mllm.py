@@ -245,6 +245,26 @@ class HSENetVLM(nn.Module):
         )
         return logits[:, 0], cache
 
+    def prefill_continue(
+        self,
+        input_ids: jax.Array,
+        cache: KVCache,
+        kv_lens: jax.Array,
+    ) -> Tuple[jax.Array, KVCache]:
+        """Text-only continuation prefill: append a question chunk to a
+        cache row that already holds the prompt PREFIX's KV (serving's
+        per-volume KV-prefix cache — the BOS + image block is identical
+        for every question about one scan, so its KV is computed once and
+        resumed here). `kv_lens` counts the NEW valid tokens in
+        `input_ids`; positions and the causal mask continue from
+        `cache.lengths` (the chunked-prefill `q_offset` path). No splice —
+        the chunk is past the image block by construction."""
+        embeds = self.llm.embed_tokens(input_ids)
+        logits, cache = self.llm.decode_embeds(
+            embeds, kv_lens=kv_lens, cache=cache, last_token_only=True
+        )
+        return logits[:, 0], cache
+
     def decode_step(
         self, token: jax.Array, cache: KVCache
     ) -> Tuple[jax.Array, KVCache]:

@@ -24,6 +24,16 @@ admission into encode-once + prefill-per-question):
     mask) and is reaped + refilled at the next boundary — identical
     per-request tokens to batch-1 greedy decode (equality-tested).
 
+Two admission caches layer on top for repeat-volume traffic (the
+reference's VQA protocol asks per-anatomy question SETS per scan,
+eval_HSENet_Rad_Geome_VQA.py): `volume_cache_size` keeps image FEATURES
+per volume (hit = splice + full LLM prefill, no towers);
+`kv_prefix_cache_size` keeps the KV of the BOS+image-block PREFIX per
+volume (hit = question-chunk prefill only — no towers AND no image-block
+LLM forward; at production shapes the prefix is ~257 of 512 prompt
+positions). Prefix misses cost nothing extra: the cached KV is sliced
+out of the full prefill's row.
+
 The engine is model-agnostic over `Phi3ForCausalLM`/`LlamaForCausalLM`
 (same call contract). Throughput: batch-8 aggregate decode measures
 ~635 tok/s on one v5e chip (BENCH.md); continuous refill keeps that rate
@@ -117,6 +127,7 @@ class ServingEngine:
         draft_len: int = 7,
         ngram: int = 2,
         volume_cache_size: int = 0,
+        kv_prefix_cache_size: int = 0,
     ):
         self.model = model
         self.eos = eos_token_id
@@ -250,6 +261,38 @@ class ServingEngine:
         self.encode_hits = 0
         self.encode_misses = 0
 
+        # KV-prefix LRU (multimodal only): one level above the feature
+        # cache. The prompt PREFIX — BOS + the image-placeholder block —
+        # is byte-identical for every question about one scan, and its KV
+        # depends only on (volume, slices, prefix ids), so the first
+        # `1 + num_image_tokens` KV entries of any full prefill are
+        # reusable verbatim. A hit skips the vision towers AND the
+        # prefix's share of the LLM prefill: admission embeds only the
+        # question chunk and resumes the chunked-prefill q_offset path
+        # from the cached entries (`HSENetVLM.prefill_continue`).
+        # Miss-path cost is zero extra compute — the prefix KV is sliced
+        # out of the full-prompt row the admission built anyway.
+        if kv_prefix_cache_size > 0:
+            if not multimodal:
+                raise ValueError(
+                    "kv_prefix_cache_size requires multimodal=True"
+                )
+            if model.config.tower_mode == "med2e3":
+                raise ValueError(
+                    "kv_prefix_cache_size is incompatible with tower_mode="
+                    "'med2e3' (its image features depend on the prompt, so "
+                    "the prefix KV is not volume-pure)"
+                )
+        self.kv_prefix_cache_size = kv_prefix_cache_size
+        self._prefix_len = (
+            1 + model.config.num_image_tokens if multimodal else 0
+        )
+        self._kv_prefix_cache: (
+            "OrderedDict[bytes, tuple[jax.Array, jax.Array]]"
+        ) = OrderedDict()
+        self.prefix_hits = 0
+        self.prefix_misses = 0
+
         if multimodal:
 
             def _prefill(params, ids, kv_len, volume, slices, *sample_args):
@@ -280,6 +323,41 @@ class ServingEngine:
 
             self._encode = jax.jit(_encode)
             self._prefill_feats = jax.jit(_prefill_feats)
+
+            prefix_len = self._prefix_len
+
+            def _prefill_cont(params, q_ids, q_len, pk, pv, *sample_args):
+                """Prefix-KV hit admission: seed a fresh row with the
+                cached BOS+image-block KV, then embed + prefill the
+                QUESTION chunk only (chunked-prefill q_offset path) —
+                no vision towers, no image-block recompute."""
+                row = KVCache.create(cfg, 1, capacity, dtype=cache_dtype)
+                row = KVCache(
+                    k=jax.lax.dynamic_update_slice(
+                        row.k, pk, (0, 0, 0, 0, 0)
+                    ),
+                    v=jax.lax.dynamic_update_slice(
+                        row.v, pv, (0, 0, 0, 0, 0)
+                    ),
+                    lengths=jnp.full((1,), prefix_len, jnp.int32),
+                )
+                row = _pin_row(row)
+                logits, row = model.apply(
+                    params, q_ids, row, q_len,
+                    method=type(model).prefill_continue,
+                )
+                return _first(logits, sample_args), _pin_row(row)
+
+            def _slice_prefix(k, v):
+                """First prefix_len KV entries of a freshly prefilled
+                row — the cacheable, volume-pure part."""
+                return (
+                    jax.lax.slice_in_dim(k, 0, prefix_len, axis=3),
+                    jax.lax.slice_in_dim(v, 0, prefix_len, axis=3),
+                )
+
+            self._prefill_cont = jax.jit(_prefill_cont)
+            self._slice_prefix = jax.jit(_slice_prefix)
 
         else:
 
@@ -630,6 +708,21 @@ class ServingEngine:
             self._vol_cache.popitem(last=False)
         return feats
 
+    def _prefix_key(self, req: _Request) -> bytes:
+        """KV-prefix cache key: the prefix KV is a pure function of the
+        volume (+ slice features) and the prefix token ids."""
+        import hashlib
+
+        h = hashlib.blake2b(req.volume.tobytes(), digest_size=16)
+        if req.slices is not None:
+            h.update(req.slices.tobytes())
+        h.update(
+            np.asarray(
+                req.prompt[: self._prefix_len], np.int32
+            ).tobytes()
+        )
+        return h.digest()
+
     def _admit(self):
         for s in range(self.num_slots):
             if self._slots[s] is not None or not self._queue:
@@ -637,28 +730,69 @@ class ServingEngine:
             req = self._queue.pop(0)
             ids = np.full((1, self.prompt_cap), self.pad, np.int32)
             ids[0, : len(req.prompt)] = req.prompt
-            prefill_fn = self._prefill
-            extra = ()
-            if self.multimodal and self.volume_cache_size > 0:
-                feats = self._cached_features(req)
-                prefill_fn = self._prefill_feats
-                extra = (feats,)
-            elif self.multimodal:
-                extra = (
-                    self._replicate(jnp.asarray(req.volume)),
-                    None if req.slices is None
-                    else self._replicate(jnp.asarray(req.slices)),
-                )
+            sample_args = ()
             if self._do_sample:
-                extra += (self._rng_prefill, jnp.int32(self._admitted))
+                sample_args = (self._rng_prefill, jnp.int32(self._admitted))
                 self._admitted += 1
             prompt_dev = self._replicate(jnp.asarray(ids))
-            first, row = prefill_fn(
-                self.params,
-                prompt_dev,
-                self._replicate(jnp.asarray([len(req.prompt)], jnp.int32)),
-                *extra,
-            )
+            # KV-prefix lookup: a hit admits via the question-only
+            # continuation program (no encode, no image-block prefill)
+            pkey = pkv = None
+            if (
+                self.kv_prefix_cache_size > 0
+                and len(req.prompt) > self._prefix_len
+            ):
+                pkey = self._prefix_key(req)
+                pkv = self._kv_prefix_cache.get(pkey)
+            if pkv is not None:
+                self._kv_prefix_cache.move_to_end(pkey)
+                self.prefix_hits += 1
+                q_cap = self.prompt_cap - self._prefix_len
+                q_ids = np.full((1, q_cap), self.pad, np.int32)
+                q = req.prompt[self._prefix_len :]
+                q_ids[0, : len(q)] = q
+                first, row = self._prefill_cont(
+                    self.params,
+                    self._replicate(jnp.asarray(q_ids)),
+                    self._replicate(jnp.asarray([len(q)], jnp.int32)),
+                    pkv[0],
+                    pkv[1],
+                    *sample_args,
+                )
+            else:
+                prefill_fn = self._prefill
+                extra = ()
+                if self.multimodal and self.volume_cache_size > 0:
+                    feats = self._cached_features(req)
+                    prefill_fn = self._prefill_feats
+                    extra = (feats,)
+                elif self.multimodal:
+                    extra = (
+                        self._replicate(jnp.asarray(req.volume)),
+                        None if req.slices is None
+                        else self._replicate(jnp.asarray(req.slices)),
+                    )
+                first, row = prefill_fn(
+                    self.params,
+                    prompt_dev,
+                    self._replicate(
+                        jnp.asarray([len(req.prompt)], jnp.int32)
+                    ),
+                    *extra,
+                    *sample_args,
+                )
+                if pkey is not None:
+                    # miss: retain this row's prefix KV for the next
+                    # question about the same volume (zero extra compute)
+                    self.prefix_misses += 1
+                    self._kv_prefix_cache[pkey] = self._slice_prefix(
+                        row.k, row.v
+                    )
+                    while (
+                        len(self._kv_prefix_cache)
+                        > self.kv_prefix_cache_size
+                    ):
+                        self._kv_prefix_cache.popitem(last=False)
             if self.speculative:
                 (self._cache, self._token, self._done, self._ctx,
                  self._ctx_len, self._emitted, self._limit) = self._insert(

@@ -17,6 +17,10 @@ Output tokens are budgeted short (admission-dominated regime) so the
 measured delta isolates the encode savings: expected ~(Q-1)/Q of the
 encode cost per request. Reports wall seconds + requests/s for both and
 the cache hit/miss counts.
+
+A third arm measures `kv_prefix_cache_size=V`: repeat admissions skip
+the towers AND the BOS+image-block share of the LLM prefill (the
+question-only continuation program) — the upper cache level.
 """
 
 import argparse
@@ -90,16 +94,20 @@ def main():
         for _ in range(args.questions):
             ids = rng.integers(3, 1000, size=1 + n_img + 24)
             ids[0] = 1
+            # repeated placeholder block, as the datasets lay prompts out
+            # (required for KV-prefix hits; harmless to the other arms)
+            ids[1 : 1 + n_img] = 4
             traffic.append((ids, volumes[v], slices[v]))
 
     prompt_cap = 1 + n_img + 24
 
-    def run(vol_cache):
+    def run(vol_cache, prefix_cache=0):
         eng = ServingEngine(
             model, params, eos_token_id=-1, num_slots=args.slots,
             prompt_cap=prompt_cap, max_new_tokens=args.max_new,
             chunk_size=args.chunk, multimodal=True,
             volume_cache_size=vol_cache,
+            kv_prefix_cache_size=prefix_cache,
         )
         # warm both admission programs + decode chunk (compile outside
         # the timed window); drain and reset stats
@@ -107,7 +115,9 @@ def main():
                    slice_features=traffic[0][2])
         eng.run_until_drained()
         eng._vol_cache.clear()
+        eng._kv_prefix_cache.clear()
         eng.encode_hits = eng.encode_misses = 0
+        eng.prefix_hits = eng.prefix_misses = 0
         t0 = time.perf_counter()
         for ids, v, s in traffic:
             eng.submit(ids, volume=v, slice_features=s)
@@ -118,6 +128,7 @@ def main():
 
     base_dt, base_eng = run(vol_cache=0)
     cache_dt, cache_eng = run(vol_cache=args.volumes)
+    prefix_dt, prefix_eng = run(vol_cache=0, prefix_cache=args.volumes)
     n = len(traffic)
     print(json.dumps({
         "requests": n,
@@ -130,6 +141,11 @@ def main():
         "speedup": round(base_dt / cache_dt, 3),
         "encode_hits": cache_eng.encode_hits,
         "encode_misses": cache_eng.encode_misses,
+        "kv_prefix_s": round(prefix_dt, 3),
+        "kv_prefix_req_per_s": round(n / prefix_dt, 2),
+        "kv_prefix_speedup": round(base_dt / prefix_dt, 3),
+        "prefix_hits": prefix_eng.prefix_hits,
+        "prefix_misses": prefix_eng.prefix_misses,
     }))
 
 

@@ -481,3 +481,136 @@ def test_serving_engine_incremental_and_budgets(key, rng):
             break
     assert results[u1] == _expected(model, params, p1, max_new=2)
     assert results[u2] == _expected(model, params, p2, max_new=5)
+
+
+def test_serving_engine_kv_prefix_cache(key, rng):
+    """KV-prefix cache: repeat questions about one volume admit through
+    the question-only continuation prefill (`HSENetVLM.prefill_continue`)
+    and produce tokens identical to the cold path; misses slice the
+    prefix out of the full-prefill row; LRU eviction works; hits skip
+    the encode entirely."""
+    import pytest
+
+    from hsenet_tpu.configs import PackerConfig, ViT3DConfig, VLMConfig
+    from hsenet_tpu.eval.generate import make_greedy_generate
+    from hsenet_tpu.models.mllm import HSENetVLM
+
+    cfg = VLMConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2, num_slices=2,
+            slice_feature_dim=16,
+        ),
+        packer=PackerConfig(
+            grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=64,
+            dropout_rate=0.0,
+        ),
+        llm=TINY,
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    n_img = cfg.num_image_tokens
+
+    def make_prompt(n_text):
+        ids = rng.integers(3, TINY.vocab_size, size=1 + n_img + n_text)
+        ids[0] = 1
+        # the image block is a repeated placeholder token (as the datasets
+        # lay it out) — that's what makes the prefix byte-identical across
+        # questions and the prefix cache able to hit
+        ids[1 : 1 + n_img] = 4
+        return ids
+
+    volumes = [
+        rng.standard_normal((1, 1, 4, 16, 16), np.float32) for _ in range(3)
+    ]
+    slices = [
+        rng.standard_normal((1, 2, 16), np.float32) for _ in range(3)
+    ]
+    p0 = make_prompt(3)
+    params = model.init(
+        key, jnp.asarray(p0[None, :]), jnp.asarray(volumes[0]),
+        jnp.asarray(slices[0]),
+    )
+    gen = make_greedy_generate(
+        model, max_new_tokens=MAX_NEW, eos_token_id=EOS, pad_token_id=0,
+        cache_dtype=jnp.float32,
+    )
+
+    def expected(prompt, vol, sl):
+        row = np.asarray(
+            gen(
+                params, jnp.asarray(prompt[None, :]),
+                jnp.asarray([len(prompt)], jnp.int32),
+                jnp.asarray(vol), jnp.asarray(sl),
+            )
+        )[0]
+        out = []
+        for t in row:
+            out.append(int(t))
+            if t == EOS:
+                break
+        return out
+
+    # traffic: volume 0 asked 3x (2 hits), volume 1 asked 2x (1 hit),
+    # volume 2 once (miss) — 3 misses, 3 hits
+    traffic = [
+        (make_prompt(3), volumes[0], slices[0]),
+        (make_prompt(6), volumes[0], slices[0]),
+        (make_prompt(4), volumes[1], slices[1]),
+        (make_prompt(5), volumes[0], slices[0]),
+        (make_prompt(3), volumes[1], slices[1]),
+        (make_prompt(7), volumes[2], slices[2]),
+    ]
+    eng = ServingEngine(
+        model, params, eos_token_id=EOS, pad_token_id=0, num_slots=2,
+        prompt_cap=32, max_new_tokens=MAX_NEW, chunk_size=4,
+        cache_dtype=jnp.float32, multimodal=True, kv_prefix_cache_size=4,
+    )
+    uids = [
+        eng.submit(p, volume=v, slice_features=s) for p, v, s in traffic
+    ]
+    results = eng.run_until_drained()
+    assert eng.prefix_misses == 3 and eng.prefix_hits == 3
+    for i, (p, v, s) in enumerate(traffic):
+        assert results[uids[i]] == expected(p, v, s), f"request {i}"
+
+    # composes with the feature cache: misses reuse cached features,
+    # hits never touch the encode at all
+    both = ServingEngine(
+        model, params, eos_token_id=EOS, pad_token_id=0, num_slots=2,
+        prompt_cap=32, max_new_tokens=MAX_NEW, chunk_size=4,
+        cache_dtype=jnp.float32, multimodal=True, volume_cache_size=4,
+        kv_prefix_cache_size=4,
+    )
+    buids = [
+        both.submit(p, volume=v, slice_features=s) for p, v, s in traffic
+    ]
+    bres = both.run_until_drained()
+    assert both.prefix_hits == 3
+    assert both.encode_misses == 3 and both.encode_hits == 0
+    for i, (p, v, s) in enumerate(traffic):
+        assert bres[buids[i]] == expected(p, v, s), f"both-caches req {i}"
+
+    # LRU eviction: size-1 cache evicts volume 0's prefix when volume 1
+    # arrives, so the second round of volume 0 misses again
+    small = ServingEngine(
+        model, params, eos_token_id=EOS, pad_token_id=0, num_slots=1,
+        prompt_cap=32, max_new_tokens=MAX_NEW, chunk_size=4,
+        cache_dtype=jnp.float32, multimodal=True, kv_prefix_cache_size=1,
+    )
+    for p, v, s in [
+        (make_prompt(3), volumes[0], slices[0]),
+        (make_prompt(4), volumes[1], slices[1]),
+        (make_prompt(5), volumes[0], slices[0]),
+    ]:
+        small.submit(p, volume=v, slice_features=s)
+    small.run_until_drained()
+    assert small.prefix_misses == 3 and small.prefix_hits == 0
+    assert len(small._kv_prefix_cache) == 1
+
+    # guard rails
+    llm = Phi3ForCausalLM(TINY, dtype=jnp.float32)
+    lp = llm.init(key, jnp.asarray(p0[None, :16]))
+    with pytest.raises(ValueError, match="multimodal"):
+        ServingEngine(
+            llm, lp, eos_token_id=EOS, kv_prefix_cache_size=2,
+        )
