@@ -21,6 +21,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# host-side tool: force the CPU backend BEFORE first use (this host pins
+# JAX_PLATFORMS=axon via sitecustomize; conversion never needs the TPU and
+# must not hang on an unreachable relay)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def load_state_dict(path: str):
     import torch
