@@ -1,9 +1,13 @@
-"""VLM finetune entry point (MRG or VQA).
+"""VLM finetune entry point (MRG, VQA, or SEG).
 
 Counterpart of the reference `train_VLM.py` + `script/train_vlm_{mrg,vqa}.sh`
 (LoRA r16/a32, projectors + embeddings trainable, towers/LLM base frozen;
 MRG: 6 epochs bs 2/GPU lr 1e-4 max_len 800; VQA: 4 epochs bs 5/GPU lr 5e-5
-max_len 330).
+max_len 330). `--task seg` additionally trains the [SEG]-routed SegVol
+branch (dice+BCE added to the LM loss, reference loss.py + the seg routing
+in lamed_arch.py); seg manifests carry no 2D-slice stream, so pair it with
+`--online-slice-features` (in-graph BiomedCLIP slices, reference
+ViT4LLM_v3) unless your manifest provides `image_2d`.
 
     python -m hsenet_tpu.cli.train_vlm --task mrg --synthetic --total-steps 10
 """
@@ -34,8 +38,10 @@ from hsenet_tpu.utils.checkpoint import CheckpointManager, restore_params
 
 
 def build_vlm_config(args) -> VLMConfig:
+    online = getattr(args, "online_slice_features", False)
     if args.synthetic:
         return VLMConfig(
+            online_slice_features=online,
             vision=ViT3DConfig(
                 image_size=(8, 32, 32), patch_size=(2, 8, 8), hidden_size=32,
                 mlp_dim=64, num_layers=2, num_heads=4, num_slices=4,
@@ -54,6 +60,7 @@ def build_vlm_config(args) -> VLMConfig:
         )
     return VLMConfig(
         llm=dataclasses.replace(Phi3Config(), lora=LoRAConfig()),
+        online_slice_features=online,
     )
 
 
@@ -63,6 +70,10 @@ def main(argv=None):
     p.add_argument("--task", choices=["mrg", "vqa", "seg"], default="mrg",
                    help="seg trains the [SEG]-routed SegVol branch "
                         "(dice+BCE added to the LM loss)")
+    p.add_argument("--online-slice-features", action="store_true",
+                   help="compute the 2E3 tower's 2D-slice features "
+                        "in-graph from the volume (reference ViT4LLM_v3) "
+                        "instead of reading image_2d from the dataset")
     p.add_argument("--max-length", type=int, default=0,
                    help="0 = task default (mrg 800 / vqa 330)")
     p.add_argument("--tokenizer", default="")
@@ -185,6 +196,14 @@ def main(argv=None):
     remat = args.remat if args.remat is not None else not args.synthetic
     model = HSENetVLM(cfg, dtype=dtype, remat=remat)
     batch = next(iter(loader))
+    img2d = batch.get("image_2d")
+    if img2d is None and not cfg.online_slice_features:
+        p.error(
+            "this dataset provides no 2D slice features (image_2d); pass "
+            "--online-slice-features to compute them in-graph from the "
+            "volume (reference ViT4LLM_v3), or use a manifest that "
+            "carries image_2d npys"
+        )
     init_kwargs = {}
     if args.task == "seg":
         # trace the [SEG] branch so seg_projector/seg_module params exist
@@ -193,7 +212,7 @@ def main(argv=None):
         jax.random.PRNGKey(train_cfg.seed),
         jnp.asarray(batch["input_ids"]),
         jnp.asarray(batch["image"]),
-        jnp.asarray(batch["image_2d"]),
+        None if img2d is None else jnp.asarray(img2d),
     )
 
     import flax

@@ -734,7 +734,12 @@ class ServingEngine:
             if self._do_sample:
                 sample_args = (self._rng_prefill, jnp.int32(self._admitted))
                 self._admitted += 1
-            prompt_dev = self._replicate(jnp.asarray(ids))
+            # the full padded prompt goes to device only where it is used:
+            # the miss-path prefill and the speculative context seed — NOT
+            # on the non-speculative hit path this cache makes cheap
+            prompt_dev = None
+            if self.speculative:
+                prompt_dev = self._replicate(jnp.asarray(ids))
             # KV-prefix lookup: a hit admits via the question-only
             # continuation program (no encode, no image-block prefill)
             pkey = pkv = None
@@ -760,6 +765,8 @@ class ServingEngine:
                     *sample_args,
                 )
             else:
+                if prompt_dev is None:
+                    prompt_dev = self._replicate(jnp.asarray(ids))
                 prefill_fn = self._prefill
                 extra = ()
                 if self.multimodal and self.volume_cache_size > 0:

@@ -104,10 +104,15 @@ def filter_tree(params, pattern: str):
     return walk(params) or {}
 
 
+# the VLM finetune's trainable set: projectors + LoRA + embeddings
+# (lamed_trainer.py:20-24 + new-token embeddings), plus the seg branch
+# when --task seg trains it (seg_projector + the grafted SegVol)
+_VLM_DELTA_RX = r"(mm_projector|lora_[ab]|/embed/|seg_projector|seg_module)"
+
+
 def save_vlm_deltas(path: str, params) -> None:
-    """Persist only projector + LoRA (+ embeddings) — the VLM finetune's
-    trainable set (lamed_trainer.py:20-24 + new-token embeddings)."""
-    deltas = filter_tree(params, r"(mm_projector|lora_[ab]|/embed/)")
+    """Persist only the VLM finetune's trainable set — see _VLM_DELTA_RX."""
+    deltas = filter_tree(params, _VLM_DELTA_RX)
     save_params(path, deltas)
 
 
@@ -118,7 +123,7 @@ def load_vlm_deltas(path: str, full_params):
     from hsenet_tpu.utils.convert import graft_params
 
     full = flax.core.unfreeze(full_params)
-    template = filter_tree(full, r"(mm_projector|lora_[ab]|/embed/)")
+    template = filter_tree(full, _VLM_DELTA_RX)
     deltas = restore_params(path, template)
     graft_params(full, deltas)
     return full

@@ -40,12 +40,12 @@ def _np(x):
 
 def _unstack(tree):
     """Split a scanned-stack subtree (leading layer axis) into per-layer
-    trees."""
+    trees (one f32 conversion of each stack, then views)."""
     import jax
 
-    leaves = jax.tree.leaves(tree)
-    n = leaves[0].shape[0]
-    return [jax.tree.map(lambda x: _np(x)[i], tree) for i in range(n)]
+    tree = jax.tree.map(_np, tree)
+    n = jax.tree.leaves(tree)[0].shape[0]
+    return [jax.tree.map(lambda x: x[i], tree) for i in range(n)]
 
 
 def _dequant(node: Dict) -> Dict:
@@ -65,23 +65,17 @@ def _dequant(node: Dict) -> Dict:
 
 
 def _merge_and_dequant(params: Dict, lora_scale) -> Dict:
-    """Fold LoRA adapters and dequantize int8 kernels, bottom-up."""
+    """Dequantize int8 kernels bottom-up, then fold LoRA adapters via the
+    canonical `models/lora.py::merge_lora` (single source of the merge
+    semantics)."""
+    from hsenet_tpu.models.lora import merge_lora
 
     def walk(node):
         if not isinstance(node, dict):
             return node
-        node = {k: walk(v) for k, v in node.items()}
-        node = _dequant(node)
-        if "kernel" in node and "lora_a" in node and "lora_b" in node:
-            merged = dict(node)
-            merged["kernel"] = _np(node["kernel"]) + _np(
-                node["lora_a"]
-            ) @ _np(node["lora_b"]) * lora_scale
-            del merged["lora_a"], merged["lora_b"]
-            return merged
-        return node
+        return _dequant({k: walk(v) for k, v in node.items()})
 
-    return walk(params)
+    return merge_lora(walk(params), scale_map=lora_scale)
 
 
 def _embed_table(params: Dict) -> np.ndarray:
@@ -240,3 +234,100 @@ def to_torch_state_dict(sd: Dict[str, np.ndarray]):
     import torch
 
     return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+
+def export_reference_vlm_deltas(
+    vlm_params: Dict,
+    prefix: str = "base_model.model.model.",
+) -> Dict[str, np.ndarray]:
+    """HSENetVLM params -> the reference's VLM-delta file contents
+    (`LaMedTrainer._save`, lamed_trainer.py:20-24: every named parameter
+    containing 'mm_projector' or 'lora', peft naming).
+
+    The reference applies peft to the FUSED HF modules (qkv_proj,
+    gate_up_proj — find_all_linear_names, eval_HSENet_CT_Rate_MRG.py:198),
+    while this repo adapts q/k/v separately. The export fuses them
+    EXACTLY via block-diagonal composition: for qkv,
+        lora_A' = [A_q; A_k; A_v]            (3r, hidden)
+        lora_B' = blockdiag(B_q, B_k, B_v)   (q+2kv, 3r)
+    so B'A'x == concat(B_q A_q x, B_k A_k x, B_v A_v x) — the same delta,
+    at rank 3r (2r for gate_up). peft's per-module scaling alpha/rank
+    would then shrink by the rank ratio, so that ratio is pre-baked into
+    lora_B'; load with
+        LoraConfig(r=R, lora_alpha=ALPHA,
+                   rank_pattern={"qkv_proj": 3*R, "gate_up_proj": 2*R})
+    and `model.load_state_dict(deltas, strict=False)` reproduces this
+    model's LoRA deltas exactly.
+    """
+    params = vlm_params.get("params", vlm_params)
+    sd: Dict[str, np.ndarray] = {}
+
+    # --- projectors (packer torch names under the peft prefix) ---------
+    sd.update(
+        export_reference_packer(
+            params["mm_projector"], prefix=f"{prefix}mm_projector."
+        )
+    )
+    if "mm_projector2" in params:
+        sd.update(
+            export_reference_packer(
+                params["mm_projector2"], prefix=f"{prefix}mm_projector2."
+            )
+        )
+
+    # --- LoRA adapters, re-fused onto the HF module layout -------------
+    layers = _unstack(params["llm"]["decoder"]["layers"])
+
+    def a_t(layer, name):  # peft lora_A.weight layout: (r, in)
+        return _np(layer[name]["lora_a"]).T
+
+    def b_t(layer, name):  # peft lora_B.weight layout: (out, r)
+        return _np(layer[name]["lora_b"]).T
+
+    def blockdiag(mats):
+        rows = sum(m.shape[0] for m in mats)
+        cols = sum(m.shape[1] for m in mats)
+        out = np.zeros((rows, cols), np.float32)
+        r0 = c0 = 0
+        for m in mats:
+            out[r0 : r0 + m.shape[0], c0 : c0 + m.shape[1]] = m
+            r0 += m.shape[0]
+            c0 += m.shape[1]
+        return out
+
+    for i, layer in enumerate(layers):
+        if "lora_a" not in layer.get("q_proj", {}):
+            continue  # base LLM trained without adapters
+        p = f"{prefix}layers.{i}"
+        # qkv: rank 3r, scale compensation r'/r = 3 baked into B'
+        sd[f"{p}.self_attn.qkv_proj.lora_A.default.weight"] = (
+            np.concatenate(
+                [a_t(layer, "q_proj"), a_t(layer, "k_proj"),
+                 a_t(layer, "v_proj")], axis=0,
+            )
+        )
+        sd[f"{p}.self_attn.qkv_proj.lora_B.default.weight"] = 3.0 * blockdiag(
+            [b_t(layer, "q_proj"), b_t(layer, "k_proj"),
+             b_t(layer, "v_proj")]
+        )
+        # gate_up: rank 2r, compensation 2
+        sd[f"{p}.mlp.gate_up_proj.lora_A.default.weight"] = np.concatenate(
+            [a_t(layer, "gate_proj"), a_t(layer, "up_proj")], axis=0
+        )
+        sd[f"{p}.mlp.gate_up_proj.lora_B.default.weight"] = 2.0 * blockdiag(
+            [b_t(layer, "gate_proj"), b_t(layer, "up_proj")]
+        )
+        # 1:1 modules
+        sd[f"{p}.self_attn.o_proj.lora_A.default.weight"] = a_t(
+            layer, "o_proj"
+        )
+        sd[f"{p}.self_attn.o_proj.lora_B.default.weight"] = b_t(
+            layer, "o_proj"
+        )
+        sd[f"{p}.mlp.down_proj.lora_A.default.weight"] = a_t(
+            layer, "down_proj"
+        )
+        sd[f"{p}.mlp.down_proj.lora_B.default.weight"] = b_t(
+            layer, "down_proj"
+        )
+    return sd

@@ -14,6 +14,9 @@ Supported:
   * --kind vit    : ViT3D tower params -> MONAI-style reference keys
                     (--prefix vision_encoder. --slice-guided for stage-2)
   * --kind packer : VisualPacker params -> VisualPacker_3d_phi_v3 keys
+  * --kind vlm-deltas : saved vlm_deltas tree -> the reference's
+    LaMedTrainer._save file (peft-named fused LoRA + mm_projector keys;
+    load with LoraConfig(rank_pattern={'qkv_proj': 3r, 'gate_up_proj': 2r}))
 
 Usage:
   python scripts/export_checkpoint.py --kind phi3 \
@@ -38,7 +41,7 @@ jax.config.update("jax_platforms", "cpu")
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--kind", required=True,
-                   choices=["phi3", "llama", "vit", "packer"])
+                   choices=["phi3", "llama", "vit", "packer", "vlm-deltas"])
     p.add_argument("--input", required=True,
                    help="orbax params dir (as written by the train CLIs / "
                         "convert_reference_checkpoint.py)")
@@ -74,9 +77,13 @@ def main():
         sd = export_hf.export_reference_vit(
             restored, prefix=args.prefix, slice_guided=args.slice_guided
         )
-    else:
+    elif args.kind == "packer":
         sd = export_hf.export_reference_packer(
             restored, prefix=args.prefix or "mm_projector."
+        )
+    else:
+        sd = export_hf.export_reference_vlm_deltas(
+            restored, prefix=args.prefix or "base_model.model.model."
         )
 
     import torch

@@ -210,3 +210,87 @@ def test_packer_export_roundtrip(key):
     sd = export_reference_packer(params)
     back = convert_reference_packer(sd)
     _assert_tree_equal(params["params"], back)
+
+
+def test_vlm_deltas_export_peft_fusion(key):
+    """The block-diagonal qkv/gate_up adapter fusion is EXACT: peft-style
+    fused compute (scale alpha/rank', rank'=3r with the baked ratio)
+    reproduces our per-projection LoRA deltas; projector keys carry the
+    reference's mm_projector naming (LaMedTrainer._save filter)."""
+    import dataclasses
+
+    from hsenet_tpu.configs import PackerConfig, ViT3DConfig, VLMConfig
+    from hsenet_tpu.models.mllm import HSENetVLM
+    from hsenet_tpu.utils.export_hf import export_reference_vlm_deltas
+
+    llm = dataclasses.replace(
+        TINY, lora=LoRAConfig(rank=2, alpha=4, dropout_rate=0.0)
+    )
+    cfg = VLMConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2, num_slices=2,
+            slice_feature_dim=16,
+        ),
+        packer=PackerConfig(
+            grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=32,
+            dropout_rate=0.0,
+        ),
+        llm=llm,
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    ids = jnp.asarray(rng.integers(3, 64, (1, 1 + cfg.num_image_tokens + 4)))
+    vol = jnp.asarray(rng.random((1, 1, 4, 16, 16), np.float32))
+    sl = jnp.asarray(rng.random((1, 2, 16), np.float32))
+    params = jax.device_get(model.init(key, ids, vol, sl))
+
+    def fill_lora(path, x):
+        name = str(path[-2].key) if len(path) >= 2 else ""
+        if name in ("lora_a", "lora_b"):
+            return np.asarray(rng.standard_normal(x.shape) * 0.1, np.float32)
+        return np.asarray(x)
+
+    params = {
+        "params": jax.tree_util.tree_map_with_path(
+            fill_lora, params["params"]
+        )
+    }
+    sd = export_reference_vlm_deltas(params)
+
+    # _save filter parity: every key contains mm_projector or lora
+    assert sd and all(("mm_projector" in k) or ("lora" in k) for k in sd)
+    assert any(k.startswith("base_model.model.model.mm_projector.") for k in sd)
+    assert any(k.startswith("base_model.model.model.mm_projector2.") for k in sd)
+
+    # exactness: fused peft compute == our per-proj deltas (layer 0, qkv)
+    layer0 = jax.tree.map(
+        lambda x: np.asarray(x)[0], params["params"]["llm"]["decoder"]["layers"]
+    )
+    x = rng.standard_normal((3, TINY.hidden_size)).astype(np.float32)
+    scale = llm.lora.scale  # alpha / r
+    ours = np.concatenate(
+        [
+            x @ layer0[n]["lora_a"] @ layer0[n]["lora_b"] * scale
+            for n in ("q_proj", "k_proj", "v_proj")
+        ],
+        axis=-1,
+    )
+    A = sd["base_model.model.model.layers.0.self_attn.qkv_proj.lora_A.default.weight"]
+    B = sd["base_model.model.model.layers.0.self_attn.qkv_proj.lora_B.default.weight"]
+    peft_scale = llm.lora.alpha / (3 * llm.lora.rank)  # rank_pattern 3r
+    fused = (x @ A.T @ B.T) * peft_scale
+    np.testing.assert_allclose(ours, fused, atol=1e-5)
+
+    # gate_up fusion too
+    ours_gu = np.concatenate(
+        [
+            x @ layer0[n]["lora_a"] @ layer0[n]["lora_b"] * scale
+            for n in ("gate_proj", "up_proj")
+        ],
+        axis=-1,
+    )
+    Ag = sd["base_model.model.model.layers.0.mlp.gate_up_proj.lora_A.default.weight"]
+    Bg = sd["base_model.model.model.layers.0.mlp.gate_up_proj.lora_B.default.weight"]
+    fused_gu = (x @ Ag.T @ Bg.T) * (llm.lora.alpha / (2 * llm.lora.rank))
+    np.testing.assert_allclose(ours_gu, fused_gu, atol=1e-5)

@@ -213,3 +213,57 @@ def test_cli_train_vlm_seg_task(tmp_path):
 
     params = jax.device_get(state.params)
     assert "seg_projector" in params["params"], list(params["params"])
+
+    # ... and the saved deltas PERSIST it (the finetune's trainable set
+    # includes the seg branch; losing it would silently discard the run)
+    from hsenet_tpu.utils.checkpoint import load_vlm_deltas
+
+    import numpy as np_
+
+    zeroed = jax.tree.map(np_.zeros_like, params)
+    restored = load_vlm_deltas(f"{out}/vlm_deltas", zeroed["params"])
+    seg_leaves = jax.tree.leaves(restored["seg_projector"])
+    trained_leaves = jax.tree.leaves(params["params"]["seg_projector"])
+    for r, t in zip(seg_leaves, trained_leaves):
+        np_.testing.assert_array_equal(np_.asarray(r), np_.asarray(t))
+    assert "seg_module" in restored
+
+
+def test_cli_train_vlm_seg_manifest_requires_slices(tmp_path):
+    """A real seg manifest carries no image_2d stream; without
+    --online-slice-features the CLI must fail fast with a clear error
+    instead of a deep jit KeyError."""
+    import json
+    import os
+
+    import pytest
+
+    root = str(tmp_path)
+    entries = []
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = rng.random((1, 4, 8, 8)).astype(np.float32)
+        seg = np.zeros((1, 4, 8, 8), np.float32)
+        seg[0, 1:3, 2:6, 2:6] = 1.0
+        np.save(os.path.join(root, f"img{i}.npy"), img)
+        np.save(os.path.join(root, f"seg{i}.npy"), seg)
+        entries.append(
+            {"image": f"img{i}.npy", "seg": f"seg{i}.npy", "target": "liver"}
+        )
+    manifest = os.path.join(root, "m.json")
+    with open(manifest, "w") as f:
+        json.dump({"train": entries}, f)
+
+    from hsenet_tpu.cli.train_vlm import main as vlm
+
+    with pytest.raises(SystemExit):
+        vlm(
+            [
+                "--task", "seg",
+                "--manifest", manifest,
+                "--data-root", root,
+                "--total-steps", "1",
+                "--batch-size", "2",
+                "--output-dir", str(tmp_path / "out"),
+            ]
+        )
