@@ -38,7 +38,11 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                         "production-size configs, off for --synthetic)")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--checkpoint-every", type=int, default=1000)
-    p.add_argument("--resume", default="", help="checkpoint dir to resume")
+    p.add_argument("--resume", default="",
+                   help="checkpoint dir to resume; 'auto' resumes from "
+                        "this run's own --output-dir if it already holds "
+                        "a checkpoint (preemption restart: relaunch the "
+                        "same command), else starts fresh")
     p.add_argument("--profile", default="",
                    help="write a jax.profiler device trace of steps "
                         "[--profile-start, --profile-stop) to this dir "
@@ -117,3 +121,21 @@ def dump_config(path: str, *cfgs) -> None:
         blob[type(cfg).__name__] = dataclasses.asdict(cfg)
     with open(f"{path}/run_config.json", "w") as f:
         json.dump(blob, f, indent=2, default=str)
+
+
+def resolve_resume_dir(args) -> str:
+    """Resolve --resume, including the 'auto' preemption-restart idiom.
+
+    'auto' -> the run's own --output-dir when it already holds a
+    checkpoint (the trainer checkpoints there), else '' (fresh start).
+    Relaunching the SAME command after a preemption then continues from
+    the last completed save — combined with deterministic resume
+    (fold_in step RNG + loader fast-forward) the restarted run
+    reproduces an unbroken one.
+    """
+    if args.resume != "auto":
+        return args.resume
+    from hsenet_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(args.output_dir)
+    return args.output_dir if mgr.latest_step() is not None else ""

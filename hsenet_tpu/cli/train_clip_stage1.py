@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from hsenet_tpu.cli.common import (
+    resolve_resume_dir,
     maybe_zero1,
     add_train_args,
     dtype_from_args,
@@ -135,8 +136,9 @@ def main(argv=None):
     state = TrainState.create(params, tx)
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir, async_save=getattr(args, 'async_save', False))
-    if args.resume:
-        state = CheckpointManager(args.resume).restore(state)
+    resume_dir = resolve_resume_dir(args)
+    if resume_dir:
+        state = CheckpointManager(resume_dir).restore(state)
 
     dump_config(args.output_dir, clip_cfg, train_cfg)
     if getattr(args, "sp", 1) > 1:

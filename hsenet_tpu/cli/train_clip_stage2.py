@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from hsenet_tpu.cli.common import (
+    resolve_resume_dir,
     maybe_zero1,
     add_train_args,
     dtype_from_args,
@@ -167,8 +168,9 @@ def main(argv=None):
     state = TrainState.create(student_params, tx)
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir, async_save=getattr(args, 'async_save', False))
-    if args.resume:
-        state = CheckpointManager(args.resume).restore(state)
+    resume_dir = resolve_resume_dir(args)
+    if resume_dir:
+        state = CheckpointManager(resume_dir).restore(state)
     dump_config(args.output_dir, student_cfg, train_cfg)
     step_fn = make_stage2_train_step(
         student, teacher, student_cfg, tx, teacher_params, mesh,

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from hsenet_tpu.cli.common import (
+    resolve_resume_dir,
     maybe_zero1,
     add_train_args,
     dtype_from_args,
@@ -284,10 +285,11 @@ def main(argv=None):
     state = TrainState.create(params, tx)
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir, async_save=getattr(args, 'async_save', False))
-    if args.resume:
+    resume_dir = resolve_resume_dir(args)
+    if resume_dir:
         # full-state resume (step + params + optimizer moments); restored
         # leaves keep the template's placement, so tp/pp shardings survive
-        state = CheckpointManager(args.resume).restore(state)
+        state = CheckpointManager(resume_dir).restore(state)
     dump_config(args.output_dir, cfg, train_cfg)
     if args.pp > 1:
         from hsenet_tpu.parallel.pipeline import make_pp_vlm_train_step

@@ -75,9 +75,11 @@ class CheckpointManager:
 
 def save_params(path: str, params) -> None:
     """Single param-tree save (no optimizer state) — the 'model_params.bin'
-    analog of CustomSaveCallback."""
+    analog of CustomSaveCallback. Overwrites: a rerun into the same
+    output dir (e.g. a --resume auto preemption restart) must be able to
+    re-export its final params."""
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), params)
+    ckptr.save(os.path.abspath(path), params, force=True)
     ckptr.wait_until_finished()
 
 

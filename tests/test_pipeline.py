@@ -267,3 +267,29 @@ def test_cli_train_vlm_seg_manifest_requires_slices(tmp_path):
                 "--output-dir", str(tmp_path / "out"),
             ]
         )
+
+
+def test_cli_resume_auto(tmp_path):
+    """--resume auto: relaunching the SAME command continues from the
+    run's own latest checkpoint (preemption restart); with an empty
+    output dir it starts fresh instead of erroring."""
+    out = str(tmp_path / "s1")
+    common = TINY_ARGS + [
+        "--output-dir", out,
+        "--resume", "auto",
+    ]
+    # checkpoint-every 2 within TINY_ARGS is 1000 -> override
+    common = [a for a in common]
+    idx = common.index("--checkpoint-every")
+    common[idx + 1] = "2"
+
+    from hsenet_tpu.cli.train_clip_stage1 import main as stage1
+
+    # fresh start (auto with empty dir)
+    state = stage1(common + ["--total-steps", "2"])
+    assert int(state.step) == 2
+
+    # relaunch the same command with a higher budget: resumes from the
+    # saved step-2 checkpoint, runs only the remaining steps
+    state2 = stage1(common + ["--total-steps", "4"])
+    assert int(state2.step) == 4
