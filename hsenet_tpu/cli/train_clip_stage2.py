@@ -48,6 +48,11 @@ def main(argv=None):
     p.add_argument("--tokenizer", default="")
     p.add_argument("--stage1-checkpoint", default="",
                    help="params path of the pretrained stage-1 CLIP (teacher)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence parallelism: shard both towers' token "
+                        "axes over an 'sp' mesh axis (ring attention, "
+                        "parallel/sp.py::make_sp_stage2_train_step); "
+                        "tower dropout runs off inside the ring")
     p.add_argument("--cached-teacher", action="store_true",
                    help="precompute/cache frozen-teacher embeddings per "
                         "distinct batch instead of re-running the teacher "
@@ -172,10 +177,18 @@ def main(argv=None):
     if resume_dir:
         state = CheckpointManager(resume_dir).restore(state)
     dump_config(args.output_dir, student_cfg, train_cfg)
-    step_fn = make_stage2_train_step(
-        student, teacher, student_cfg, tx, teacher_params, mesh,
-        cached_teacher=args.cached_teacher,
-    )
+    if getattr(args, "sp", 1) > 1:
+        from hsenet_tpu.parallel.sp import make_sp_stage2_train_step
+
+        step_fn = make_sp_stage2_train_step(
+            student, teacher, student_cfg, tx, teacher_params, mesh,
+            cached_teacher=args.cached_teacher,
+        )
+    else:
+        step_fn = make_stage2_train_step(
+            student, teacher, student_cfg, tx, teacher_params, mesh,
+            cached_teacher=args.cached_teacher,
+        )
     if args.cached_teacher:
         from hsenet_tpu.train.stage2 import TeacherCache, make_teacher_embed_fn
 

@@ -46,6 +46,10 @@ class ViT3DConfig:
     classification: bool = True  # adds a CLS token (vit.py:455-460)
     # 2E3 (stage-2) extras — reference `ViT_stage2` (vit.py:222-357)
     slice_guided: bool = False  # slice-guided cross-attn + patch scoring
+    # the reference hardcodes Dropout(0.1) inside the slice-guided
+    # cross-attention (vit.py:247); configurable here so equality tests
+    # (e.g. sp-vs-dense) can pin it at 0
+    slice_dropout_rate: float = 0.1
     num_slices: int = 32  # rows of the (32, 768) BiomedCLIP feature matrix
     slice_feature_dim: int = 768
     # int8 W8A8 serving mode: block matmuls run int8 x int8 on the MXU (~2x

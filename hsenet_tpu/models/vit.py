@@ -145,7 +145,7 @@ class ViT3D(nn.Module):
             assert slice_features is not None, "2E3 encoder needs slice features"
             guided, _ = SingleHeadCrossAttention(
                 emb_dim=cfg.hidden_size,
-                dropout_rate=0.1,
+                dropout_rate=cfg.slice_dropout_rate,
                 dtype=self.dtype,
                 name="slice_guided_attention",
             )(
@@ -267,7 +267,7 @@ class MaskedViT3D(nn.Module):
         if unmasked_tokens is not None:
             guided, _ = SingleHeadCrossAttention(
                 emb_dim=cfg.hidden_size,
-                dropout_rate=0.1,
+                dropout_rate=cfg.slice_dropout_rate,
                 dtype=self.dtype,
                 name="slice_guided_attention",
             )(

@@ -298,3 +298,109 @@ def make_sp_stage1_train_step(
     from hsenet_tpu.train.stage1 import make_stage1_train_step
 
     return make_stage1_train_step(model, tx, mesh, loss_fn=loss_fn)
+
+
+def make_sp_stage2_train_step(
+    student: CLIPModel,
+    teacher: CLIPModel,
+    cfg,
+    tx: optax.GradientTransformation,
+    teacher_params,
+    mesh: Mesh,
+    cached_teacher: bool = False,
+):
+    """Stage-2 (2E3) train step with BOTH vision towers sequence-parallel.
+
+    Same contract as train/stage2.py::make_stage2_train_step. The student's
+    slice-guided tower AND the frozen stage-1 teacher tower run inside
+    shard_map over ("dp", "sp") with ring attention (the teacher is the
+    same token count, so it gains the same memory/FLOP sharding); CLS
+    pooling, projections, both text encoders and the contrastive +
+    relation losses run outside under jit. With `cached_teacher=True` the
+    teacher forward is absent and only the student tower rides the ring.
+    """
+    from hsenet_tpu.train.losses import relation_regulation_loss, relation_weight
+    from hsenet_tpu.train.stage2 import make_stage2_train_step
+
+    s_vit = ViT3D(student.config.vision, dtype=student.dtype,
+                  remat=student.remat)
+    t_vit = ViT3D(teacher.config.vision, dtype=teacher.dtype,
+                  remat=teacher.remat)
+
+    def _img_feats(model, vit, params, volume, slices):
+        tokens = sp_encode_tokens(
+            vit, mesh, {"params": params["params"]["vision_encoder"]},
+            volume, slices,
+        )
+        f = model.apply(
+            params, tokens[:, 0], method=lambda m, x: m.mm_vision_proj(x)
+        )
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    def _student_terms(params, batch, dropout_rng):
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        s_img = _img_feats(
+            student, s_vit, params, batch["image"], batch["image_2d"]
+        )
+        s_txt, _ = student.apply(
+            params, batch["input_ids"], batch.get("attention_mask"),
+            deterministic=dropout_rng is None, rngs=rngs,
+            method=CLIPModel.encode_text,
+        )
+        s_scale = student.apply(params, method=CLIPModel.scale)
+        return clip_contrastive_loss(s_img, s_txt, s_scale)
+
+    def _finish(loss_cl, s_logits_i, s_logits_t, t_logits_i, t_logits_t,
+                step):
+        loss_rel = relation_regulation_loss(
+            t_logits_i, t_logits_t, s_logits_i, s_logits_t
+        )
+        w = relation_weight(
+            step, cfg.relation_max_weighted_step, cfg.relation_base_weight
+        )
+        loss = loss_cl + w * loss_rel
+        metrics = {
+            "loss": loss,
+            "loss_cl": loss_cl,
+            "loss_relation": loss_rel,
+            "relation_weight": w,
+            "retrieval_acc": retrieval_accuracy(s_logits_i),
+        }
+        return loss, metrics
+
+    def loss_fn(params, tparams, batch, step, dropout_rng):
+        tparams = jax.lax.stop_gradient(tparams)
+        t_img = _img_feats(teacher, t_vit, tparams, batch["image"], None)
+        t_txt, _ = teacher.apply(
+            tparams, batch["input_ids"], batch.get("attention_mask"),
+            deterministic=True, method=CLIPModel.encode_text,
+        )
+        t_scale = teacher.apply(tparams, method=CLIPModel.scale)
+        _, t_logits_i, t_logits_t = clip_contrastive_loss(
+            t_img, t_txt, t_scale
+        )
+        loss_cl, s_logits_i, s_logits_t = _student_terms(
+            params, batch, dropout_rng
+        )
+        return _finish(
+            loss_cl, s_logits_i, s_logits_t, t_logits_i, t_logits_t, step
+        )
+
+    def loss_fn_cached(teacher_scale, params, batch, step, dropout_rng):
+        _, t_logits_i, t_logits_t = clip_contrastive_loss(
+            batch["teacher_image_features"],
+            batch["teacher_text_features"],
+            teacher_scale,
+        )
+        loss_cl, s_logits_i, s_logits_t = _student_terms(
+            params, batch, dropout_rng
+        )
+        return _finish(
+            loss_cl, s_logits_i, s_logits_t, t_logits_i, t_logits_t, step
+        )
+
+    return make_stage2_train_step(
+        student, teacher, cfg, tx, teacher_params, mesh,
+        cached_teacher=cached_teacher,
+        loss_fn=loss_fn, loss_fn_cached=loss_fn_cached,
+    )

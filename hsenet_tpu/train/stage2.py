@@ -240,11 +240,18 @@ def make_stage2_train_step(
     teacher_params,
     mesh: Optional[Mesh] = None,
     cached_teacher: bool = False,
+    loss_fn=None,
+    loss_fn_cached=None,
 ):
     """`cached_teacher=True` drops the in-step teacher forward; batches must
     carry `teacher_image_features`/`teacher_text_features` (see
     `TeacherCache`). The teacher's frozen logit_scale is read from
-    `teacher_params` here."""
+    `teacher_params` here.
+
+    `loss_fn(params, tparams, batch, step, rng)` / `loss_fn_cached(
+    teacher_scale, params, batch, step, rng)` override the default losses —
+    the hook the sequence-parallel step (parallel/sp.py) uses to swap in
+    ring-attention tower encodes while sharing this update tail."""
     if cached_teacher:
         import numpy as np
 
@@ -268,10 +275,11 @@ def make_stage2_train_step(
                     ),
                     batch,
                 )
+            fn = loss_fn_cached or functools.partial(
+                stage2_loss_fn_cached, student, cfg
+            )
             (loss, metrics), grads = jax.value_and_grad(
-                functools.partial(
-                    stage2_loss_fn_cached, student, cfg, teacher_scale
-                ),
+                functools.partial(fn, teacher_scale),
                 has_aux=True,
             )(state.params, batch, state.step, dropout_rng)
             updates, opt_state = tx.update(
@@ -298,7 +306,7 @@ def make_stage2_train_step(
                 batch,
             )
         (loss, metrics), grads = jax.value_and_grad(
-            functools.partial(stage2_loss_fn, student, teacher, cfg),
+            loss_fn or functools.partial(stage2_loss_fn, student, teacher, cfg),
             has_aux=True,
         )(state.params, tparams, batch, state.step, dropout_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -531,3 +531,124 @@ def test_mesh_config_sp_axis():
     assert mesh.shape["sp"] == 4 and mesh.shape["dp"] == 2
     with pytest.raises(AssertionError):
         create_mesh(MeshConfig(dp=1, sp=2, tp=2))
+
+
+def test_sp_stage2_train_step_matches_plain(rng, key):
+    """One sp-sharded stage-2 step == the plain step (teacher-forward AND
+    cached-teacher modes): loss, relation term, updated params."""
+    import dataclasses
+
+    from hsenet_tpu.configs import CLIPConfig
+    from hsenet_tpu.models.clip import CLIPModel
+    from hsenet_tpu.parallel.sp import make_sp_stage2_train_step
+    from hsenet_tpu.train.stage2 import (
+        TeacherCache,
+        make_stage2_train_step,
+        make_teacher_embed_fn,
+    )
+
+    t_cfg = CLIPConfig(vision=TINY_VIT, text=TINY_BERT, projection_dim=32)
+    # slice_dropout_rate=0: the plain step applies the 2E3 slice-guided
+    # attention's dropout (reference-hardcoded 0.1) while the sp ring runs
+    # the tower deterministic (documented policy) — pin it off so this is
+    # a true equality check
+    s_cfg = dataclasses.replace(
+        t_cfg,
+        vision=dataclasses.replace(
+            TINY_VIT, slice_guided=True, slice_dropout_rate=0.0
+        ),
+    )
+    student = CLIPModel(s_cfg, dtype=jnp.float32)
+    teacher = CLIPModel(t_cfg, dtype=jnp.float32)
+    batch = {
+        "image": jnp.asarray(rng.random((8, 1, 8, 16, 16), np.float32)),
+        "image_2d": jnp.asarray(rng.random((8, 4, 32), np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 64, (8, 12))),
+        "attention_mask": jnp.ones((8, 12), jnp.int32),
+    }
+    sparams = student.init(
+        key, batch["image"][:1], batch["input_ids"][:1],
+        batch["attention_mask"][:1], batch["image_2d"][:1],
+    )
+    tparams = teacher.init(
+        key, batch["image"][:1], batch["input_ids"][:1],
+        batch["attention_mask"][:1],
+    )
+    # SGD: linear in the gradient -> true grad-equality check (see the
+    # stage-1 sp test above for the adamw rationale)
+    tx = optax.sgd(1e-2)
+
+    def fresh_state():
+        p = jax.tree.map(jnp.copy, sparams)
+        return TrainState(step=jnp.asarray(0), params=p,
+                          opt_state=tx.init(p))
+
+    step_rng = jax.random.key(11)
+    mesh = create_mesh(MeshConfig(dp=2, sp=4))
+
+    plain = make_stage2_train_step(student, teacher, s_cfg, tx, tparams, mesh)
+    s_plain, m_plain = plain(fresh_state(), batch, step_rng)
+
+    sp_step = make_sp_stage2_train_step(
+        student, teacher, s_cfg, tx, tparams, mesh
+    )
+    s_sp, m_sp = sp_step(fresh_state(), batch, step_rng)
+
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_plain["loss"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_sp["loss_relation"]), float(m_plain["loss_relation"]),
+        atol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_sp.params),
+        jax.tree_util.tree_leaves(s_plain.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    # cached-teacher sp mode: same result again, no teacher forward in-step
+    cache = TeacherCache(make_teacher_embed_fn(teacher, tparams, mesh))
+    cbatch = cache.attach(batch)
+    sp_cached = make_sp_stage2_train_step(
+        student, teacher, s_cfg, tx, tparams, mesh, cached_teacher=True
+    )
+    s_c, m_c = sp_cached(fresh_state(), cbatch, step_rng)
+    np.testing.assert_allclose(
+        float(m_c["loss"]), float(m_plain["loss"]), atol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_c.params),
+        jax.tree_util.tree_leaves(s_plain.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_stage2_cli_sp(tmp_path):
+    """--sp 4 end-to-end through the stage-2 CLI (dp=2 x sp=4 mesh),
+    cached-teacher composed on top."""
+    from hsenet_tpu.cli.train_clip_stage2 import main as stage2
+
+    state = stage2([
+        "--synthetic",
+        "--image-size", "8", "32", "32",
+        "--patch-size", "2", "8", "8",
+        "--hidden-size", "32",
+        "--mlp-dim", "64",
+        "--num-layers", "2",
+        "--num-heads", "4",
+        "--num-slices", "4",
+        "--slice-dim", "32",
+        "--text-hidden", "32",
+        "--max-text-len", "16",
+        "--dtype", "float32",
+        "--dp", "2",
+        "--sp", "4",
+        "--cached-teacher",
+        "--batch-size", "4",
+        "--log-every", "1",
+        "--checkpoint-every", "1000",
+        "--total-steps", "2",
+        "--output-dir", str(tmp_path / "sp_stage2"),
+    ])
+    assert int(state.step) == 2
