@@ -67,8 +67,9 @@ def main(argv=None):
     p.add_argument("--gen-seed", type=int, default=0,
                    help="PRNG key for --do-sample")
     p.add_argument("--speculative", action="store_true",
-                   help="prompt-lookup speculative decoding (lossless "
-                        "greedy; chunk becomes verify ROUNDS)")
+                   help="prompt-lookup speculative decoding (lossless; "
+                        "chunk becomes verify ROUNDS; composes with "
+                        "--do-sample as exact speculative sampling)")
     p.add_argument("--draft-len", type=int, default=7)
     p.add_argument("--ngram", type=int, default=2)
     p.add_argument("--vol-cache", type=int, default=0,

@@ -66,6 +66,7 @@ def pld_round(
     ngram: int,
     eos_token_id: int,
     pad_token_id: int,
+    sample=None,
 ):
     """One prompt-lookup draft + verify + accept round over B rows.
 
@@ -76,6 +77,20 @@ def pld_round(
       ctx_len (B,)    live prefix length of `ctx` (includes pending)
       done (B,)       frozen rows — they neither draft nor advance
       emitted (B,)    tokens committed so far (vs `limit`, the budget)
+
+    `sample=(key, temperature, top_p)` switches greedy verification for
+    LOSSLESS SPECULATIVE SAMPLING (Leviathan-style rejection sampling
+    specialised to deterministic prompt-lookup proposals): draft token d
+    at position i is accepted with probability p_i(d) under the WARPED
+    target distribution (temperature + nucleus, identical to
+    eval/generate's sampler); on the first rejection the emitted token is
+    drawn from the residual — p_i with d masked out, renormalised — and
+    on full acceptance the bonus token samples p_k directly. For a
+    deterministic proposal q = delta_d the combined law is exactly
+    p_i(x) = p_i(d)*[x=d] + (1-p_i(d)) * p_i(x)/(1-p_i(d))*[x!=d], so
+    every committed token is distributed EXACTLY as plain sampling —
+    only the RNG stream differs (distributional, not bitwise, equality;
+    temperature -> 0 degenerates to the greedy rule bit-exactly).
 
     Returns the advanced state plus `(inputs, commit)`: this round's
     (B, draft_len+1) candidate tokens and how many of each row's
@@ -114,11 +129,46 @@ def pld_round(
     # ---- verify: one chunked forward over [pending, drafts] ----
     inputs = jnp.concatenate([pending[:, None], drafts], axis=1)
     logits, new_cache = verify_fn(inputs, cache)
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+    if sample is None:
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+        ok = jnp.cumprod(
+            (drafts == greedy[:, :k]).astype(jnp.int32), axis=1
+        )
+        a = jnp.sum(ok, axis=1)  # accepted drafts per row, 0..k
+        new_pending = jnp.take_along_axis(greedy, a[:, None], axis=1)[:, 0]
+    else:
+        from hsenet_tpu.eval.generate import apply_top_p
 
-    ok = jnp.cumprod((drafts == greedy[:, :k]).astype(jnp.int32), axis=1)
-    a = jnp.sum(ok, axis=1)  # accepted drafts per row, 0..k
-    new_pending = jnp.take_along_axis(greedy, a[:, None], axis=1)[:, 0]
+        key, temperature, top_p = sample
+        wl = logits.astype(jnp.float32) / temperature  # (B, k+1, V)
+        if top_p is not None and top_p < 1.0:
+            wl = apply_top_p(wl, top_p)
+        probs = jax.nn.softmax(wl, axis=-1)
+        # accept draft d_i with prob p_i(d_i) (pad-proposal rows at
+        # unmatched positions simply reject with prob 1-p(pad) — the
+        # rejection-sampling law stays exact for ANY proposal)
+        d_probs = jnp.take_along_axis(
+            probs[:, :k], drafts[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        key_u, key_r = jax.random.split(key)
+        u = jax.random.uniform(key_u, (b, k), jnp.float32)
+        ok = jnp.cumprod((u < d_probs).astype(jnp.int32), axis=1)
+        a = jnp.sum(ok, axis=1)
+        # emitted token at position a: residual sample (draft masked,
+        # renormalised) on rejection, plain sample of p_k on full accept
+        sel = jnp.take_along_axis(wl, a[:, None, None], axis=1)[:, 0]
+        ext = jnp.concatenate(
+            [drafts.astype(jnp.int32), jnp.zeros((b, 1), jnp.int32)],
+            axis=1,
+        )
+        rej = jnp.take_along_axis(ext, a[:, None], axis=1)[:, 0]
+        mask = (a < k)[:, None] & jax.nn.one_hot(
+            rej, sel.shape[-1], dtype=bool
+        )
+        sel = jnp.where(mask, -jnp.inf, sel)
+        new_pending = jax.random.categorical(key_r, sel, axis=-1).astype(
+            jnp.int32
+        )
 
     # committed tokens = inputs[:, :a+1], cut at EOS / budget
     pos = jnp.arange(k + 1)[None, :]

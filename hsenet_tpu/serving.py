@@ -102,7 +102,11 @@ class ServingEngine:
     (equality-tested). A chunk is then `chunk_size` verify ROUNDS under
     one `lax.scan` dispatch, so at acceptance `a` a chunk advances up to
     `chunk_size*(1+a)` tokens per slot for the same dispatch overhead.
-    Greedy-only (incompatible with `do_sample`).
+    Combined with `do_sample=True` it becomes lossless speculative
+    SAMPLING: drafts are accepted by rejection sampling against the
+    warped target distribution, so committed tokens are distributed
+    exactly as the plain sampling engine's (only the RNG stream differs;
+    temperature -> 0 recovers greedy bit-exactly).
     """
 
     def __init__(
@@ -137,11 +141,9 @@ class ServingEngine:
         self.max_new = max_new_tokens
         self.chunk = chunk_size
         self.multimodal = multimodal
-        if speculative and do_sample:
-            raise ValueError(
-                "speculative=True is lossless greedy decode; it cannot be "
-                "combined with do_sample=True"
-            )
+        # speculative + do_sample = lossless speculative SAMPLING
+        # (rejection sampling against the warped target inside pld_round;
+        # every committed token is distributed exactly as plain sampling)
         self.speculative = speculative
         self.draft_len = draft_len
         self.ngram = ngram
@@ -402,7 +404,7 @@ class ServingEngine:
             return cache, token, done, ctx, ctx_len, emitted, limit
 
         def _spec_chunk(params, cache, token, done, ctx, ctx_len, emitted,
-                        limit):
+                        limit, *sample_args):
             """chunk_size prompt-lookup verify rounds under one dispatch.
             Returns per-round candidate blocks (chunk, slots, draft_len+1)
             + commit counts (chunk, slots) for host-side emission."""
@@ -417,13 +419,21 @@ class ServingEngine:
                     )
                 return model.apply(params, tokens, cache=c, kv_lens=kv)
 
-            def round_step(carry, _):
+            def round_step(carry, i):
                 token, cache, done, ctx, ctx_len, emitted = carry
+                sample = None
+                if do_sample:
+                    rng_key, round0 = sample_args
+                    sample = (
+                        jax.random.fold_in(rng_key, round0 + i),
+                        temperature, top_p,
+                    )
                 (token, cache, ctx, ctx_len, done, emitted, inputs,
                  commit) = pld_round(
                     verify, token, cache, ctx, ctx_len, done, emitted,
                     limit, draft_len=draft_len, ngram=ngram,
                     eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+                    sample=sample,
                 )
                 return (token, cache, done, ctx, ctx_len, emitted), (
                     inputs, commit
@@ -431,7 +441,7 @@ class ServingEngine:
 
             carry, (toks, counts) = jax.lax.scan(
                 round_step, (token, cache, done, ctx, ctx_len, emitted),
-                None, length=chunk_size,
+                jnp.arange(chunk_size), length=chunk_size,
             )
             token, cache, done, ctx, ctx_len, emitted = carry
             return toks, counts, cache, token, done, ctx, ctx_len, emitted
@@ -607,10 +617,14 @@ class ServingEngine:
         each round's committed window per slot (host accounting mirrors
         the in-graph budget/EOS cuts, which already zero `commit` for
         done rows)."""
+        sample_args = (
+            (self._rng_decode, jnp.int32(self.steps_run))
+            if self._do_sample else ()
+        )
         (toks, counts, self._cache, self._token, self._done, self._ctx,
          self._ctx_len, self._emitted) = self._spec_chunk(
             self.params, self._cache, self._token, self._done, self._ctx,
-            self._ctx_len, self._emitted, self._limit,
+            self._ctx_len, self._emitted, self._limit, *sample_args,
         )
         blocks = np.asarray(toks)  # (chunk, slots, draft_len+1)
         cnts = np.asarray(counts)  # (chunk, slots)

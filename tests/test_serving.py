@@ -146,17 +146,39 @@ def test_serving_engine_llama(key, rng):
             )
 
 
-def test_serving_engine_speculative_rejects_sampling(key, rng):
+def test_serving_engine_speculative_sampling(key, rng):
+    """Lossless speculative SAMPLING: tiny top_p (one-token nucleus)
+    collapses rejection sampling to the greedy spec engine's exact
+    outputs; hot sampling reproduces for a fixed rng and differs from
+    greedy; every emitted token is a valid vocab id."""
     import jax
-    import pytest
 
     model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
-    params = model.init(key, jnp.asarray([[1, 5, 9]], jnp.int32))
-    with pytest.raises(ValueError, match="lossless greedy"):
-        ServingEngine(
-            model, params, eos_token_id=EOS, speculative=True,
-            do_sample=True, rng=jax.random.PRNGKey(0),
-        )
+    prompts = [rng.integers(3, TINY.vocab_size, size=n) for n in (5, 9, 7)]
+    params = model.init(key, jnp.asarray(prompts[0][None, :]))
+    kwargs = dict(
+        eos_token_id=EOS, pad_token_id=0, num_slots=2, prompt_cap=16,
+        max_new_tokens=MAX_NEW, chunk_size=3, cache_dtype=jnp.float32,
+        speculative=True, draft_len=4,
+    )
+
+    def run(**extra):
+        eng = ServingEngine(model, params, **kwargs, **extra)
+        uids = [eng.submit(p) for p in prompts]
+        res = eng.run_until_drained()
+        return [res[u] for u in uids]
+
+    greedy = run()
+    collapse = run(do_sample=True, top_p=1e-9, rng=jax.random.PRNGKey(1))
+    assert collapse == greedy
+    hot_a = run(do_sample=True, temperature=8.0, rng=jax.random.PRNGKey(2))
+    hot_b = run(do_sample=True, temperature=8.0, rng=jax.random.PRNGKey(2))
+    hot_c = run(do_sample=True, temperature=8.0, rng=jax.random.PRNGKey(3))
+    assert hot_a == hot_b  # reproducible
+    assert hot_a != hot_c and hot_a != greedy
+    assert all(
+        0 <= t < TINY.vocab_size for row in hot_a for t in row
+    )
 
 
 def test_serving_engine_tp_sharded_matches_single_device(key, rng):
@@ -614,3 +636,81 @@ def test_serving_engine_kv_prefix_cache(key, rng):
         ServingEngine(
             llm, lp, eos_token_id=EOS, kv_prefix_cache_size=2,
         )
+
+
+def test_pld_round_sampling_unbiased():
+    """Rejection sampling against a CONSTANT target: every token committed
+    by pld_round(sample=...) must be distributed exactly softmax(logits/T)
+    regardless of what the n-gram drafter proposes. Fake verify_fn with
+    fixed logits; ~3k committed draws; empirical freq within 0.03."""
+    import jax
+
+    from hsenet_tpu.eval.speculative import pld_round
+    from hsenet_tpu.models.phi3 import KVCache
+
+    vocab, k, b = 8, 4, 8
+    temperature = 1.3
+    base_logits = jnp.asarray(
+        np.linspace(0.0, 2.0, vocab), jnp.float32
+    )
+    target = np.asarray(jax.nn.softmax(base_logits / temperature))
+
+    cfg_like = Phi3Config(
+        vocab_size=vocab, hidden_size=8, intermediate_size=8, num_layers=1,
+        num_heads=1, num_kv_heads=1, head_dim=8,
+    )
+    ctx_cap = 64
+
+    def verify(tokens, cache):
+        logits = jnp.broadcast_to(
+            base_logits, tokens.shape + (vocab,)
+        )
+        return logits, cache
+
+    counts = np.zeros(vocab, np.int64)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(42)
+
+    step = jax.jit(
+        lambda pending, cache, ctx, ctx_len, done, emitted, limit, k_: (
+            pld_round(
+                verify, pending, cache, ctx, ctx_len, done, emitted, limit,
+                draft_len=k, ngram=2, eos_token_id=-1, pad_token_id=0,
+                sample=(k_, temperature, None),
+            )
+        )
+    )
+
+    for trial in range(200):
+        cache = KVCache.create(cfg_like, b, ctx_cap, dtype=jnp.float32)
+        cache = cache.replace(lengths=jnp.full((b,), 8, jnp.int32))
+        ctx = jnp.asarray(
+            rng.integers(0, vocab, (b, ctx_cap)), jnp.int32
+        )
+        ctx_len = jnp.full((b,), 9, jnp.int32)
+        key, sub, seedk = jax.random.split(key, 3)
+        # the seed pending token must itself be a draw from the target
+        pending = jax.random.categorical(
+            seedk, jnp.broadcast_to(base_logits / temperature, (b, vocab))
+        ).astype(jnp.int32)
+        done = jnp.zeros((b,), bool)
+        emitted = jnp.zeros((b,), jnp.int32)
+        limit = jnp.full((b,), 100, jnp.int32)
+        (pending, cache, ctx, ctx_len, done, emitted, inputs,
+         commit) = step(pending, cache, ctx, ctx_len, done, emitted,
+                        limit, sub)
+        inp = np.asarray(inputs)
+        cm = np.asarray(commit)
+        nxt = np.asarray(pending)  # the round's CORRECTION token
+        for r in range(b):
+            for t in inp[r, : cm[r]]:
+                counts[int(t)] += 1
+            # the rejection-corrected token compensates the acceptance
+            # bias of the committed drafts — counting committed drafts
+            # without it would measure a proposal-skewed subset
+            counts[int(nxt[r])] += 1
+
+    n = counts.sum()
+    assert n > 2000, n
+    freq = counts / n
+    np.testing.assert_allclose(freq, target, atol=0.03)
