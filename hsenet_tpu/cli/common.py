@@ -123,7 +123,7 @@ def dump_config(path: str, *cfgs) -> None:
         json.dump(blob, f, indent=2, default=str)
 
 
-def resolve_resume_dir(args) -> str:
+def resolve_resume_dir(args, ckpt=None) -> str:
     """Resolve --resume, including the 'auto' preemption-restart idiom.
 
     'auto' -> the run's own --output-dir when it already holds a
@@ -132,10 +132,31 @@ def resolve_resume_dir(args) -> str:
     the last completed save — combined with deterministic resume
     (fold_in step RNG + loader fast-forward) the restarted run
     reproduces an unbroken one.
+
+    `ckpt`: the CLI's CheckpointManager on --output-dir (reused for the
+    latest-step probe instead of constructing a second manager on the
+    same directory).
+
+    Multi-process SPMD: the resume/fresh decision is AGREED via
+    process 0 (broadcast of its latest step) — per-process directory
+    views can disagree right after a preemption (host-local dirs, a
+    checkpoint mid-commit), and a split decision would desync step
+    counts/RNG folds and hang the first collective.
     """
     if args.resume != "auto":
         return args.resume
-    from hsenet_tpu.utils.checkpoint import CheckpointManager
+    if ckpt is None:
+        from hsenet_tpu.utils.checkpoint import CheckpointManager
 
-    mgr = CheckpointManager(args.output_dir)
-    return args.output_dir if mgr.latest_step() is not None else ""
+        ckpt = CheckpointManager(args.output_dir)
+    latest = ckpt.latest_step()
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        latest_p0 = int(
+            multihost_utils.broadcast_one_to_all(
+                jnp.asarray(-1 if latest is None else latest, jnp.int32)
+            )
+        )
+        latest = None if latest_p0 < 0 else latest_p0
+    return args.output_dir if latest is not None else ""

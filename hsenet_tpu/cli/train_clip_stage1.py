@@ -136,9 +136,12 @@ def main(argv=None):
     state = TrainState.create(params, tx)
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir, async_save=getattr(args, 'async_save', False))
-    resume_dir = resolve_resume_dir(args)
+    resume_dir = resolve_resume_dir(args, ckpt)
     if resume_dir:
-        state = CheckpointManager(resume_dir).restore(state)
+        mgr = ckpt if resume_dir == args.output_dir else CheckpointManager(
+            resume_dir
+        )
+        state = mgr.restore(state)
 
     dump_config(args.output_dir, clip_cfg, train_cfg)
     if getattr(args, "sp", 1) > 1:
@@ -193,10 +196,11 @@ def main(argv=None):
     from hsenet_tpu.utils.checkpoint import save_params
 
     final = flax.core.unfreeze(jax.device_get(state.params))
-    save_params(f"{args.output_dir}/clip_params", final)
+    save_params(f"{args.output_dir}/clip_params", final, overwrite=True)
     save_params(
         f"{args.output_dir}/tower_params",
         {"params": final["params"]["vision_encoder"]},
+        overwrite=True,
     )
     print(f"done: step {int(state.step)}")
     return state

@@ -173,9 +173,12 @@ def main(argv=None):
     state = TrainState.create(student_params, tx)
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir, async_save=getattr(args, 'async_save', False))
-    resume_dir = resolve_resume_dir(args)
+    resume_dir = resolve_resume_dir(args, ckpt)
     if resume_dir:
-        state = CheckpointManager(resume_dir).restore(state)
+        mgr = ckpt if resume_dir == args.output_dir else CheckpointManager(
+            resume_dir
+        )
+        state = mgr.restore(state)
     dump_config(args.output_dir, student_cfg, train_cfg)
     if getattr(args, "sp", 1) > 1:
         from hsenet_tpu.parallel.sp import make_sp_stage2_train_step
@@ -192,9 +195,15 @@ def main(argv=None):
     if args.cached_teacher:
         from hsenet_tpu.train.stage2 import TeacherCache, make_teacher_embed_fn
 
-        cache = TeacherCache(
-            make_teacher_embed_fn(teacher, teacher_params, mesh)
-        )
+        if getattr(args, "sp", 1) > 1:
+            # the cache FILL must ride the ring too — at the token counts
+            # that motivate --sp the dense teacher forward would not fit
+            from hsenet_tpu.parallel.sp import make_sp_teacher_embed_fn
+
+            embed_fn = make_sp_teacher_embed_fn(teacher, teacher_params, mesh)
+        else:
+            embed_fn = make_teacher_embed_fn(teacher, teacher_params, mesh)
+        cache = TeacherCache(embed_fn)
         inner_loader = loader
 
         def loader_fn():
@@ -214,10 +223,11 @@ def main(argv=None):
     from hsenet_tpu.utils.checkpoint import save_params
 
     final = flax.core.unfreeze(jax.device_get(state.params))
-    save_params(f"{args.output_dir}/clip_params", final)
+    save_params(f"{args.output_dir}/clip_params", final, overwrite=True)
     save_params(
         f"{args.output_dir}/tower_params",
         {"params": final["params"]["vision_encoder"]},
+        overwrite=True,
     )
     print(f"done: step {int(state.step)}")
     return state

@@ -285,11 +285,14 @@ def main(argv=None):
     state = TrainState.create(params, tx)
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir, async_save=getattr(args, 'async_save', False))
-    resume_dir = resolve_resume_dir(args)
+    resume_dir = resolve_resume_dir(args, ckpt)
     if resume_dir:
         # full-state resume (step + params + optimizer moments); restored
         # leaves keep the template's placement, so tp/pp shardings survive
-        state = CheckpointManager(resume_dir).restore(state)
+        mgr = ckpt if resume_dir == args.output_dir else CheckpointManager(
+            resume_dir
+        )
+        state = mgr.restore(state)
     dump_config(args.output_dir, cfg, train_cfg)
     if args.pp > 1:
         from hsenet_tpu.parallel.pipeline import make_pp_vlm_train_step

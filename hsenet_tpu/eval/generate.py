@@ -46,6 +46,18 @@ def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
     return jnp.where(rank < keep, logits, -jnp.inf)
 
 
+def warp_logits(logits: jax.Array, temperature: float, top_p) -> jax.Array:
+    """The sampling warp — temperature scale, then nucleus filter — as ONE
+    shared helper: `_make_next_token` samples from it and speculative
+    sampling (`eval/speculative.pld_round`) accepts/resamples against it.
+    They MUST stay the same distribution or rejection sampling silently
+    biases its outputs; share this, don't copy it."""
+    logits = logits.astype(jnp.float32) / temperature
+    if top_p is not None and top_p < 1.0:
+        logits = apply_top_p(logits, top_p)
+    return logits
+
+
 def _make_next_token(do_sample: bool, temperature: float, top_p):
     """(logits (B, V), key) -> token (B,): argmax or HF-style sampling
     (temperature scale, then nucleus filter, then categorical)."""
@@ -61,10 +73,9 @@ def _make_next_token(do_sample: bool, temperature: float, top_p):
         )
 
     def next_token(logits, key):
-        logits = logits.astype(jnp.float32) / temperature
-        if top_p is not None and top_p < 1.0:
-            logits = apply_top_p(logits, top_p)
-        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(
+            key, warp_logits(logits, temperature, top_p), axis=-1
+        ).astype(jnp.int32)
 
     return next_token
 

@@ -137,12 +137,12 @@ def pld_round(
         a = jnp.sum(ok, axis=1)  # accepted drafts per row, 0..k
         new_pending = jnp.take_along_axis(greedy, a[:, None], axis=1)[:, 0]
     else:
-        from hsenet_tpu.eval.generate import apply_top_p
+        from hsenet_tpu.eval.generate import warp_logits
 
         key, temperature, top_p = sample
-        wl = logits.astype(jnp.float32) / temperature  # (B, k+1, V)
-        if top_p is not None and top_p < 1.0:
-            wl = apply_top_p(wl, top_p)
+        # the SAME warp the plain sampler draws from (shared helper —
+        # divergence would bias the rejection-sampling law)
+        wl = warp_logits(logits, temperature, top_p)  # (B, k+1, V)
         probs = jax.nn.softmax(wl, axis=-1)
         # accept draft d_i with prob p_i(d_i) (pad-proposal rows at
         # unmatched positions simply reject with prob 1-p(pad) — the

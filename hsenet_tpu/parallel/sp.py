@@ -21,11 +21,15 @@ text encoder, projections and the global InfoNCE run outside the ring
 under plain jit — XLA still inserts the dp feature all-gather for the
 global (B, B) logit matrix exactly as in `train/stage1.py`.
 
-Deviation (same policy as pipeline.py's in-ring dropout): tower dropout
-runs OFF inside the sp region — threading per-chunk RNGs through the ring
-isn't worth a 0.0-by-default regularizer; text-side dropout still applies.
-Equality vs the plain path is tested at dropout_rate=0
-(tests/test_sp.py).
+Dropout inside the ring: `sp_encode_tokens(dropout_rng=...)` applies
+tower dropout with PER-CHUNK independent masks (the key folds the sp
+axis index) — statistically sound regularization, though not bit-equal
+to the dense path's mask layout, so equality tests pin rates to 0
+(tests/test_sp.py). This matters for stage-2, whose slice-guided
+cross-attention carries the reference's Dropout(0.1)
+(`ViT3DConfig.slice_dropout_rate`). The DECODER rings (pp and the sp
+LLM) still run block-internal LoRA dropout off — same policy as
+pipeline.py's in-ring dropout.
 """
 
 from __future__ import annotations
@@ -36,7 +40,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hsenet_tpu.models.clip import CLIPModel
 from hsenet_tpu.models.vit import ViT3D
@@ -65,37 +69,56 @@ def sp_encode_tokens(
     params,
     volume: jax.Array,
     slice_features: Optional[jax.Array] = None,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """Sequence-parallel ViT3D forward -> (B, S, D) global token array.
 
     `params` is the ViT3D variable dict ({"params": ...}), replicated over
     the mesh; `volume` rows shard over 'dp', tokens over 'sp'. Call under
     jit (or jit the caller); differentiable.
+
+    `dropout_rng`: enables tower dropout inside the ring with per-chunk
+    independent masks (key folded by the sp axis index; see the module
+    docstring for the bit-layout caveat vs the dense path).
     """
     sp = _sp_size(mesh)
     s_true = vit3d_token_count(vit.config, volume.shape)
 
-    if slice_features is None:
-        def local(p, vol):
-            return vit.apply(
-                p, vol, deterministic=True, sp_axis="sp", sp_size=sp
-            )
+    def _apply(p, vol, sf, rng):
+        kwargs = dict(sp_axis="sp", sp_size=sp)
+        if rng is None:
+            kwargs["deterministic"] = True
+        else:
+            kwargs["deterministic"] = False
+            kwargs["rngs"] = {
+                "dropout": jax.random.fold_in(
+                    rng, jax.lax.axis_index("sp")
+                )
+            }
+        if sf is None:
+            return vit.apply(p, vol, **kwargs)
+        return vit.apply(p, vol, sf, **kwargs)
 
-        in_specs = (P(), P("dp"))
-        args = (params, volume)
-    else:
-        def local(p, vol, sf):
-            return vit.apply(
-                p, vol, sf, deterministic=True, sp_axis="sp", sp_size=sp
-            )
+    in_specs = [P(), P("dp")]
+    args = [params, volume]
+    sf_arg = slice_features is not None
+    if sf_arg:
+        in_specs.append(P("dp"))
+        args.append(slice_features)
+    rng_arg = dropout_rng is not None
+    if rng_arg:
+        in_specs.append(P())
+        args.append(dropout_rng)
 
-        in_specs = (P(), P("dp"), P("dp"))
-        args = (params, volume, slice_features)
+    def local(p, vol, *rest):
+        sf = rest[0] if sf_arg else None
+        rng = rest[-1] if rng_arg else None
+        return _apply(p, vol, sf, rng)
 
     tokens = _shard_map(
         local,
         mesh=mesh,
-        in_specs=in_specs,
+        in_specs=tuple(in_specs),
         out_specs=P("dp", "sp"),
         check_vma=False,
     )(*args)
@@ -327,10 +350,10 @@ def make_sp_stage2_train_step(
     t_vit = ViT3D(teacher.config.vision, dtype=teacher.dtype,
                   remat=teacher.remat)
 
-    def _img_feats(model, vit, params, volume, slices):
+    def _img_feats(model, vit, params, volume, slices, dropout_rng=None):
         tokens = sp_encode_tokens(
             vit, mesh, {"params": params["params"]["vision_encoder"]},
-            volume, slices,
+            volume, slices, dropout_rng=dropout_rng,
         )
         f = model.apply(
             params, tokens[:, 0], method=lambda m, x: m.mm_vision_proj(x)
@@ -339,8 +362,12 @@ def make_sp_stage2_train_step(
 
     def _student_terms(params, batch, dropout_rng):
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        # the student tower rides the ring WITH dropout (per-chunk masks):
+        # stage-2's slice-guided attention carries the reference's
+        # Dropout(0.1), which must not silently vanish under --sp
         s_img = _img_feats(
-            student, s_vit, params, batch["image"], batch["image_2d"]
+            student, s_vit, params, batch["image"], batch["image_2d"],
+            dropout_rng=dropout_rng,
         )
         s_txt, _ = student.apply(
             params, batch["input_ids"], batch.get("attention_mask"),
@@ -404,3 +431,43 @@ def make_sp_stage2_train_step(
         cached_teacher=cached_teacher,
         loss_fn=loss_fn, loss_fn_cached=loss_fn_cached,
     )
+
+
+def make_sp_teacher_embed_fn(teacher: CLIPModel, teacher_params, mesh: Mesh):
+    """Sequence-parallel analog of `train/stage2.py::make_teacher_embed_fn`
+    for the cached-teacher cache FILL: at the token counts that motivate
+    --sp, the dense teacher forward would not fit one chip — the fill must
+    ride the same ring the train step does."""
+    t_vit = ViT3D(teacher.config.vision, dtype=teacher.dtype,
+                  remat=teacher.remat)
+    teacher_params = jax.device_put(
+        teacher_params, NamedSharding(mesh, P())
+    )
+
+    @jax.jit
+    def embed(tparams, image, input_ids, attention_mask):
+        tokens = sp_encode_tokens(
+            t_vit, mesh,
+            {"params": tparams["params"]["vision_encoder"]}, image,
+        )
+        img = teacher.apply(
+            tparams, tokens[:, 0], method=lambda m, x: m.mm_vision_proj(x)
+        )
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt, _ = teacher.apply(
+            tparams, input_ids, attention_mask, deterministic=True,
+            method=CLIPModel.encode_text,
+        )
+        return img, txt
+
+    def embed_batch(batch):
+        t_img, t_txt = embed(
+            teacher_params, batch["image"], batch["input_ids"],
+            batch.get("attention_mask"),
+        )
+        return {
+            "teacher_image_features": t_img,
+            "teacher_text_features": t_txt,
+        }
+
+    return embed_batch

@@ -73,13 +73,15 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
 
-def save_params(path: str, params) -> None:
+def save_params(path: str, params, *, overwrite: bool = False) -> None:
     """Single param-tree save (no optimizer state) — the 'model_params.bin'
-    analog of CustomSaveCallback. Overwrites: a rerun into the same
-    output dir (e.g. a --resume auto preemption restart) must be able to
-    re-export its final params."""
+    analog of CustomSaveCallback. `overwrite=True` is for a run
+    re-exporting ITS OWN artifacts (e.g. a --resume auto preemption
+    restart re-saving final params into the same output dir); callers
+    writing to user-supplied destinations (the converter CLIs) keep
+    orbax's existing-path protection."""
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.save(os.path.abspath(path), params, force=overwrite)
     ckptr.wait_until_finished()
 
 
@@ -113,9 +115,11 @@ _VLM_DELTA_RX = r"(mm_projector|lora_[ab]|/embed/|seg_projector|seg_module)"
 
 
 def save_vlm_deltas(path: str, params) -> None:
-    """Persist only the VLM finetune's trainable set — see _VLM_DELTA_RX."""
+    """Persist only the VLM finetune's trainable set — see _VLM_DELTA_RX.
+    Overwrites: the finetune re-exports into its own output dir on
+    preemption restarts."""
     deltas = filter_tree(params, _VLM_DELTA_RX)
-    save_params(path, deltas)
+    save_params(path, deltas, overwrite=True)
 
 
 def load_vlm_deltas(path: str, full_params):

@@ -607,6 +607,17 @@ def test_sp_stage2_train_step_matches_plain(rng, key):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
+    # the sp cache-FILL path produces the same teacher features as the
+    # dense fill (the fill must ride the ring at --sp-scale token counts)
+    from hsenet_tpu.parallel.sp import make_sp_teacher_embed_fn
+
+    dense_fill = make_teacher_embed_fn(teacher, tparams, mesh)(batch)
+    sp_fill = make_sp_teacher_embed_fn(teacher, tparams, mesh)(batch)
+    for k2 in ("teacher_image_features", "teacher_text_features"):
+        np.testing.assert_allclose(
+            np.asarray(sp_fill[k2]), np.asarray(dense_fill[k2]), atol=1e-5
+        )
+
     # cached-teacher sp mode: same result again, no teacher forward in-step
     cache = TeacherCache(make_teacher_embed_fn(teacher, tparams, mesh))
     cbatch = cache.attach(batch)
