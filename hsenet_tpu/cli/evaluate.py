@@ -92,6 +92,9 @@ def main(argv=None):
                    help="with --engine: LRU size for per-volume KV-prefix "
                         "caching (repeat questions skip the towers AND "
                         "the BOS+image-block share of the LLM prefill)")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache (per-token/head absmax scales); "
+                        "halves decode's KV HBM stream at large batch")
     p.add_argument("--dp", type=int, default=1,
                    help="shard eval batches over a dp-axis mesh (>1 chip)")
     p.add_argument("--tp", type=int, default=1,
@@ -304,10 +307,14 @@ def main(argv=None):
 
         params = restore_params(args.checkpoint, params)
 
+    cache_dtype = (
+        jnp.int8 if args.kv_int8
+        else (jnp.float32 if args.synthetic else jnp.bfloat16)
+    )
     gen_kwargs = dict(
         max_new_tokens=max_new, eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id,
-        cache_dtype=jnp.float32 if args.synthetic else jnp.bfloat16,
+        cache_dtype=cache_dtype,
     )
     if args.engine:
         from hsenet_tpu.serving import ServingEngine, engine_generate_fn
@@ -330,7 +337,7 @@ def main(argv=None):
             num_slots=args.engine_slots,
             prompt_cap=data_args.max_length,
             max_new_tokens=max_new,
-            cache_dtype=jnp.float32 if args.synthetic else jnp.bfloat16,
+            cache_dtype=cache_dtype,
             mesh=mesh, multimodal=True,
             speculative=args.spec_decode, draft_len=args.draft_len,
             volume_cache_size=args.engine_vol_cache,

@@ -72,6 +72,9 @@ def main(argv=None):
                         "--do-sample as exact speculative sampling)")
     p.add_argument("--draft-len", type=int, default=7)
     p.add_argument("--ngram", type=int, default=2)
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache (per-token/head absmax scales); "
+                        "halves the dominant HBM stream of batched decode")
     p.add_argument("--vol-cache", type=int, default=0,
                    help="LRU size for per-volume image-feature caching "
                         "(multimodal only): repeated volumes skip the "
@@ -170,7 +173,8 @@ def main(argv=None):
         prompt_cap=args.prompt_cap,
         max_new_tokens=args.max_new_tokens,
         chunk_size=args.chunk,
-        cache_dtype=jnp.float32 if args.synthetic else jnp.bfloat16,
+        cache_dtype=jnp.int8 if args.kv_int8
+        else (jnp.float32 if args.synthetic else jnp.bfloat16),
         mesh=mesh,
         multimodal=multimodal,
         do_sample=args.do_sample,

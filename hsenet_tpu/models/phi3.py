@@ -42,9 +42,20 @@ Dtype = Any
 
 @struct.dataclass
 class KVCache:
+    """Static-shape KV cache; `dtype=jnp.int8` at `create` switches on
+    quantized storage (per-(layer, row, head, token) f32 absmax scales in
+    `k_scale`/`v_scale`, None in the plain bf16 cache). Batched decode is
+    KV-READ-bound on HBM (BENCH.md batch sweep: per-step cache reads
+    overtake the int8 weight stream past batch 16), so halving KV traffic
+    is a direct aggregate-throughput lever; quantize/dequantize fuse into
+    the attention dots. The reference has no KV quantization (HF fp16
+    cache) — this is a TPU serving extension, opt-in everywhere."""
+
     k: jax.Array  # (num_layers, B, Hkv, T, D)
     v: jax.Array
     lengths: jax.Array  # (B,) valid tokens per row
+    k_scale: Optional[jax.Array] = None  # (num_layers, B, Hkv, T) f32
+    v_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(
@@ -57,11 +68,33 @@ class KVCache:
             max_len,
             config.head_dim,
         )
+        quant = dtype == jnp.int8
+        # k_scale/v_scale must be DISTINCT buffers: engine paths donate the
+        # whole cache pytree, and XLA rejects donating one buffer twice.
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             lengths=jnp.zeros((batch,), jnp.int32),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32) if quant else None,
+            v_scale=jnp.zeros(shape[:-1], jnp.float32) if quant else None,
         )
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def quantize_kv(x: jax.Array):
+    """(..., S, D) -> int8 codes + per-(..., S) f32 scales (absmax/127)."""
+    x32 = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1) / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    """Inverse of `quantize_kv`; fuses into the consuming attention dot."""
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def _rope_cos_sin(
@@ -152,6 +185,24 @@ def _update_cache_layer(cache_k, cache_v, k_new, v_new, lengths):
     return jax.vmap(write_row)(cache_k, cache_v, k_new, v_new, lengths)
 
 
+def _update_cache_layer_quant(
+    cache_k, cache_v, k_scale, v_scale, kq, vq, ks_new, vs_new, lengths
+):
+    """Quantized-cache write: int8 codes (B, Hkv, S, D) + their scales
+    (B, Hkv, S) land at the same per-row offsets."""
+
+    def write_row(ck, cv, ks, vs, kn, vn, ksn, vsn, off):
+        ck = jax.lax.dynamic_update_slice(ck, kn, (0, off, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vn, (0, off, 0))
+        ks = jax.lax.dynamic_update_slice(ks, ksn, (0, off))
+        vs = jax.lax.dynamic_update_slice(vs, vsn, (0, off))
+        return ck, cv, ks, vs
+
+    return jax.vmap(write_row)(
+        cache_k, cache_v, k_scale, v_scale, kq, vq, ks_new, vs_new, lengths
+    )
+
+
 class Phi3Block(nn.Module):
     config: Phi3Config
     dtype: Dtype = jnp.bfloat16
@@ -211,18 +262,35 @@ class Phi3Block(nn.Module):
             attn = multi_head_attention(q, k, v, kv_lens=kv_lens, causal=True)
             new_kv = None
         else:
-            ck, cv, lengths = layer_cache
-            ck, cv = _update_cache_layer(
-                ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), lengths
-            )
+            if len(layer_cache) == 5:
+                # int8 cache: quantize the new rows, write codes + scales,
+                # read back dequantized (the convert/mul fuse into the
+                # attention dots, so HBM traffic stays int8)
+                ck, cv, ksc, vsc, lengths = layer_cache
+                kq, ks_new = quantize_kv(k)
+                vq, vs_new = quantize_kv(v)
+                ck, cv, ksc, vsc = _update_cache_layer_quant(
+                    ck, cv, ksc, vsc, kq, vq, ks_new, vs_new, lengths
+                )
+                k_read = dequantize_kv(ck, ksc, q.dtype)
+                v_read = dequantize_kv(cv, vsc, q.dtype)
+                new_kv = (ck, cv, ksc, vsc)
+            else:
+                ck, cv, lengths = layer_cache
+                ck, cv = _update_cache_layer(
+                    ck, cv, k.astype(ck.dtype), v.astype(cv.dtype), lengths
+                )
+                k_read = ck.astype(q.dtype)
+                v_read = cv.astype(q.dtype)
+                new_kv = (ck, cv)
             s = q.shape[2]
             total = lengths + (1 if s == 1 else kv_lens)
             if s == 1:
                 # decode: single-query attention over the cache (XLA matvec)
                 attn = multi_head_attention(
                     q,
-                    ck.astype(q.dtype),
-                    cv.astype(q.dtype),
+                    k_read,
+                    v_read,
                     kv_lens=total,
                     use_flash=False,
                 )
@@ -233,8 +301,8 @@ class Phi3Block(nn.Module):
                 # 0 on the common fresh-cache path, reducing to plain causal)
                 attn = multi_head_attention(
                     q,
-                    ck.astype(q.dtype),
-                    cv.astype(q.dtype),
+                    k_read,
+                    v_read,
                     kv_lens=total,
                     causal=True,
                     q_offset=lengths,
@@ -243,7 +311,6 @@ class Phi3Block(nn.Module):
                     # q-block wastes MXU work; XLA sdpa is cheaper there
                     use_flash=None if s >= 64 else False,
                 )
-            new_kv = (ck, cv)
 
         attn = rearrange(attn, "b n s d -> b s (n d)")
         attn = LoRADense(
@@ -369,13 +436,15 @@ class Phi3Decoder(nn.Module):
             new_cache = None
         else:
 
+            quant = cache.quantized
+
             def body(block, carry, layer_kv):
                 y, new_kv = block(
                     carry,
                     cos,
                     sin,
                     kv_lens,
-                    (layer_kv[0], layer_kv[1], cache.lengths),
+                    layer_kv + (cache.lengths,),
                     deterministic=deterministic,
                 )
                 return y, new_kv
@@ -388,16 +457,23 @@ class Phi3Decoder(nn.Module):
                 out_axes=0,
                 length=cfg.num_layers,
             )
-            x, (new_k, new_v) = stack(
-                Phi3Block(cfg, dtype=self.dtype, name="layers"),
-                x,
-                (cache.k, cache.v),
+            kv_in = (
+                (cache.k, cache.v, cache.k_scale, cache.v_scale)
+                if quant
+                else (cache.k, cache.v)
+            )
+            x, kv_out = stack(
+                Phi3Block(cfg, dtype=self.dtype, name="layers"), x, kv_in
             )
             appended = (
                 jnp.ones_like(cache.lengths) if s == 1 else kv_lens
             )
             new_cache = KVCache(
-                k=new_k, v=new_v, lengths=cache.lengths + appended
+                k=kv_out[0],
+                v=kv_out[1],
+                lengths=cache.lengths + appended,
+                k_scale=kv_out[2] if quant else None,
+                v_scale=kv_out[3] if quant else None,
             )
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
         return x, new_cache

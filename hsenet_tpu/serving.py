@@ -196,6 +196,11 @@ class ServingEngine:
                 kv_spec = P(None, None, "tp", None, None)
         self.params = params
         self._kv_spec = kv_spec
+        # scale arrays of an int8 cache drop the trailing head_dim axis
+        self._kv_scale_spec = (
+            P(*tuple(kv_spec)[:4]) if len(tuple(kv_spec)) == 5 else kv_spec
+        )
+        quant_kv = cache_dtype == jnp.int8
 
         self._cache = self._place_cache(
             KVCache.create(cfg, num_slots, capacity, dtype=cache_dtype)
@@ -226,13 +231,23 @@ class ServingEngine:
         self.slot_steps_used = 0  # active-slot steps (utilization stat)
         self.latencies: List[float] = []  # submit->finish wall per request
 
+        scale_spec = self._kv_scale_spec
+
         def _pin_row(row):
             if mesh is None:
                 return row
             ns = NamedSharding(mesh, kv_spec)
+            extra = {}
+            if row.k_scale is not None:
+                ss = NamedSharding(mesh, scale_spec)
+                extra = dict(
+                    k_scale=jax.lax.with_sharding_constraint(row.k_scale, ss),
+                    v_scale=jax.lax.with_sharding_constraint(row.v_scale, ss),
+                )
             return row.replace(
                 k=jax.lax.with_sharding_constraint(row.k, ns),
                 v=jax.lax.with_sharding_constraint(row.v, ns),
+                **extra,
             )
 
         def _first(logits, sample_args):
@@ -328,20 +343,33 @@ class ServingEngine:
 
             prefix_len = self._prefix_len
 
-            def _prefill_cont(params, q_ids, q_len, pk, pv, *sample_args):
+            def _prefill_cont(params, q_ids, q_len, pkv, *sample_args):
                 """Prefix-KV hit admission: seed a fresh row with the
                 cached BOS+image-block KV, then embed + prefill the
                 QUESTION chunk only (chunked-prefill q_offset path) —
-                no vision towers, no image-block recompute."""
+                no vision towers, no image-block recompute. `pkv` is the
+                tuple `_slice_prefix` produced ((k, v) or, for an int8
+                cache, (k, v, k_scale, v_scale))."""
                 row = KVCache.create(cfg, 1, capacity, dtype=cache_dtype)
-                row = KVCache(
+                extra = {}
+                if quant_kv:
+                    extra = dict(
+                        k_scale=jax.lax.dynamic_update_slice(
+                            row.k_scale, pkv[2], (0, 0, 0, 0)
+                        ),
+                        v_scale=jax.lax.dynamic_update_slice(
+                            row.v_scale, pkv[3], (0, 0, 0, 0)
+                        ),
+                    )
+                row = row.replace(
                     k=jax.lax.dynamic_update_slice(
-                        row.k, pk, (0, 0, 0, 0, 0)
+                        row.k, pkv[0], (0, 0, 0, 0, 0)
                     ),
                     v=jax.lax.dynamic_update_slice(
-                        row.v, pv, (0, 0, 0, 0, 0)
+                        row.v, pkv[1], (0, 0, 0, 0, 0)
                     ),
                     lengths=jnp.full((1,), prefix_len, jnp.int32),
+                    **extra,
                 )
                 row = _pin_row(row)
                 logits, row = model.apply(
@@ -350,13 +378,24 @@ class ServingEngine:
                 )
                 return _first(logits, sample_args), _pin_row(row)
 
-            def _slice_prefix(k, v):
+            def _slice_prefix(row):
                 """First prefix_len KV entries of a freshly prefilled
-                row — the cacheable, volume-pure part."""
-                return (
-                    jax.lax.slice_in_dim(k, 0, prefix_len, axis=3),
-                    jax.lax.slice_in_dim(v, 0, prefix_len, axis=3),
+                row — the cacheable, volume-pure part (+ their scales on
+                an int8 cache; both index token axis 3)."""
+                out = (
+                    jax.lax.slice_in_dim(row.k, 0, prefix_len, axis=3),
+                    jax.lax.slice_in_dim(row.v, 0, prefix_len, axis=3),
                 )
+                if quant_kv:
+                    out = out + (
+                        jax.lax.slice_in_dim(
+                            row.k_scale, 0, prefix_len, axis=3
+                        ),
+                        jax.lax.slice_in_dim(
+                            row.v_scale, 0, prefix_len, axis=3
+                        ),
+                    )
+                return out
 
             self._prefill_cont = jax.jit(_prefill_cont)
             self._slice_prefix = jax.jit(_slice_prefix)
@@ -374,15 +413,28 @@ class ServingEngine:
                 return _first(logits[:, 0], sample_args), _pin_row(row)
 
         def _insert(cache, token, done, row, first, slot):
-            k = jax.lax.dynamic_update_slice(
-                cache.k, row.k, (0, slot, 0, 0, 0)
+            extra = {}
+            if cache.k_scale is not None:
+                extra = dict(
+                    k_scale=jax.lax.dynamic_update_slice(
+                        cache.k_scale, row.k_scale, (0, slot, 0, 0)
+                    ),
+                    v_scale=jax.lax.dynamic_update_slice(
+                        cache.v_scale, row.v_scale, (0, slot, 0, 0)
+                    ),
+                )
+            new_cache = cache.replace(
+                k=jax.lax.dynamic_update_slice(
+                    cache.k, row.k, (0, slot, 0, 0, 0)
+                ),
+                v=jax.lax.dynamic_update_slice(
+                    cache.v, row.v, (0, slot, 0, 0, 0)
+                ),
+                lengths=cache.lengths.at[slot].set(row.lengths[0]),
+                **extra,
             )
-            v = jax.lax.dynamic_update_slice(
-                cache.v, row.v, (0, slot, 0, 0, 0)
-            )
-            lengths = cache.lengths.at[slot].set(row.lengths[0])
             return (
-                KVCache(k=k, v=v, lengths=lengths),
+                new_cache,
                 token.at[slot].set(first[0]),
                 done.at[slot].set(False),
             )
@@ -510,10 +562,18 @@ class ServingEngine:
             return cache
         ns = NamedSharding(self._mesh, self._kv_spec)
         rep = NamedSharding(self._mesh, P())
-        return KVCache(
+        extra = {}
+        if cache.k_scale is not None:
+            ss = NamedSharding(self._mesh, self._kv_scale_spec)
+            extra = dict(
+                k_scale=jax.device_put(cache.k_scale, ss),
+                v_scale=jax.device_put(cache.v_scale, ss),
+            )
+        return cache.replace(
             k=jax.device_put(cache.k, ns),
             v=jax.device_put(cache.v, ns),
             lengths=jax.device_put(cache.lengths, rep),
+            **extra,
         )
 
     def _replicate(self, x):
@@ -774,8 +834,7 @@ class ServingEngine:
                     self.params,
                     self._replicate(jnp.asarray(q_ids)),
                     self._replicate(jnp.asarray([len(q)], jnp.int32)),
-                    pkv[0],
-                    pkv[1],
+                    pkv,
                     *sample_args,
                 )
             else:
@@ -806,9 +865,7 @@ class ServingEngine:
                     # miss: retain this row's prefix KV for the next
                     # question about the same volume (zero extra compute)
                     self.prefix_misses += 1
-                    self._kv_prefix_cache[pkey] = self._slice_prefix(
-                        row.k, row.v
-                    )
+                    self._kv_prefix_cache[pkey] = self._slice_prefix(row)
                     while (
                         len(self._kv_prefix_cache)
                         > self.kv_prefix_cache_size

@@ -31,6 +31,9 @@ def main():
                    help="int8 weight-only projections (bitsandbytes parity)")
     p.add_argument("--int8-embed", action="store_true",
                    help="int8 embedding/tied-LM-head table too")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache — halves the per-step cache read "
+                        "that dominates past batch 16 (BENCH.md sweep)")
     args = p.parse_args()
 
     from hsenet_tpu.configs import Phi3Config
@@ -68,6 +71,7 @@ def main():
     for b in args.batches:
         gen = make_greedy_generate_llm_only(
             model, max_new_tokens=args.new_tokens, eos_token_id=-1,
+            cache_dtype=jnp.int8 if args.kv_int8 else jnp.bfloat16,
         )
         rng = np.random.default_rng(0)
         ids = jnp.asarray(rng.integers(3, 1000, (b, args.prompt_len)))

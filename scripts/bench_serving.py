@@ -43,6 +43,9 @@ def main():
     p.add_argument("--spec-chunk", type=int, default=16,
                    help="verify rounds per dispatch in --spec mode")
     p.add_argument("--draft-len", type=int, default=7)
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache in every arm (halves the per-step "
+                        "KV read; the lever for the >16-slot knee)")
     args = p.parse_args()
 
     from hsenet_tpu.configs import Phi3Config
@@ -84,10 +87,11 @@ def main():
           f"(sum {total_tokens} tokens)", flush=True)
 
     # ---- continuous batching engine ----
+    cache_dtype = jnp.int8 if args.kv_int8 else jnp.bfloat16
     eng = ServingEngine(
         model, params, eos_token_id=-1, num_slots=args.slots,
         prompt_cap=args.prompt_len, max_new_tokens=512,
-        chunk_size=args.chunk,
+        chunk_size=args.chunk, cache_dtype=cache_dtype,
     )
     # warm all three programs (compile outside the timed region)
     eng.submit(prompts[0], max_new=1)
@@ -111,7 +115,7 @@ def main():
             model, params, eos_token_id=-1, num_slots=args.slots,
             prompt_cap=args.prompt_len, max_new_tokens=512,
             chunk_size=args.spec_chunk, speculative=True,
-            draft_len=args.draft_len,
+            draft_len=args.draft_len, cache_dtype=cache_dtype,
         )
         spec.submit(prompts[0], max_new=1)
         spec.run_until_drained()
@@ -132,7 +136,8 @@ def main():
 
     # ---- static batched generate over the same workload ----
     gen = make_greedy_generate_llm_only(
-        model, max_new_tokens=512, eos_token_id=-1, dynamic_steps=True
+        model, max_new_tokens=512, eos_token_id=-1, dynamic_steps=True,
+        cache_dtype=cache_dtype,
     )
     ids0 = jnp.asarray(np.stack(prompts[: args.slots]))
     kv0 = jnp.full((args.slots,), args.prompt_len, jnp.int32)
