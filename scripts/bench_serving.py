@@ -46,6 +46,15 @@ def main():
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache in every arm (halves the per-step "
                         "KV read; the lever for the >16-slot knee)")
+    p.add_argument("--sample", action="store_true",
+                   help="sampling engines instead of greedy: a plain "
+                        "sampling engine plus (with --spec) the lossless "
+                        "speculative-SAMPLING engine; acceptance under "
+                        "temperature is workload-dependent, so this "
+                        "measures the verify-round economics (tok/s vs "
+                        "mean committed/round), not a greedy-style "
+                        "ceiling")
+    p.add_argument("--temperature", type=float, default=0.7)
     args = p.parse_args()
 
     from hsenet_tpu.configs import Phi3Config
@@ -88,10 +97,14 @@ def main():
 
     # ---- continuous batching engine ----
     cache_dtype = jnp.int8 if args.kv_int8 else jnp.bfloat16
+    sample_kw = dict(
+        do_sample=True, temperature=args.temperature,
+        rng=jax.random.PRNGKey(0),
+    ) if args.sample else {}
     eng = ServingEngine(
         model, params, eos_token_id=-1, num_slots=args.slots,
         prompt_cap=args.prompt_len, max_new_tokens=512,
-        chunk_size=args.chunk, cache_dtype=cache_dtype,
+        chunk_size=args.chunk, cache_dtype=cache_dtype, **sample_kw,
     )
     # warm all three programs (compile outside the timed region)
     eng.submit(prompts[0], max_new=1)
@@ -115,7 +128,7 @@ def main():
             model, params, eos_token_id=-1, num_slots=args.slots,
             prompt_cap=args.prompt_len, max_new_tokens=512,
             chunk_size=args.spec_chunk, speculative=True,
-            draft_len=args.draft_len, cache_dtype=cache_dtype,
+            draft_len=args.draft_len, cache_dtype=cache_dtype, **sample_kw,
         )
         spec.submit(prompts[0], max_new=1)
         spec.run_until_drained()
@@ -137,11 +150,15 @@ def main():
     # ---- static batched generate over the same workload ----
     gen = make_greedy_generate_llm_only(
         model, max_new_tokens=512, eos_token_id=-1, dynamic_steps=True,
-        cache_dtype=cache_dtype,
+        cache_dtype=cache_dtype, do_sample=args.sample,
+        temperature=args.temperature,
     )
+    gen_kw = {"rng": jax.random.PRNGKey(1)} if args.sample else {}
     ids0 = jnp.asarray(np.stack(prompts[: args.slots]))
     kv0 = jnp.full((args.slots,), args.prompt_len, jnp.int32)
-    _ = np.asarray(gen(params, ids0, kv0, jnp.int32(8))[:, -1])  # compile
+    _ = np.asarray(
+        gen(params, ids0, kv0, jnp.int32(8), **gen_kw)[:, -1]
+    )  # compile
 
     t0 = time.perf_counter()
     for i in range(0, args.requests, args.slots):
@@ -152,7 +169,8 @@ def main():
         kv = jnp.full((args.slots,), args.prompt_len, jnp.int32)
         steps = max(budgets[j] for j in group)
         _ = np.asarray(
-            gen(params, jnp.asarray(ids), kv, jnp.int32(steps))[:, -1]
+            gen(params, jnp.asarray(ids), kv, jnp.int32(steps),
+                **gen_kw)[:, -1]
         )
     t_static = time.perf_counter() - t0
     static_tps = total_tokens / t_static
@@ -167,8 +185,12 @@ def main():
         "utilization": round(eng.utilization, 3),
         "requests": args.requests,
     }
+    if args.sample:
+        out["mode"] = f"sampling (temperature {args.temperature})"
     if spec_tps is not None:
-        out["spec_engine_tok_s_ceiling"] = round(spec_tps, 1)
+        key = ("spec_engine_tok_s" if args.sample
+               else "spec_engine_tok_s_ceiling")
+        out[key] = round(spec_tps, 1)
         out["spec_mean_committed_per_round"] = round(spec_accept, 2)
     print(json.dumps(out))
 
