@@ -55,6 +55,13 @@ def main():
                         "mean committed/round), not a greedy-style "
                         "ceiling")
     p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--random-weights", action="store_true",
+                   help="gaussian synthetic weights instead of constants: "
+                        "constant weights give CONSTANT logits (uniform "
+                        "sample distribution at any temperature, so spec "
+                        "acceptance ~ 1/vocab); random weights give a "
+                        "peaked landscape where temperature actually "
+                        "modulates acceptance")
     args = p.parse_args()
 
     from hsenet_tpu.configs import Phi3Config
@@ -72,10 +79,18 @@ def main():
 
     @jax.jit
     def materialise():
+        counter = iter(range(1_000_000))
+
         def fill(s):
             if s.dtype == jnp.int8:
+                if args.random_weights:
+                    key = jax.random.PRNGKey(next(counter))
+                    return jax.random.randint(key, s.shape, -4, 5, jnp.int8)
                 return jnp.ones(s.shape, jnp.int8)
             if jnp.issubdtype(s.dtype, jnp.floating):
+                if args.random_weights:
+                    key = jax.random.PRNGKey(next(counter))
+                    return 0.02 * jax.random.normal(key, s.shape, jnp.bfloat16)
                 return jnp.full(s.shape, 0.01, jnp.bfloat16)
             return jnp.zeros(s.shape, s.dtype)
 

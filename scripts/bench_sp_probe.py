@@ -56,7 +56,7 @@ def measure(patch, *, repeats=3, n1=2, n2=6):
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     def loss(params, volume):
-        out, _ = model.apply(params, volume)
+        out = model.apply(params, volume)
         return jnp.mean(out.astype(jnp.float32) ** 2)
 
     grad = jax.grad(loss)

@@ -41,7 +41,10 @@ def test_two_process_stage1_matches_single_process(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=420)
+        # generous: takes ~145 s alone, but under 8-way xdist on a 1-core
+        # host it measured >420 s once (load, not a hang) — a short
+        # timeout converts contention into a spurious suite failure
+        out, _ = p.communicate(timeout=1200)
         outs.append(out.decode())
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
