@@ -62,11 +62,13 @@ def test_running_means():
 
 def test_bert_score_identity():
     def embed(texts):
-        # toy deterministic embeddings: hash of token -> one-hot-ish
+        # toy deterministic embeddings: token ordinal -> one-hot
+        # (builtin hash() is salted by PYTHONHASHSEED and can collide
+        # "a b c" with "d e f" across the 8 buckets — flaky)
         out = np.zeros((len(texts), 6, 8))
         for i, t in enumerate(texts):
             for j, w in enumerate(t.split()[:6]):
-                out[i, j, hash(w) % 8] = 1.0
+                out[i, j, (ord(w[0]) - ord("a")) % 8] = 1.0
         return out
 
     res = bert_score(["a b c"], ["a b c"], embed)
