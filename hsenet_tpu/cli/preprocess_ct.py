@@ -69,9 +69,19 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0)
     p.add_argument(
         "--faithful", action="store_true",
-        help="reference-exact two-interpolation chain (spacing resample "
-        "from the NIfTI pixdim, then crop+resize) for checkpoint-parity "
-        "evals; default is the fused single-resample fast path",
+        help="reference-exact chains for checkpoint-parity evals: volumes "
+        "use the two-interpolation spacing-resample+crop+resize, slices "
+        "add the reference's per-slice uint8 quantization + -90deg "
+        "rotation + BICUBIC 224 (CT-RATE_nii_to_2D_slices.py:230-242); "
+        "default is the fused fast path",
+    )
+    p.add_argument(
+        "--slice-jpeg-roundtrip", action="store_true",
+        help="byte-exact offline slice chain: device computes the rotated "
+        "uint8 slices, host PIL does the JPEG(q95) encode/decode + BICUBIC "
+        "resize exactly like the reference scripts, so regenerated "
+        "(32,768) features match reference-era npys through the same "
+        "codecs (implies the faithful slice path; needs Pillow)",
     )
     args = p.parse_args(argv)
 
@@ -114,7 +124,32 @@ def main(argv=None):
         entry = {"image": vol_path}
 
         if args.slices or vit2d is not None:
-            sl = extract_slices(raw, jnp.float32(s), jnp.float32(i), cfg)
+            if args.slice_jpeg_roundtrip:
+                from hsenet_tpu.data.preprocess import (
+                    extract_slices_uint8,
+                    slices_jpeg_roundtrip_host,
+                )
+
+                inter = spacing_resample_shape(
+                    raw.shape, vol.zyx_spacing, cfg
+                )
+                u8 = extract_slices_uint8(
+                    raw, jnp.float32(s), jnp.float32(i), cfg,
+                    intermediate_shape=inter,
+                )
+                sl = jnp.asarray(
+                    slices_jpeg_roundtrip_host(np.asarray(u8), cfg)
+                )
+            elif args.faithful:
+                inter = spacing_resample_shape(
+                    raw.shape, vol.zyx_spacing, cfg
+                )
+                sl = extract_slices(
+                    raw, jnp.float32(s), jnp.float32(i), cfg,
+                    intermediate_shape=inter, faithful=True,
+                )
+            else:
+                sl = extract_slices(raw, jnp.float32(s), jnp.float32(i), cfg)
             if vit2d is not None:
                 feats = vit2d.apply(vit2d_params, sl)
                 feat_path = f"{stem}_biomedclip_features.npy"

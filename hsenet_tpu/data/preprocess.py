@@ -184,22 +184,9 @@ def preprocess_volume(
     return jnp.clip(out, 0.0, 1.0)[None]
 
 
-@functools.partial(jax.jit, static_argnames=("config", "intermediate_shape"))
-def extract_slices(
-    raw: jax.Array,  # (D, H, W)
-    slope: jax.Array,
-    intercept: jax.Array,
-    config: PreprocessConfig = PreprocessConfig(),
-    intermediate_shape: Optional[Tuple[int, int, int]] = None,
-) -> jax.Array:
-    """-> (num_slices, S, S, 3) float32, CLIP-normalised, for the 2D trunk.
-
-    Pass `intermediate_shape` (from `spacing_resample_shape`) to reproduce
-    the reference's spacing resample before slice selection
-    (CT-RATE_nii_to_2D_slices.py:189-196); otherwise slices are picked on
-    the raw z grid (fast default; xy geometry is absorbed by the final
-    resize to `slice_size`).
-    """
+def _slices_from_hu(raw, slope, intercept, config, intermediate_shape):
+    """Shared HU/resample/slice-selection head of the 2D path -> (n, H, W)
+    in [0, 1] after per-slice min-max."""
     hu = slope * raw.astype(jnp.float32) + intercept
     hu = jnp.clip(hu, config.slice_hu_min, config.slice_hu_max) / jnp.abs(
         jnp.float32(config.slice_hu_max)
@@ -219,13 +206,100 @@ def extract_slices(
     # per-slice min-max (reference :231-236 normalises each slice to 0..255)
     mn = slices.min(axis=(1, 2), keepdims=True)
     mx = slices.max(axis=(1, 2), keepdims=True)
-    slices = (slices - mn) / jnp.maximum(mx - mn, 1e-8)
-    s = config.slice_size
-    slices = jax.image.resize(slices, (n, s, s), method="linear")
-    rgb = jnp.repeat(slices[..., None], 3, axis=-1)
+    return (slices - mn) / jnp.maximum(mx - mn, 1e-8)
+
+
+def _clip_normalize(gray: jax.Array) -> jax.Array:
+    """(..., H, W) in [0,1] -> (..., H, W, 3) CLIP-normalised."""
+    rgb = jnp.repeat(gray[..., None], 3, axis=-1)
     mean = jnp.asarray(_CLIP_MEAN)
     std = jnp.asarray(_CLIP_STD)
     return (rgb - mean) / std
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "intermediate_shape", "faithful")
+)
+def extract_slices(
+    raw: jax.Array,  # (D, H, W)
+    slope: jax.Array,
+    intercept: jax.Array,
+    config: PreprocessConfig = PreprocessConfig(),
+    intermediate_shape: Optional[Tuple[int, int, int]] = None,
+    faithful: bool = False,
+) -> jax.Array:
+    """-> (num_slices, S, S, 3) float32, CLIP-normalised, for the 2D trunk.
+
+    Pass `intermediate_shape` (from `spacing_resample_shape`) to reproduce
+    the reference's spacing resample before slice selection
+    (CT-RATE_nii_to_2D_slices.py:189-196); otherwise slices are picked on
+    the raw z grid (fast default; xy geometry is absorbed by the final
+    resize to `slice_size`).
+
+    `faithful=True` reproduces the reference's offline image chain — the
+    one every released stage-2/VLM checkpoint's precomputed (32, 768)
+    features went through (CT-RATE_nii_to_2D_slices.py:230-242 +
+    CT-RATE_2D_to_npy_file.py:49-98 open_clip preprocessing):
+      per-slice [0,255] quantization with torch's truncating uint8 cast
+      -> -90° (clockwise) rotation (PIL rotate(-90, expand=True))
+      -> antialiased BICUBIC resize to 224 (+ the post-resize uint8
+         quantization PIL/ToTensor applies) -> CLIP normalize.
+    Residual vs the reference bytes: PIL's resample uses 8-bit fixed-point
+    filter coefficients (<= ~0.5 gray level off an exact bicubic) and the
+    saved JPEGs are quality-95 lossy — both below the JPEG noise floor
+    already baked into the reference's own features. For byte-exact
+    offline regeneration use `cli/preprocess_ct --slice-jpeg-roundtrip`,
+    which routes the uint8 slices from `extract_slices_uint8` through a
+    real PIL JPEG encode/decode + PIL resize on host.
+    """
+    slices = _slices_from_hu(raw, slope, intercept, config, intermediate_shape)
+    n, s = config.num_slices, config.slice_size
+    if not faithful:
+        slices = jax.image.resize(slices, (n, s, s), method="linear")
+        return _clip_normalize(slices)
+
+    # [0,1] -> 0..255 with torch's `.to(torch.uint8)` TRUNCATION
+    # (nii_to_2D_slices.py:71: (x*255).to(uint8)), round-tripped
+    u8 = jnp.clip(jnp.floor(slices * 255.0), 0, 255)
+    # PIL rotate(-90, expand=True) == np.rot90(a, k=-1): (n, H, W)->(n, W, H)
+    u8 = jnp.rot90(u8, k=-1, axes=(1, 2))
+    x = u8 / 255.0
+    # open_clip preprocess: Resize(224, BICUBIC, antialiased) + CenterCrop.
+    h, w = x.shape[1], x.shape[2]
+    if h == w:
+        x = jax.image.resize(x, (n, s, s), method="cubic", antialias=True)
+    else:
+        # shorter side -> 224, then center crop (torchvision semantics)
+        if h < w:
+            nh, nw = s, int(round(w * s / h))
+        else:
+            nh, nw = int(round(h * s / w)), s
+        x = jax.image.resize(x, (n, nh, nw), method="cubic", antialias=True)
+        top, left = (nh - s) // 2, (nw - s) // 2
+        x = x[:, top : top + s, left : left + s]
+    # the resized PIL image is still uint8 before ToTensor divides by 255
+    x = jnp.clip(jnp.round(x * 255.0), 0, 255) / 255.0
+    return _clip_normalize(x)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "intermediate_shape")
+)
+def extract_slices_uint8(
+    raw: jax.Array,
+    slope: jax.Array,
+    intercept: jax.Array,
+    config: PreprocessConfig = PreprocessConfig(),
+    intermediate_shape: Optional[Tuple[int, int, int]] = None,
+) -> jax.Array:
+    """-> (num_slices, W, H) uint8: the reference's rotated full-resolution
+    slices exactly as PIL saw them before the JPEG save
+    (CT-RATE_nii_to_2D_slices.py:230-242). Device does the volume-scale
+    work; the host-side JPEG/resize tail (cli/preprocess_ct
+    --slice-jpeg-roundtrip) finishes the byte-exact offline chain."""
+    slices = _slices_from_hu(raw, slope, intercept, config, intermediate_shape)
+    u8 = jnp.clip(jnp.floor(slices * 255.0), 0, 255)
+    return jnp.rot90(u8, k=-1, axes=(1, 2)).astype(jnp.uint8)
 
 
 def preprocess_batch(raws, slopes, intercepts, config=PreprocessConfig()):
@@ -294,3 +368,47 @@ def reference_preprocess(
     vol = vol[tuple(slices)]
     vol = _trilinear_resize_np(vol, config.target_shape)
     return np.clip(vol, 0.0, 1.0)[None].astype(np.float32)
+
+
+def slices_jpeg_roundtrip_host(
+    u8_slices: np.ndarray,  # (n, H, W) uint8 from extract_slices_uint8
+    config: PreprocessConfig = PreprocessConfig(),
+    jpeg_quality: int = 95,
+) -> np.ndarray:
+    """Finish the reference's offline 2D chain byte-exactly on host.
+
+    PIL JPEG quality-95 encode/decode (nii_to_2D_slices.py:242), RGB
+    convert + BICUBIC shorter-side resize + center crop (the open_clip
+    BiomedCLIP preprocess, CT-RATE_2D_to_npy_file.py:74-80), /255, CLIP
+    normalize -> (n, S, S, 3) float32. Requires Pillow; this is the
+    offline-regeneration path (32 tiny images per volume — the volume-scale
+    work already ran on device), used by `cli/preprocess_ct
+    --slice-jpeg-roundtrip` when features must match reference-era npys
+    bit-for-bit through the same codecs.
+    """
+    import io
+
+    from PIL import Image
+
+    s = config.slice_size
+    out = []
+    for sl in np.asarray(u8_slices):
+        img = Image.fromarray(sl)  # mode L, like the reference's save
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=jpeg_quality)
+        img2 = Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
+        w, h = img2.size
+        if w == h:
+            nw = nh = s
+        elif w < h:
+            nw, nh = s, int(round(h * s / w))
+        else:
+            nw, nh = int(round(w * s / h)), s
+        img2 = img2.resize((nw, nh), Image.BICUBIC)
+        left, top = (nw - s) // 2, (nh - s) // 2
+        img2 = img2.crop((left, top, left + s, top + s))
+        out.append(np.asarray(img2, np.float32) / 255.0)
+    x = np.stack(out)
+    mean = np.asarray(_CLIP_MEAN, np.float32)
+    std = np.asarray(_CLIP_STD, np.float32)
+    return ((x - mean) / std).astype(np.float32)

@@ -812,3 +812,128 @@ def test_build_task_mix(tmp_path):
 
     with pytest.raises(ValueError):
         build_task_mix("bogus", args, tok, manifest)
+
+
+def test_extract_slices_faithful_matches_pil_oracle():
+    """`extract_slices(faithful=True)` vs a host PIL oracle of the
+    reference's offline image chain (CT-RATE_nii_to_2D_slices.py:230-242 +
+    CT-RATE_2D_to_npy_file.py open_clip preprocessing, minus the JPEG
+    codec): per-slice truncating-uint8 quantization and the -90 degree
+    rotation must be EXACT; the bicubic-224 tail must agree to within one
+    uint8 gray level (PIL resamples with 8-bit fixed-point filter
+    coefficients, so exact-filter parity is not attainable — the residual
+    is below the quality-95 JPEG noise already baked into the reference's
+    own features)."""
+    from PIL import Image
+
+    from hsenet_tpu.data.preprocess import (
+        _CLIP_MEAN,
+        _CLIP_STD,
+        extract_slices_uint8,
+    )
+
+    raw = _synthetic_ct((24, 64, 56), smooth=True)  # non-square slices
+    cfg = PreprocessConfig(num_slices=8, slice_size=32)
+
+    # ---- host oracle (PIL does rotate + resize + crop, like the scripts)
+    hu = np.clip(raw, cfg.slice_hu_min, cfg.slice_hu_max) / abs(
+        cfg.slice_hu_max
+    )
+    zs = np.linspace(0, raw.shape[0] - 1, cfg.num_slices).astype(np.int64)
+    sl = hu[zs]
+    mn = sl.min(axis=(1, 2), keepdims=True)
+    mx = sl.max(axis=(1, 2), keepdims=True)
+    sl = (sl - mn) / np.maximum(mx - mn, 1e-8)
+    u8_oracle, resized = [], []
+    s = cfg.slice_size
+    for img in sl:
+        u8 = (img * 255).astype(np.uint8)  # torch-style truncation
+        pil = Image.fromarray(u8).rotate(-90, expand=True)
+        u8_oracle.append(np.asarray(pil))
+        w, h = pil.size
+        if w <= h:
+            nw, nh = s, int(round(h * s / w))
+        else:
+            nw, nh = int(round(w * s / h)), s
+        pil = pil.resize((nw, nh), Image.BICUBIC)
+        left, top = (nw - s) // 2, (nh - s) // 2
+        pil = pil.crop((left, top, left + s, top + s))
+        resized.append(np.asarray(pil, np.float32) / 255.0)
+    oracle = np.stack(resized)[..., None].repeat(3, -1)
+    oracle = (oracle - np.asarray(_CLIP_MEAN, np.float32)) / np.asarray(
+        _CLIP_STD, np.float32
+    )
+
+    # ---- device path
+    dev_u8 = np.asarray(
+        extract_slices_uint8(
+            jnp.asarray(raw), jnp.float32(1.0), jnp.float32(0.0), cfg
+        )
+    )
+    np.testing.assert_array_equal(dev_u8, np.stack(u8_oracle))  # EXACT
+
+    dev = np.asarray(
+        extract_slices(
+            jnp.asarray(raw), jnp.float32(1.0), jnp.float32(0.0), cfg,
+            faithful=True,
+        )
+    )
+    assert dev.shape == oracle.shape == (8, 32, 32, 3)
+    one_level = (1.0 / 255.0) / min(_CLIP_STD)  # one uint8 gray level
+    diff = np.abs(dev - oracle)
+    assert diff.max() <= 2.5 * one_level, diff.max()
+    assert diff.mean() <= 0.25 * one_level, diff.mean()
+    assert (diff <= one_level + 1e-6).mean() > 0.95
+
+
+def test_extract_slices_faithful_rotates_content():
+    """The fast path must NOT rotate (backwards-compat with round-3
+    features); the faithful path must (reference checkpoint fidelity)."""
+    raw = _synthetic_ct((16, 48, 48), smooth=True)
+    cfg = PreprocessConfig(num_slices=4, slice_size=48)
+    fast = np.asarray(
+        extract_slices(jnp.asarray(raw), jnp.float32(1.0), jnp.float32(0.0), cfg)
+    )
+    faith = np.asarray(
+        extract_slices(
+            jnp.asarray(raw), jnp.float32(1.0), jnp.float32(0.0), cfg,
+            faithful=True,
+        )
+    )
+    # same content up to rotation + quantization: rotating the fast output
+    # by -90 must correlate far better with the faithful output than the
+    # unrotated one does
+    rot_fast = np.rot90(fast, k=-1, axes=(1, 2))
+    c_rot = np.corrcoef(rot_fast.ravel(), faith.ravel())[0, 1]
+    c_raw = np.corrcoef(fast.ravel(), faith.ravel())[0, 1]
+    assert c_rot > 0.99, (c_rot, c_raw)
+    assert c_rot > c_raw + 0.05
+
+
+def test_slices_jpeg_roundtrip_host():
+    """The byte-exact host tail: JPEG q95 + PIL bicubic on the device's
+    uint8 slices -> CLIP-normalized tensors near the JPEG-free faithful
+    device output (JPEG q95 error is a few gray levels)."""
+    from hsenet_tpu.data.preprocess import (
+        _CLIP_STD,
+        extract_slices_uint8,
+        slices_jpeg_roundtrip_host,
+    )
+
+    raw = _synthetic_ct((16, 48, 48), smooth=True)
+    cfg = PreprocessConfig(num_slices=4, slice_size=32)
+    u8 = np.asarray(
+        extract_slices_uint8(
+            jnp.asarray(raw), jnp.float32(1.0), jnp.float32(0.0), cfg
+        )
+    )
+    out = slices_jpeg_roundtrip_host(u8, cfg)
+    faith = np.asarray(
+        extract_slices(
+            jnp.asarray(raw), jnp.float32(1.0), jnp.float32(0.0), cfg,
+            faithful=True,
+        )
+    )
+    assert out.shape == faith.shape and np.isfinite(out).all()
+    one_level = (1.0 / 255.0) / min(_CLIP_STD)
+    assert np.abs(out - faith).mean() < 2 * one_level
