@@ -170,7 +170,7 @@ def main(argv=None):
         student_params = sp
 
     tx = make_optimizer(train_cfg)
-    state = TrainState.create(student_params, tx)
+    state = TrainState.create(student_params, tx, mesh=mesh)
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir, async_save=getattr(args, 'async_save', False))
     resume_dir = resolve_resume_dir(args, ckpt)

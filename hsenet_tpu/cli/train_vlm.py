@@ -282,7 +282,7 @@ def main(argv=None):
 
     mask = vlm_trainable_mask(params)
     tx = make_optimizer(train_cfg, trainable_mask=mask)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, mesh=mesh)
     state = maybe_zero1(state, args, mesh)
     ckpt = CheckpointManager(args.output_dir, async_save=getattr(args, 'async_save', False))
     resume_dir = resolve_resume_dir(args, ckpt)

@@ -16,13 +16,37 @@ import jax.numpy as jnp
 
 from hsenet_tpu.ops.flash_attention import flash_attention
 
-_FLASH_ENABLED = True
+# Flash dispatch policy:
+#   "auto"   — Pallas flash on TPU and on single-device hosts; the XLA
+#              einsum path for multi-device non-TPU programs. Off-TPU the
+#              kernel runs in interpret mode, which lowers to an XLA
+#              while-loop over the grid; under SPMD partitioning the
+#              loop-carried (B, H, S_pad, D_pad) buffers pick up
+#              conflicting shardings (batch-dp from the inputs vs tp/dp
+#              propagated from sharded projection weights) and the
+#              partitioner falls back to involuntary full
+#              rematerialization — a full replicate+repartition per grid
+#              step. The einsum path has no loop: XLA's dot partitioner
+#              inserts the one small collective each reshard actually
+#              needs. (On a real multi-chip TPU mesh the kernel must be
+#              invoked per-device anyway — see ops/ring_attention.py for
+#              the shard_map pattern.)
+#   "always" — Pallas flash whenever seq > 1 (kernel-through-model tests).
+#   "never"  — einsum path only (numerics A/B tests).
+_FLASH_MODE = "auto"
 
 
 def set_flash_enabled(enabled: bool) -> None:
     """Global switch (e.g. for numerics A/B tests)."""
-    global _FLASH_ENABLED
-    _FLASH_ENABLED = enabled
+    global _FLASH_MODE
+    _FLASH_MODE = "auto" if enabled else "never"
+
+
+def set_flash_mode(mode: str) -> None:
+    """Set the flash dispatch policy: "auto" | "always" | "never"."""
+    assert mode in ("auto", "always", "never"), mode
+    global _FLASH_MODE
+    _FLASH_MODE = mode
 
 
 def sdpa_reference(
@@ -86,7 +110,14 @@ def multi_head_attention(
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
     if use_flash is None:
-        use_flash = _FLASH_ENABLED and q.shape[2] > 1
+        if _FLASH_MODE == "never":
+            use_flash = False
+        elif _FLASH_MODE == "always":
+            use_flash = q.shape[2] > 1
+        else:  # "auto" — see the policy note at the top of this module
+            use_flash = q.shape[2] > 1 and (
+                jax.default_backend() == "tpu" or jax.device_count() == 1
+            )
     if use_flash:
         kwargs = {} if block_q is None else {"block_q": block_q}
         return flash_attention(

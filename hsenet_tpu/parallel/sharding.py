@@ -32,7 +32,15 @@ LLM_PARTITION_RULES: List[Tuple[str, P]] = [
     # row-parallel: input dim sharded; scales follow the (replicated) output
     (r".*(o_proj|down_proj)/kernel(_q)?$", P(None, "tp", None)),
     (r".*(o_proj|down_proj)/kernel_scale$", P()),
-    # LoRA adapters: tiny, replicate
+    # LoRA adapters follow their base kernel's Megatron placement: lora_b of
+    # column-parallel layers shards its output dim, lora_a of row-parallel
+    # layers shards its input dim, the tiny rank dim stays replicated.
+    # (This is also what XLA's sharding propagation picks for the train
+    # step's outputs — matching it here keeps the step's input and output
+    # shardings identical, so the second step doesn't silently recompile.)
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)/lora_b$",
+     P(None, None, "tp")),
+    (r".*(o_proj|down_proj)/lora_a$", P(None, "tp", None)),
     (r".*lora_[ab]$", P()),
     # embeddings + tied head: vocab-sharded (+ int8 per-vocab-row scales)
     (r".*embed/embedding(_q)?$", P("tp", None)),
@@ -65,7 +73,15 @@ def make_param_specs(params):
             ndim = getattr(leaf, "ndim", None)
             if ndim is not None and len(spec) > ndim:
                 spec = P(*spec[len(spec) - ndim :])
-        specs.append(spec)
+        # canonicalize: no trailing Nones — XLA reports output shardings
+        # without them, and PartitionSpec(None, 'tp', None) !=
+        # PartitionSpec(None, 'tp') at the jit cache even though the
+        # placements are identical (a mismatch = silent full recompile of
+        # the second train step)
+        parts = list(spec)
+        while parts and parts[-1] is None:
+            parts.pop()
+        specs.append(P(*parts))
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 

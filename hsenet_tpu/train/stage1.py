@@ -16,7 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hsenet_tpu.models.clip import CLIPModel
 from hsenet_tpu.train.losses import clip_contrastive_loss, retrieval_accuracy
-from hsenet_tpu.train.train_state import TrainState
+from hsenet_tpu.train.train_state import TrainState, jit_sharding_stable
 
 
 def stage1_loss_fn(
@@ -77,4 +77,7 @@ def make_stage1_train_step(
             metrics,
         )
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    # sharding-stable: output state placement pinned to the input's (the
+    # ZeRO-1 update all-gather happens inside the step, not by accident
+    # in the next forward pass)
+    return jit_sharding_stable(train_step)

@@ -35,7 +35,7 @@ from hsenet_tpu.train.losses import (
     relation_weight,
     retrieval_accuracy,
 )
-from hsenet_tpu.train.train_state import TrainState
+from hsenet_tpu.train.train_state import TrainState, jit_sharding_stable
 
 
 def stage2_loss_fn(
@@ -294,7 +294,7 @@ def make_stage2_train_step(
                 metrics,
             )
 
-        return jax.jit(train_step_cached, donate_argnums=(0,))
+        return jit_sharding_stable(train_step_cached)
 
     def train_step(state: TrainState, tparams, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -317,7 +317,7 @@ def make_stage2_train_step(
             metrics,
         )
 
-    jitted = jax.jit(train_step, donate_argnums=(0,))
+    jitted = jit_sharding_stable(train_step)
 
     # The frozen teacher enters as a RUNTIME argument, not a closure:
     # closing over the ~200M-param tree bakes it into the HLO as constants —

@@ -19,12 +19,84 @@ class TrainState:
     opt_state: Any
 
     @classmethod
-    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
-        return cls(
+    def create(
+        cls, params, tx: optax.GradientTransformation, mesh=None
+    ) -> "TrainState":
+        """Build the initial state; `tx.init` moments inherit each param's
+        placement automatically.
+
+        `mesh`: when training over a device mesh, pass it so the SCALAR
+        leaves (`step`, optax `count`s) are placed mesh-replicated up
+        front. Freshly-created scalars are single-device, but the compiled
+        train step returns them mesh-replicated — without this the second
+        step's input shardings differ from the first's and jit silently
+        recompiles the whole program (one full extra XLA compile per run).
+        """
+        state = cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(mesh, PartitionSpec())
+            state = jax.tree.map(
+                lambda x: (
+                    jax.device_put(x, repl)
+                    if getattr(x, "ndim", None) == 0
+                    else x
+                ),
+                state,
+            )
+        return state
+
+
+def jit_sharding_stable(fn, donate_argnums=(0,)):
+    """jit a `fn(state, *args) -> (state, aux)` step, pinning the output
+    state's placement to the input state's.
+
+    Without this, XLA picks the output shardings by propagation — e.g.
+    under ZeRO-1 (Adam moments dp-sharded, params replicated) it happily
+    returns the UPDATED PARAMS dp-sharded because the updates inherit the
+    moments' sharding, which (a) silently recompiles the whole step on the
+    second call (input shardings no longer match) and (b) turns every
+    subsequent forward pass into per-use all-gathers the user never asked
+    for. Pinning `out_shardings` to the input placement makes XLA insert
+    the one update all-gather exactly where ZeRO-1 wants it and makes
+    "placement in == placement out" an invariant of every train step.
+
+    The jit is built lazily per distinct input placement (the shardings
+    aren't known until a concrete state arrives) and cached.
+    """
+    cache = {}
+    from jax.sharding import NamedSharding
+
+    def wrapper(state, *args):
+        shardings = jax.tree.map(lambda l: l.sharding, state)
+        leaves = jax.tree.leaves(shardings)
+        # Pin only when the state is actually mesh-placed. A state left on
+        # one device (unit tests, eager experimentation) may legitimately
+        # be combined with mesh-sharded batches — jit promotes it onto the
+        # mesh, and pinning single-device outputs would be a device-set
+        # mismatch error.
+        if not all(isinstance(s, NamedSharding) for s in leaves):
+            key = None
+            out_shardings = None
+        else:
+            key = tuple(leaves)
+            out_shardings = (shardings, None)
+        jitted = cache.get(key)
+        if jitted is None:
+            jitted = jax.jit(
+                fn,
+                donate_argnums=donate_argnums,
+                out_shardings=out_shardings,
+            )
+            cache[key] = jitted
+        return jitted(state, *args)
+
+    return wrapper
 
 
 def make_schedule(cfg: TrainConfig) -> optax.Schedule:

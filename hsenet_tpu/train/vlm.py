@@ -19,7 +19,7 @@ from jax.sharding import Mesh
 
 from hsenet_tpu.models.mllm import HSENetVLM
 from hsenet_tpu.train.losses import masked_lm_loss
-from hsenet_tpu.train.train_state import TrainState
+from hsenet_tpu.train.train_state import TrainState, jit_sharding_stable
 
 
 def vlm_trainable_mask(
@@ -242,7 +242,7 @@ def make_masked_train_step(
             metrics,
         )
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jit_sharding_stable(train_step)
 
 
 def make_vlm_train_step(

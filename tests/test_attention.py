@@ -180,3 +180,43 @@ def test_quant_matvec_dispatch_rules(key):
     scale2 = jnp.full((256,), 0.01, jnp.float32)
     g = jax.grad(lambda xx: quant_matvec_int8(xx, wq2, scale2).sum())(x_big)
     assert g.shape == x_big.shape and bool(jnp.all(jnp.isfinite(g)))
+
+
+# ------------------------------------------------------------- flash dispatch
+
+
+def test_flash_mode_dispatch_and_model_integration(key):
+    """The "auto" policy routes multi-device CPU programs to the einsum
+    path (interpret-mode Pallas lowers to an XLA while-loop whose carried
+    buffers the SPMD partitioner can only reshard by involuntary full
+    rematerialization — see ops/attention.py policy note); "always" keeps
+    kernel-through-model coverage by forcing interpret Pallas through a
+    full ViT forward and asserting it matches the einsum path."""
+    from hsenet_tpu.configs import ViT3DConfig
+    from hsenet_tpu.models.vit import ViT3D
+    from hsenet_tpu.ops import attention as attn_mod
+
+    cfg = ViT3DConfig(
+        image_size=(8, 32, 32), patch_size=(2, 8, 8), hidden_size=32,
+        mlp_dim=64, num_layers=2, num_heads=4, num_slices=4,
+        slice_feature_dim=32,
+    )
+    model = ViT3D(cfg)
+    vol = jax.random.normal(key, (2, 1, 8, 32, 32))
+    params = model.init(key, vol)
+
+    # this suite runs on 8 virtual CPU devices, so "auto" == einsum path
+    assert jax.default_backend() == "cpu" and jax.device_count() == 8
+    try:
+        attn_mod.set_flash_mode("never")
+        out_einsum = model.apply(params, vol)
+        attn_mod.set_flash_mode("auto")
+        out_auto = model.apply(params, vol)
+        attn_mod.set_flash_mode("always")
+        out_flash = model.apply(params, vol)  # interpret-mode Pallas
+    finally:
+        attn_mod.set_flash_mode("auto")
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_einsum))
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_einsum), atol=2e-5, rtol=2e-5
+    )
