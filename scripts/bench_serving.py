@@ -81,7 +81,8 @@ def main():
     def materialise():
         counter = iter(range(1_000_000))
 
-        def fill(s):
+        def fill(path, s):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
             if s.dtype == jnp.int8:
                 if args.random_weights:
                     key = jax.random.PRNGKey(next(counter))
@@ -90,11 +91,20 @@ def main():
             if jnp.issubdtype(s.dtype, jnp.floating):
                 if args.random_weights:
                     key = jax.random.PRNGKey(next(counter))
-                    return 0.02 * jax.random.normal(key, s.shape, jnp.bfloat16)
+                    noise = 0.02 * jax.random.normal(
+                        key, s.shape, jnp.bfloat16
+                    )
+                    # LayerNorm/RMSNorm gains and quant scales sit near 1.0
+                    # in a real network; zero-centering them collapses
+                    # layer outputs and flattens the logit landscape the
+                    # flag exists to create
+                    if "norm" in name.lower() or name.endswith("scale"):
+                        return 1.0 + noise
+                    return noise
                 return jnp.full(s.shape, 0.01, jnp.bfloat16)
             return jnp.zeros(s.shape, s.dtype)
 
-        return jax.tree.map(fill, shapes)
+        return jax.tree_util.tree_map_with_path(fill, shapes)
 
     params = materialise()
     rng = np.random.default_rng(0)
@@ -183,9 +193,16 @@ def main():
                        + [prompts[group[-1]]] * pad)
         kv = jnp.full((args.slots,), args.prompt_len, jnp.int32)
         steps = max(budgets[j] for j in group)
+        # distinct sampling stream per group (throughput is unaffected,
+        # but reusing one key would make every group draw identical noise
+        # if anyone ever inspects the generated tokens)
+        group_kw = (
+            {"rng": jax.random.fold_in(gen_kw["rng"], i)}
+            if gen_kw else gen_kw
+        )
         _ = np.asarray(
             gen(params, jnp.asarray(ids), kv, jnp.int32(steps),
-                **gen_kw)[:, -1]
+                **group_kw)[:, -1]
         )
     t_static = time.perf_counter() - t0
     static_tps = total_tokens / t_static
