@@ -19,6 +19,14 @@ Design:
     (grid over q blocks) and dK/dV (grid over k blocks) without ever
     materialising the (S, S) matrix in HBM. An XLA-recompute fallback
     remains selectable (`use_pallas_bwd=False`).
+  * LONG sequences (sequence-parallel / fine-patching shapes, DESIGN.md
+    §sp): when whole-KV residency would blow the ~16 MB scoped-VMEM
+    budget, fwd and bwd switch to STREAMING variants with a fourth grid
+    axis over KV (resp. Q) blocks and the online-softmax / grad carries
+    held in VMEM scratch across grid steps — K/V stream from HBM a block
+    at a time, so attention at 131k tokens compiles in the same ~5 MB
+    VMEM footprint as the 2k ViT case. Selection is automatic
+    (`_needs_stream`), overridable via `stream=`.
 
 The kernel runs in interpret mode off-TPU so the whole test suite exercises
 it on CPU.
@@ -47,6 +55,51 @@ DEFAULT_BLOCK_Q = 1152  # 2 grid cells per (b, h) at the 2049-token ViT
 # sequences stream in blocks of this cap.
 DEFAULT_BLOCK_K = 2304
 NEG_INF = -1e30
+
+# Streaming (long-sequence) mode: 1024x1024 f32 score block = 4 MB, K/V
+# stream per-block from HBM (double-buffered by Pallas), carries live in
+# VMEM scratch. K/V are re-read once per q block — at the sequence lengths
+# that trigger streaming the kernel is MXU-bound (attention FLOPs grow as
+# S^2 while K/V traffic grows as S^2/BQ), so the re-reads hide under the
+# score matmuls.
+STREAM_BLOCK_Q = 1024
+STREAM_BLOCK_K = 1024
+# Scoped-VMEM budget the resident-KV layout must fit in (the hardware
+# limit is 16 MB; leave headroom for Mosaic's own temporaries and for
+# fusion into larger programs — the 25.29 MB probe failure at 16k tokens
+# is the case this guards against).
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _resident_vmem_bytes(skv_pad, d_pad, block_q, block_k, itemsize):
+    """Estimate of the resident-KV fwd kernel's scoped-VMEM footprint."""
+    kv = 2 * skv_pad * d_pad * itemsize  # whole K and V per (b, h)
+    if skv_pad <= block_k:
+        # single-block fast path: softmax runs on row-CHUNKS of the q
+        # block (see _flash_kernel), so only ~2 chunk-sized score buffers
+        # are live at once
+        hq = block_q
+        for c in (8, 4, 2):
+            if block_q % c == 0 and (block_q // c) % 8 == 0:
+                hq = block_q // c
+                break
+        scores = 2 * hq * skv_pad * 4
+    else:
+        scores = 2 * block_q * block_k * 4  # s and p, f32
+    io = 2 * block_q * d_pad * itemsize + block_q * d_pad * 4  # q, o, acc
+    return kv + scores + io
+
+
+def _needs_stream(skv_pad, d_pad, block_q, block_k, itemsize):
+    return (
+        _resident_vmem_bytes(skv_pad, d_pad, block_q, block_k, itemsize)
+        > _VMEM_BUDGET
+    )
+
+
+# test hook: True forces the streaming kernels at any shape, False forces
+# the resident-KV layout, None (production) auto-selects by VMEM estimate
+_FORCE_STREAM: Optional[bool] = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -200,6 +253,190 @@ def _flash_kernel(
         lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, 8))
 
 
+def _flash_kernel_stream(
+    kv_len_ref, q_off_ref,
+    q_ref,  # (1, 1, BQ, D)
+    k_ref,  # (1, 1, BK, D) — streamed per kv grid step
+    v_ref,  # (1, 1, BK, D)
+    o_ref,  # (1, 1, BQ, D) — revisited across kv steps, written at the last
+    lse_ref,  # (1, 1, BQ, 8) or None
+    acc_ref,  # VMEM scratch (BQ, D) f32 — carries across kv grid steps
+    m_ref,  # VMEM scratch (BQ, 128) f32
+    l_ref,  # VMEM scratch (BQ, 128) f32
+    *,
+    n_kv: int,
+    sm_scale: float,
+    causal: bool,
+):
+    """Long-sequence forward: grid (B, H, n_q, n_kv), kv innermost.
+
+    The online-softmax carries (acc, m, l) persist in VMEM scratch across
+    the kv grid steps of one q block; K/V blocks stream from HBM instead
+    of residing whole in VMEM, so the footprint is independent of Skv."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ji = pl.program_id(3)
+    block_q, d = q_ref.shape[2], q_ref.shape[3]
+    block_k = k_ref.shape[2]
+    kv_len = kv_len_ref[b]
+    q_off = q_off_ref[b]
+
+    @pl.when(ji == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    # skip fully-masked blocks: past kv_len, or (causal) strictly above the
+    # diagonal for every row of this q block. The DMA for a skipped block
+    # still happens (index maps are grid-static); the VPU/MXU work doesn't.
+    run = ji * block_k < kv_len
+    if causal:
+        run = jnp.logical_and(
+            run, ji * block_k <= (qi + 1) * block_q - 1 + q_off
+        )
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k_blk = k_ref[0, 0]
+        v_blk = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        col_ids = ji * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = col_ids < kv_len
+        if causal:
+            row_ids = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            mask = jnp.logical_and(mask, col_ids <= row_ids + q_off)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...][:, :1]
+        l_prev = l_ref[...][:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ji == n_kv - 1)
+    def _write():
+        l = l_ref[...][:, :1]
+        empty = l == 0.0
+        l_safe = jnp.where(empty, 1.0, l)
+        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        if lse_ref is not None:
+            m = m_ref[...][:, :1]
+            lse = jnp.where(empty, -NEG_INF, m + jnp.log(l_safe))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, 8))
+
+
+def _flash_forward_stream(
+    q, k, v, kv_lens, q_off, *, causal, sm_scale, block_q, block_k,
+    interpret, with_lse=False,
+):
+    """Forward via the streaming kernel (footprint independent of Skv)."""
+    batch, heads, sq, d = q.shape
+    skv = k.shape[2]
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_k)
+    d_pad = d if d in (64, 128) or d % 128 == 0 else _round_up(d, 128)
+
+    if sq_pad != sq or d_pad != d:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    if skv_pad != skv or d_pad != d:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)))
+    kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), skv)
+
+    n_kv = skv_pad // block_k
+    grid = (batch, heads, sq_pad // block_q, n_kv)
+    qspec = pl.BlockSpec(
+        (1, 1, block_q, d_pad), lambda b, h, i, j, *_: (b, h, i, 0)
+    )
+    kvspec = pl.BlockSpec(
+        (1, 1, block_k, d_pad), lambda b, h, i, j, *_: (b, h, j, 0)
+    )
+    scratch = [
+        pltpu.VMEM((block_q, d_pad), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+    ]
+    if with_lse:
+        # two outputs -> pallas passes (o_ref, lse_ref) positionally
+        kernel = functools.partial(
+            _flash_kernel_stream, n_kv=n_kv, sm_scale=sm_scale, causal=causal
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((batch, heads, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, sq_pad, 8), jnp.float32),
+        ]
+        out_specs = [
+            qspec,
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, i, j, *_: (b, h, i, 0)),
+        ]
+    else:
+        # one output -> pallas passes (o_ref, *scratch) positionally; a
+        # wrapper injects lse_ref=None at the right slot
+        def kernel(kv_len_ref, q_off_ref, q_r, k_r, v_r, o_r, acc, m, l):
+            _flash_kernel_stream(
+                kv_len_ref, q_off_ref, q_r, k_r, v_r, o_r, None, acc, m, l,
+                n_kv=n_kv, sm_scale=sm_scale, causal=causal,
+            )
+
+        out_shape = jax.ShapeDtypeStruct(
+            (batch, heads, sq_pad, d_pad), q.dtype
+        )
+        out_specs = qspec
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    result = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * heads * sq_pad * skv_pad * d_pad,
+            bytes_accessed=(
+                q.size * q.dtype.itemsize
+                + (sq_pad // block_q)
+                * (k.size + v.size) * k.dtype.itemsize
+                + batch * heads * sq_pad * d_pad * q.dtype.itemsize
+            ),
+            transcendentals=batch * heads * sq_pad * skv_pad,
+        ),
+    )(kv_lens, q_off, q, k, v)
+    if with_lse:
+        out, lse = result
+        if sq_pad != sq or d_pad != d:
+            out = out[:, :, :sq, :d]
+        return out, lse
+    out = result
+    if sq_pad != sq or d_pad != d:
+        out = out[:, :, :sq, :d]
+    return out
+
+
 def _flash_forward(
     q: jax.Array,
     k: jax.Array,
@@ -222,6 +459,19 @@ def _flash_forward(
     # is Mosaic-compliant at any width, so 64-wide heads stay unpadded
     # (measured ~5% faster + half the HBM traffic); odd widths pad to 128.
     d_pad = d if d in (64, 128) or d % 128 == 0 else _round_up(d, 128)
+
+    stream = _FORCE_STREAM
+    if stream is None:
+        stream = _needs_stream(
+            skv_pad, d_pad, block_q, block_k, q.dtype.itemsize
+        )
+    if stream:
+        return _flash_forward_stream(
+            q, k, v, kv_lens, q_off, causal=causal, sm_scale=sm_scale,
+            block_q=min(block_q, STREAM_BLOCK_Q),
+            block_k=min(block_k, STREAM_BLOCK_K),
+            interpret=interpret, with_lse=with_lse,
+        )
 
     if sq_pad != sq or d_pad != d:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
@@ -425,6 +675,160 @@ def _bwd_dkv_kernel(
     dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
 
 
+def _bwd_dq_kernel_stream(
+    kv_len_ref, q_off_ref,
+    q_ref,  # (1, 1, BQ, D)
+    k_ref,  # (1, 1, BK, D) — streamed per kv grid step
+    v_ref,  # (1, 1, BK, D)
+    do_ref,  # (1, 1, BQ, D)
+    lse_ref,  # (1, 1, BQ, 8) column layout
+    delta_ref,  # (1, 1, BQ, 8)
+    dq_ref,  # (1, 1, BQ, D) — written at the last kv step
+    acc_ref,  # VMEM scratch (BQ, D) f32
+    *,
+    n_kv: int,
+    sm_scale: float,
+    causal: bool,
+):
+    """Long-sequence dQ: grid (B, H, n_q, n_kv), kv innermost, K/V streamed
+    from HBM with the dQ accumulator carried in VMEM scratch."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ji = pl.program_id(3)
+    block_q, d = q_ref.shape[2], q_ref.shape[3]
+    block_k = k_ref.shape[2]
+    kv_len = kv_len_ref[b]
+    q_off = q_off_ref[b]
+
+    @pl.when(ji == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    run = ji * block_k < kv_len
+    if causal:
+        run = jnp.logical_and(
+            run, ji * block_k <= (qi + 1) * block_q - 1 + q_off
+        )
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, 0:1]  # (BQ, 1) f32
+        delta = delta_ref[0, 0][:, 0:1]
+        k_blk = k_ref[0, 0]
+        v_blk = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        col_ids = ji * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = col_ids < kv_len
+        if causal:
+            row_ids = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            mask = jnp.logical_and(mask, col_ids <= row_ids + q_off)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * sm_scale
+        acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+            ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ji == n_kv - 1)
+    def _write():
+        dq_ref[0, 0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_stream(
+    kv_len_ref, q_off_ref,
+    q_ref,  # (1, 1, BQ, D) — streamed per q grid step
+    k_ref,  # (1, 1, BK, D)
+    v_ref,  # (1, 1, BK, D)
+    do_ref,  # (1, 1, BQ, D) — streamed
+    lse_ref,  # (1, 1, 8, BQ) row layout — streamed
+    delta_ref,  # (1, 1, 8, BQ) — streamed
+    dk_ref,  # (1, 1, BK, D) — written at the last q step
+    dv_ref,  # (1, 1, BK, D)
+    dk_acc_ref,  # VMEM scratch (BK, D) f32
+    dv_acc_ref,  # VMEM scratch (BK, D) f32
+    *,
+    n_q: int,
+    sm_scale: float,
+    causal: bool,
+):
+    """Long-sequence dK/dV: grid (B, H, n_kv, n_q), q innermost, Q/dO/lse/
+    delta streamed from HBM with dK/dV accumulators in VMEM scratch."""
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    block_k, d = k_ref.shape[2], k_ref.shape[3]
+    block_q = q_ref.shape[2]
+    kv_len = kv_len_ref[b]
+    q_off = q_off_ref[b]
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
+
+    # causal skip: this kv block sees no queries when even the LAST row of
+    # the q block sits above the diagonal for the block's first column
+    run = ki * block_k < kv_len
+    if causal:
+        run = jnp.logical_and(
+            run, ki * block_k <= (qi + 1) * block_q - 1 + q_off
+        )
+
+    @pl.when(run)
+    def _compute():
+        k_blk = k_ref[0, 0]
+        v_blk = v_ref[0, 0]
+        q_blk = q_ref[0, 0]
+        do_blk = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0:1, :]  # (1, BQ)
+        delta = delta_ref[0, 0, 0:1, :]
+        st = jax.lax.dot_general(
+            k_blk, q_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        col_ids = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 0
+        )
+        mask = col_ids < kv_len
+        if causal:
+            row_ids = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, block_q), 1
+            )
+            mask = jnp.logical_and(mask, col_ids <= row_ids + q_off)
+        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)
+        dv_acc_ref[...] = dv_acc_ref[...] + jax.lax.dot_general(
+            pt.astype(do_blk.dtype), do_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dpt = jax.lax.dot_general(
+            v_blk, do_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dst = pt * (dpt - delta) * sm_scale
+        dk_acc_ref[...] = dk_acc_ref[...] + jax.lax.dot_general(
+            dst.astype(q_blk.dtype), q_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == n_q - 1)
+    def _write():
+        dk_ref[0, 0] = dk_acc_ref[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc_ref[...].astype(dv_ref.dtype)
+
+
 def _flash_backward(
     q, k, v, o, lse, do, kv_lens, q_off,
     *, causal, sm_scale, block_q, block_k, interpret,
@@ -438,6 +842,21 @@ def _flash_backward(
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_k)
     d_pad = d if d in (64, 128) or d % 128 == 0 else _round_up(d, 128)
+
+    # long sequences: stream the resident side (K/V for dQ, Q/dO for dK/dV)
+    # through a fourth grid axis instead of holding it whole in VMEM
+    if _FORCE_STREAM is None:
+        stream_dq = _needs_stream(
+            skv_pad, d_pad, block_q, block_k, q.dtype.itemsize
+        )
+        stream_dkv = _needs_stream(
+            sq_pad, d_pad, block_q, block_k, q.dtype.itemsize
+        )
+    else:
+        stream_dq = stream_dkv = _FORCE_STREAM
+    if stream_dq or stream_dkv:
+        block_k = min(block_k, STREAM_BLOCK_K)
+        skv_pad = _round_up(skv, block_k)
 
     def pad_q(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
@@ -479,36 +898,102 @@ def _flash_backward(
     colq = pl.BlockSpec((1, 1, block_q, 8), lambda b, h, i, *_: (b, h, i, 0))
     rowfull = pl.BlockSpec((1, 1, 8, sq_pad), lambda b, h, i, *_: (b, h, 0, 0))
 
-    dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale, causal=causal
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(batch, heads, sq_pad // block_q),
-            in_specs=[qspec, kfull, kfull, qspec, colq, colq],
-            out_specs=qspec,
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch, heads, sq_pad, d_pad), q.dtype),
-        interpret=interpret,
-    )(kv_lens, q_off, q_p, k_p, v_p, do_p, lse, delta_cols)
+    n_q, n_kv = sq_pad // block_q, skv_pad // block_k
+    if stream_dq:
+        kvstream = pl.BlockSpec(
+            (1, 1, block_k, d_pad), lambda b, h, i, j, *_: (b, h, j, 0)
+        )
+        dq = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_kernel_stream, n_kv=n_kv, sm_scale=sm_scale,
+                causal=causal,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(batch, heads, n_q, n_kv),
+                in_specs=[qspec, kvstream, kvstream, qspec, colq, colq],
+                out_specs=qspec,
+                scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, heads, sq_pad, d_pad), q.dtype
+            ),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "parallel", "arbitrary",
+                ),
+            ),
+        )(kv_lens, q_off, q_p, k_p, v_p, do_p, lse, delta_cols)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale,
+                causal=causal,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(batch, heads, sq_pad // block_q),
+                in_specs=[qspec, kfull, kfull, qspec, colq, colq],
+                out_specs=qspec,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, heads, sq_pad, d_pad), q.dtype
+            ),
+            interpret=interpret,
+        )(kv_lens, q_off, q_p, k_p, v_p, do_p, lse, delta_cols)
 
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale, causal=causal
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(batch, heads, skv_pad // block_k),
-            in_specs=[qfull, kspec, kspec, qfull, rowfull, rowfull],
-            out_specs=[kspec, kspec],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, heads, skv_pad, d_pad), k.dtype),
-            jax.ShapeDtypeStruct((batch, heads, skv_pad, d_pad), v.dtype),
-        ],
-        interpret=interpret,
-    )(kv_lens, q_off, q_p, k_p, v_p, do_p, lse_rows, delta_rows)
+    if stream_dkv:
+        qstream = pl.BlockSpec(
+            (1, 1, block_q, d_pad), lambda b, h, j, i, *_: (b, h, i, 0)
+        )
+        rowq = pl.BlockSpec(
+            (1, 1, 8, block_q), lambda b, h, j, i, *_: (b, h, 0, i)
+        )
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_dkv_kernel_stream, n_q=n_q, sm_scale=sm_scale,
+                causal=causal,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(batch, heads, n_kv, n_q),
+                in_specs=[qstream, kspec, kspec, qstream, rowq, rowq],
+                out_specs=[kspec, kspec],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, d_pad), jnp.float32),
+                    pltpu.VMEM((block_k, d_pad), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((batch, heads, skv_pad, d_pad), k.dtype),
+                jax.ShapeDtypeStruct((batch, heads, skv_pad, d_pad), v.dtype),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "parallel", "arbitrary",
+                ),
+            ),
+        )(kv_lens, q_off, q_p, k_p, v_p, do_p, lse_rows, delta_rows)
+    else:
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale,
+                causal=causal,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(batch, heads, skv_pad // block_k),
+                in_specs=[qfull, kspec, kspec, qfull, rowfull, rowfull],
+                out_specs=[kspec, kspec],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((batch, heads, skv_pad, d_pad), k.dtype),
+                jax.ShapeDtypeStruct((batch, heads, skv_pad, d_pad), v.dtype),
+            ],
+            interpret=interpret,
+        )(kv_lens, q_off, q_p, k_p, v_p, do_p, lse_rows, delta_rows)
 
     dq = dq[:, :, :sq, :d]
     dk = dk[:, :, :skv, :d]
