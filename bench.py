@@ -20,10 +20,16 @@ BASELINE.md co-primary metrics, one JSON line each:
     full-acceptance ceiling + the acceptance-independent verify/decode
     cost ratio (~1.07: decode is weight-streaming-bound, so verifying 8
     tokens costs one step).
+  * `useful_tokens_per_sec_serving_speculative_templated` — the SAME
+    engine at the measured templated-report acceptance (1.56
+    committed/round, scripts/bench_spec_realistic.py): this run's
+    measured acceptance->tok/s curve interpolated at that point. The
+    realistic speculative number; quote this one.
   * `useful_tokens_per_sec_serving_speculative_ceiling` — the
     continuous-batching engine with in-engine speculation
     (serving.ServingEngine(speculative=True)) draining a mixed-budget
     16-request workload; vs the reference's static batched generate.
+    Full-acceptance upper bound for the _templated line above.
 
 Measurement: the remote-relay TPU backend does not reliably block in
 block_until_ready AND adds a fixed ~47 ms round-trip per jit invocation, so
@@ -339,6 +345,7 @@ def bench_serving_spec(model, params, requests=16):
     )
     eng.submit(prompts[0], max_new=1)  # compile all three programs
     eng.run_until_drained()
+    eng.verify_rounds_used = eng.tokens_committed = 0
     rates = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
@@ -348,7 +355,95 @@ def bench_serving_spec(model, params, requests=16):
         got = sum(len(v) for v in results.values())
         rates.append(got / (time.perf_counter() - t0))
     assert got == sum(budgets), (got, sum(budgets))
-    return statistics.median(rates)
+    return statistics.median(rates), eng.mean_accepted
+
+
+# Measured templated-report acceptance: a 4-layer Phi3 overfit on a
+# synthetic CT-RATE-style templated corpus, greedy-decoding held-out
+# report prompts through the production speculative engine commits a mean
+# 1.56 tokens/verify-round at 96-token reports, 1.95 at 224 (draft_len 7,
+# ngram 2; scripts/bench_spec_realistic.py Part A, BENCH.md "Realistic
+# speculative acceptance"). Prompt-lookup acceptance is a property of the
+# WORKLOAD — boilerplate runs draft well, slot/sentence branch points
+# cost a round. The conservative short-report figure is quoted.
+TEMPLATED_REPORT_ACCEPTANCE = 1.56
+
+
+def bench_serving_spec_realistic(model, ceiling_accept, ceiling_rate,
+                                 requests=16):
+    """Measured realistic speculative serving point (not a ceiling).
+
+    Runs the SAME mixed-budget workload as bench_serving_spec under two
+    more weight regimes — gaussian fill (text never repeats its n-grams:
+    the acceptance FLOOR) and a 0.1%-gaussian/99.9%-constant Bernoulli
+    mixture (near-repetitive text: acceptance ~2/round) — then
+    interpolates the three measured (mean_accepted, useful tok/s) points
+    at the templated-report acceptance measured in
+    scripts/bench_spec_realistic.py. The two low arms tightly bracket it,
+    so the quoted number rides measured engine economics end to end."""
+    from hsenet_tpu.serving import ServingEngine
+
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32)
+    )
+
+    @jax.jit
+    def materialise(alpha):
+        counter = iter(range(1_000_000))
+
+        def fill(path, s):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            key = jax.random.PRNGKey(next(counter))
+            kmix, kval = jax.random.split(key)
+            heads = jax.random.bernoulli(kmix, alpha, s.shape)
+            if s.dtype == jnp.int8:
+                rand = jax.random.randint(kval, s.shape, -4, 5, jnp.int8)
+                return jnp.where(heads, rand, jnp.ones(s.shape, jnp.int8))
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                noise = 0.02 * jax.random.normal(kval, s.shape, jnp.bfloat16)
+                if "norm" in name.lower() or name.endswith("scale"):
+                    # exactly 1.0 in the constant regime (BENCH.md note)
+                    return jnp.where(
+                        heads, 1.0 + noise, jnp.ones(s.shape, jnp.bfloat16)
+                    )
+                return jnp.where(
+                    heads, noise, jnp.full(s.shape, 0.01, jnp.bfloat16)
+                )
+            return jnp.zeros(s.shape, s.dtype)
+
+        return jax.tree_util.tree_map_with_path(fill, shapes)
+
+    rng = np.random.default_rng(0)
+    budgets = [
+        int(b) for b in rng.choice([64, 128, 256, 384, 512], size=requests)
+    ]
+    prompts = [rng.integers(3, 1000, 320) for _ in range(requests)]
+    points = [(ceiling_accept, ceiling_rate)]
+    for alpha in (1.0, 0.001):
+        params = materialise(jnp.float32(alpha))
+        eng = ServingEngine(
+            model, params, eos_token_id=-1, num_slots=8, prompt_cap=320,
+            max_new_tokens=512, chunk_size=16, speculative=True,
+            draft_len=7,
+        )
+        eng.submit(prompts[0], max_new=1)  # warm (same shapes as ceiling)
+        eng.run_until_drained()
+        eng.verify_rounds_used = eng.tokens_committed = 0
+        rates = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for p, b in zip(prompts, budgets):
+                eng.submit(p, max_new=b)
+            results = eng.run_until_drained()
+            got = sum(len(v) for v in results.values())
+            rates.append(got / (time.perf_counter() - t0))
+        points.append((eng.mean_accepted, statistics.median(rates)))
+        del eng, params  # free this arm's 3.9 GB before the next
+    points.sort()
+    xs = [a for a, _ in points]
+    ys = [r for _, r in points]
+    realistic = float(np.interp(TEMPLATED_REPORT_ACCEPTANCE, xs, ys))
+    return realistic, points
 
 
 RELAY_FIXED_COST_S = 0.047  # measured constant per jit invocation (BENCH.md)
@@ -420,6 +515,7 @@ ALL_METRICS = (
     "tokens_per_sec_decode_speculative_ceiling",
     "tokens_per_sec_decode_batch8",
     "useful_tokens_per_sec_serving_speculative_ceiling",
+    "useful_tokens_per_sec_serving_speculative_templated",
     "reports_per_min_e2e",
 )
 
@@ -493,8 +589,10 @@ def main():
         f"speedup = (1+accepted)/{spec_cost:.2f}, lossless greedy)",
         A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE,
         "analytic estimate (same 30 tok/s A100 denominator; the reference "
-        "has no speculative mode — acceptance on real checkpoints is "
-        "workload-dependent, ceiling shown)",
+        "has no speculative mode). MEASURED templated-report acceptance is "
+        f"{TEMPLATED_REPORT_ACCEPTANCE} committed/round -> real batch-1 "
+        f"speedup ~{TEMPLATED_REPORT_ACCEPTANCE / 1.07:.2f}x "
+        "(scripts/bench_spec_realistic.py); ceiling shown as the bound",
     )
     emit(
         "tokens_per_sec_decode_batch8", tok_b8,
@@ -505,16 +603,36 @@ def main():
     )
 
     try:
-        serving_tps = bench_serving_spec(decode_model, decode_params)
+        serving_tps, serving_accept = bench_serving_spec(
+            decode_model, decode_params
+        )
+        realistic_tps, points = bench_serving_spec_realistic(
+            decode_model, serving_accept, serving_tps
+        )
     except Exception as e:  # keep the other artifact lines on relay hiccups
-        print(json.dumps({"metric": "useful_tokens_per_sec_serving_speculative_ceiling",
-                          "error": str(e)[:200]}), flush=True)
+        for m in ("useful_tokens_per_sec_serving_speculative_templated",
+                  "useful_tokens_per_sec_serving_speculative_ceiling"):
+            print(json.dumps({"metric": m, "error": str(e)[:200]}),
+                  flush=True)
     else:
+        # measured realistic point FIRST; the ceiling follows as the bound
+        curve = ", ".join(f"{a:.2f}/round={r:.0f}" for a, r in points)
+        emit(
+            "useful_tokens_per_sec_serving_speculative_templated",
+            realistic_tps,
+            f"useful tokens/s (speculative serving engine at the MEASURED "
+            f"templated-report acceptance {TEMPLATED_REPORT_ACCEPTANCE}"
+            f"/round; interpolated on this run's measured "
+            f"acceptance->tok/s curve [{curve}]; 8 slots, mixed 64-512 "
+            f"budgets, lossless greedy)",
+            A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE * 8,
+            "analytic estimate (8 x the 30 tok/s A100 bnb-int8 figure); "
+            "acceptance measured in scripts/bench_spec_realistic.py Part A",
+        )
         emit(
             "useful_tokens_per_sec_serving_speculative_ceiling", serving_tps,
-            "useful tokens/s (continuous batching + in-engine prompt-lookup "
-            "speculation, 8 slots, mixed 64-512 budgets, full-acceptance "
-            "ceiling, lossless greedy)",
+            "useful tokens/s (same engine, full-acceptance CEILING — the "
+            "upper bound; quote the _templated line for realistic traffic)",
             A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE * 8,
             "analytic estimate (the reference's serving story is static "
             "batched HF generate: 8 x the 30 tok/s A100 bnb-int8 figure)",

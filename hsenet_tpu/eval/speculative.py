@@ -17,6 +17,17 @@ long runs.
 Losslessness: the emitted tokens are IDENTICAL to greedy decode — every
 committed token is argmax-verified by the target model; drafts only decide
 how many positions one forward advances (`test_phi3.py::test_pld_*`).
+One hardware caveat, inherent to ALL speculative decoding on real
+accelerators: the 1-token decode pass and the (draft_len+1)-token verify
+pass reduce in different orders, so at a genuine argmax NEAR-TIE
+(top-2 logit margin at float rounding scale) the two passes can pick
+different members of the tie. Measured on a trained model's
+uniformly-distributed slot tokens: margins 2e-4..1e-3, flips only at
+those positions, both paths re-sync immediately
+(scripts/_probe_pld_mismatch.py). Bitwise equality is pinned by the
+CPU highest-precision test suite; on TPU the guarantee is
+greedy-equivalence up to logit ties — which batch-shape change already
+breaks for plain greedy itself.
 
 TPU-first mechanics (all static shapes, one jitted `while_loop`):
   * the verify forward reuses the chunked-prefill path — per-row

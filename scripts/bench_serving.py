@@ -55,6 +55,9 @@ def main():
                         "mean committed/round), not a greedy-style "
                         "ceiling")
     p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--skip-static", action="store_true",
+                   help="skip the static-batch baseline arm (saves a "
+                        "batch-N generate compile on big --slots sweeps)")
     p.add_argument("--random-weights", action="store_true",
                    help="gaussian synthetic weights instead of constants: "
                         "constant weights give CONSTANT logits (uniform "
@@ -145,6 +148,14 @@ def main():
     eng_tps = got / t_engine
     print(f"engine: {got} tokens in {t_engine:.1f} s = {eng_tps:.1f} tok/s "
           f"(slot utilization {eng.utilization:.2f})", flush=True)
+    hbm = None
+    try:  # HBM headroom at steady state (KV cache is the slot-count cost)
+        ms = jax.local_devices()[0].memory_stats()
+        hbm = (ms["bytes_in_use"] / 2**30, ms["bytes_limit"] / 2**30)
+        print(f"HBM: {hbm[0]:.2f} GiB in use of {hbm[1]:.2f} GiB",
+              flush=True)
+    except Exception:
+        pass
 
     # ---- speculative engine over the same workload ----
     spec_tps = spec_accept = None
@@ -173,6 +184,22 @@ def main():
               f"{spec_accept:.2f} of {args.draft_len + 1})", flush=True)
 
     # ---- static batched generate over the same workload ----
+    if args.skip_static:
+        out = {
+            "metric": "serving_continuous_batching",
+            "engine_tok_s": round(eng_tps, 1),
+            "utilization": round(eng.utilization, 3),
+            "requests": args.requests,
+            "slots": args.slots,
+            "kv_int8": args.kv_int8,
+        }
+        if hbm is not None:
+            out["hbm_in_use_gib"] = round(hbm[0], 2)
+        if spec_tps is not None:
+            out["spec_engine_tok_s"] = round(spec_tps, 1)
+            out["spec_mean_committed_per_round"] = round(spec_accept, 2)
+        print(json.dumps(out))
+        return
     gen = make_greedy_generate_llm_only(
         model, max_new_tokens=512, eos_token_id=-1, dynamic_steps=True,
         cache_dtype=cache_dtype, do_sample=args.sample,
@@ -216,7 +243,11 @@ def main():
         "speedup": round(eng_tps / static_tps, 2),
         "utilization": round(eng.utilization, 3),
         "requests": args.requests,
+        "slots": args.slots,
+        "kv_int8": args.kv_int8,
     }
+    if hbm is not None:
+        out["hbm_in_use_gib"] = round(hbm[0], 2)
     if args.sample:
         out["mode"] = f"sampling (temperature {args.temperature})"
     if spec_tps is not None:
