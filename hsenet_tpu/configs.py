@@ -496,6 +496,9 @@ class TrainConfig:
     eval_every: int = 500
     checkpoint_every: int = 1000
     zero1: bool = False  # shard optimizer state along dp
+    # host->device double-buffering: keep N batches already placed on
+    # device ahead of the step loop (data/prefetch.py); 0 = inline copies
+    device_prefetch: int = 2
     # jax.profiler device trace over steps [profile_start, profile_stop)
     # written to profile_dir (TensorBoard/Perfetto-viewable); "" = off.
     # Default window skips step 1's compile so the trace shows steady state.

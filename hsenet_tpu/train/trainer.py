@@ -73,17 +73,23 @@ class Trainer:
         self.image_key = image_key
         self.history: List[Dict[str, float]] = []
 
-    def _device_batch(self, batch: dict, rng) -> dict:
+    def _place(self, batch: dict) -> dict:
+        """Host batch -> device arrays (sharded over the mesh if any)."""
         batch = {
             k: v for k, v in batch.items() if isinstance(v, np.ndarray)
         }
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def _device_batch(self, batch: dict, rng, placed: bool = False) -> dict:
+        if not placed:
+            batch = self._place(batch)
         if self.augment is not None and self.image_key in batch:
             batch[self.image_key] = augment_batch(
                 batch[self.image_key], rng, self.augment
             )
-        if self.mesh is not None:
-            batch = shard_batch(batch, self.mesh)
         return batch
 
     def fit(self, total_steps: Optional[int] = None) -> TrainState:
@@ -122,6 +128,18 @@ class Trainer:
             for _ in range(pending_skip):  # generic-iterable fallback
                 next(batches, None)
             pending_skip = 0
+            # double-buffered H2D: place batch i+1 while step i computes
+            # (data/prefetch.py; the reference copies inline on the train
+            # thread — HF Trainer's default)
+            depth = getattr(self.cfg, "device_prefetch", 0)
+            placed = bool(depth)
+            if placed:
+                from hsenet_tpu.data.prefetch import DevicePrefetcher
+
+                batches = iter(
+                    DevicePrefetcher(batches, depth=depth,
+                                     place=self._place)
+                )
             for batch in batches:
                 if step >= total:
                     break
@@ -140,7 +158,9 @@ class Trainer:
                 aug_rng, step_rng = jax.random.split(
                     jax.random.fold_in(base_rng, step)
                 )
-                device_batch = self._device_batch(batch, aug_rng)
+                device_batch = self._device_batch(
+                    batch, aug_rng, placed=placed
+                )
                 self.state, metrics = self.train_step(
                     self.state, device_batch, step_rng
                 )

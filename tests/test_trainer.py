@@ -396,3 +396,42 @@ def test_async_checkpoint_roundtrip(key, tmp_path):
         jax.tree.leaves(final.params), jax.tree.leaves(restored.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_device_prefetch_equality(key):
+    """device_prefetch=2 (background-thread H2D double buffering,
+    data/prefetch.py) must produce bit-identical training to inline
+    copies — placement has no numeric effect, only overlap."""
+    import copy
+
+    def run(depth):
+        model, state, step, loader, cfg, mesh = _make_setup(key)
+        cfg = dataclasses.replace(cfg, device_prefetch=depth)
+        trainer = Trainer(
+            step, state, lambda: loader, cfg, mesh=mesh,
+            hooks=TrainerHooks(on_log=lambda s, m: None),
+        )
+        return trainer.fit()
+
+    inline = run(0)
+    prefetched = run(2)
+    for a, b in zip(
+        jax.tree.leaves(inline.params), jax.tree.leaves(prefetched.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_prefetch_propagates_errors():
+    """A loader exception inside the producer thread must re-raise in the
+    consumer, not hang the queue."""
+    from hsenet_tpu.data.prefetch import DevicePrefetcher
+
+    def bad_loader():
+        yield {"x": np.ones((2, 2), np.float32)}
+        raise RuntimeError("decode failed")
+
+    it = iter(DevicePrefetcher(bad_loader(), depth=2))
+    first = next(it)
+    assert isinstance(first["x"], jax.Array)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
