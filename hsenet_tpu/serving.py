@@ -752,6 +752,39 @@ class ServingEngine:
         total = self.steps_run * self.num_slots
         return self.slot_steps_used / total if total else 0.0
 
+    def hbm_stats(self) -> Dict[str, float]:
+        """Device-memory observability: bytes in use / limit / headroom
+        in GB for the engine's device (slot-count sizing needs this —
+        BENCH.md's 64-slot bf16 KV cache is ~11 GB of a 16 GB chip).
+        Returns {} where the backend exposes no memory_stats (CPU)."""
+        dev = None
+        if self._mesh is not None:
+            dev = list(self._mesh.devices.flat)[0]
+        else:
+            leaves = jax.tree.leaves(self.params)
+            if leaves:
+                dev = next(iter(leaves[0].devices()))
+        try:
+            stats = dev.memory_stats() if dev is not None else None
+        except Exception:
+            stats = None
+        if not stats:
+            return {}
+        gb = 1 / 1e9
+        out = {}
+        if "bytes_in_use" in stats:
+            out["in_use_gb"] = stats["bytes_in_use"] * gb
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit"
+        )
+        if limit:
+            out["limit_gb"] = limit * gb
+            if "in_use_gb" in out:
+                out["headroom_gb"] = out["limit_gb"] - out["in_use_gb"]
+        if "peak_bytes_in_use" in stats:
+            out["peak_gb"] = stats["peak_bytes_in_use"] * gb
+        return out
+
     # ---- internals ----
 
     def _cached_features(self, req: _Request):

@@ -148,14 +148,13 @@ def main():
     eng_tps = got / t_engine
     print(f"engine: {got} tokens in {t_engine:.1f} s = {eng_tps:.1f} tok/s "
           f"(slot utilization {eng.utilization:.2f})", flush=True)
-    hbm = None
-    try:  # HBM headroom at steady state (KV cache is the slot-count cost)
-        ms = jax.local_devices()[0].memory_stats()
-        hbm = (ms["bytes_in_use"] / 2**30, ms["bytes_limit"] / 2**30)
-        print(f"HBM: {hbm[0]:.2f} GiB in use of {hbm[1]:.2f} GiB",
+    # HBM headroom at steady state (KV cache is the slot-count cost)
+    hbm = eng.hbm_stats()
+    if hbm:
+        print(f"HBM: {hbm['in_use_gb']:.2f} GB in use of "
+              f"{hbm.get('limit_gb', float('nan')):.2f} GB "
+              f"(headroom {hbm.get('headroom_gb', float('nan')):.2f})",
               flush=True)
-    except Exception:
-        pass
 
     # ---- speculative engine over the same workload ----
     spec_tps = spec_accept = None
@@ -193,8 +192,10 @@ def main():
             "slots": args.slots,
             "kv_int8": args.kv_int8,
         }
-        if hbm is not None:
-            out["hbm_in_use_gib"] = round(hbm[0], 2)
+        if hbm:
+            out["hbm_in_use_gb"] = round(hbm["in_use_gb"], 2)
+            if "headroom_gb" in hbm:
+                out["hbm_headroom_gb"] = round(hbm["headroom_gb"], 2)
         if spec_tps is not None:
             out["spec_engine_tok_s"] = round(spec_tps, 1)
             out["spec_mean_committed_per_round"] = round(spec_accept, 2)
@@ -246,8 +247,10 @@ def main():
         "slots": args.slots,
         "kv_int8": args.kv_int8,
     }
-    if hbm is not None:
-        out["hbm_in_use_gib"] = round(hbm[0], 2)
+    if hbm:
+        out["hbm_in_use_gb"] = round(hbm["in_use_gb"], 2)
+        if "headroom_gb" in hbm:
+            out["hbm_headroom_gb"] = round(hbm["headroom_gb"], 2)
     if args.sample:
         out["mode"] = f"sampling (temperature {args.temperature})"
     if spec_tps is not None:

@@ -714,3 +714,27 @@ def test_pld_round_sampling_unbiased():
     assert n > 2000, n
     freq = counts / n
     np.testing.assert_allclose(freq, target, atol=0.03)
+
+
+def test_hbm_stats_shape(key, rng):
+    """hbm_stats returns a (possibly empty) dict and never raises; when
+    the backend exposes memory_stats the keys are GB floats with
+    headroom = limit - in_use."""
+    model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
+    prompt = rng.integers(3, TINY.vocab_size, size=5)
+    params = model.init(key, jnp.asarray(prompt[None, :]))
+    eng = ServingEngine(
+        model, params, eos_token_id=EOS, pad_token_id=0, num_slots=2,
+        prompt_cap=16, max_new_tokens=MAX_NEW, chunk_size=4,
+        cache_dtype=jnp.float32,
+    )
+    stats = eng.hbm_stats()
+    assert isinstance(stats, dict)
+    for v in stats.values():
+        assert isinstance(v, float) and v >= 0 or v == stats.get(
+            "headroom_gb"
+        )
+    if {"in_use_gb", "limit_gb", "headroom_gb"} <= set(stats):
+        assert abs(
+            stats["headroom_gb"] - (stats["limit_gb"] - stats["in_use_gb"])
+        ) < 1e-9
