@@ -103,7 +103,35 @@ def median_slope(chained_fn, args, n1=4, n2=16, repeats=REPEATS):
     return statistics.median(slopes)
 
 
+# Short keys for the end-of-run summary line (round-5 fix: the driver
+# keeps only the TAIL of stdout and parses the LAST line, and rounds 3-4
+# proved the verbose per-metric lines grow until they evict the
+# north-star numbers from the captured tail — BENCH_r04.json lost the
+# encode/encode_serving/decode lines entirely. The final compact summary
+# line carries EVERY metric with no prose so truncation can never drop
+# the headline again.)
+SHORT_KEYS = {
+    "ct_volumes_per_sec_per_chip_encode": "encode",
+    "ct_volumes_per_sec_per_chip_encode_serving": "encode_serving",
+    "tokens_per_sec_decode": "decode_b1",
+    "tokens_per_sec_decode_speculative_ceiling": "decode_spec_ceiling",
+    "tokens_per_sec_decode_batch8": "decode_b8",
+    "tokens_per_sec_decode_batch16": "decode_b16",
+    "useful_tokens_per_sec_serving_speculative_templated":
+        "serving_spec_templated",
+    "useful_tokens_per_sec_serving_speculative_ceiling":
+        "serving_spec_ceiling",
+    "ttft_p99_ms_at_knee": "ttft_p99_ms",
+    "reports_per_min_e2e": "reports_per_min",
+}
+SUMMARY: dict = {}
+SUMMARY_VS: dict = {}
+
+
 def emit(metric, value, unit, baseline, source):
+    short = SHORT_KEYS.get(metric, metric)
+    SUMMARY[short] = round(value, 2)
+    SUMMARY_VS[short] = round(value / baseline, 2)
     print(
         json.dumps(
             {
@@ -112,6 +140,34 @@ def emit(metric, value, unit, baseline, source):
                 "unit": unit,
                 "vs_baseline": round(value / baseline, 2),
                 "baseline_source": source,
+            }
+        ),
+        flush=True,
+    )
+
+
+def emit_error(metric, err):
+    SUMMARY[SHORT_KEYS.get(metric, metric)] = None
+    print(json.dumps({"metric": metric, "error": str(err)[:200]}),
+          flush=True)
+
+
+def emit_summary():
+    """FINAL stdout line: every metric, short keys, zero prose — the one
+    line the driver's tail capture + last-line parse is guaranteed to
+    keep (VERDICT r4 Next #1). `value`/`vs_baseline` carry the serving
+    encode co-primary so a {metric,value} parser still sees the headline."""
+    headline = SUMMARY.get("encode_serving")
+    print(
+        json.dumps(
+            {
+                "metric": "summary_all",
+                "value": headline,
+                "unit": "volumes/s/chip (encode_serving; all metrics in "
+                        "'summary')",
+                "vs_baseline": SUMMARY_VS.get("encode_serving"),
+                "summary": SUMMARY,
+                "summary_vs_baseline": SUMMARY_VS,
             }
         ),
         flush=True,
@@ -234,7 +290,8 @@ def bench_encode_serving():
 
 def bench_decode():
     """Greedy decode tokens/s, 3.8B int8, jitted scan loop; returns
-    (batch-1 tok/s, batch-8 aggregate tok/s)."""
+    batch-{1,8,16} tok/s (16 = the measured serving knee, BENCH.md —
+    recorded in the artifact per VERDICT r4 Next #7)."""
     from hsenet_tpu.configs import Phi3Config
     from hsenet_tpu.eval.generate import make_greedy_generate_llm_only
     from hsenet_tpu.models.phi3 import Phi3ForCausalLM
@@ -260,7 +317,7 @@ def bench_decode():
     rng = np.random.default_rng(0)
     results = []
     per_step_b8 = None
-    for batch in (1, 8):
+    for batch in (1, 8, 16):
         ids = jnp.asarray(rng.integers(3, 1000, (batch, prompt_len)))
         kv = jnp.full((batch,), prompt_len, jnp.int32)
         # two-point over 64- vs 192-token generations (slope cancels the
@@ -318,8 +375,8 @@ def bench_decode():
     d_rounds = max(rounds[192] - rounds[64], 1)
     verify_cost = spec_slope * (192 - 64) / d_rounds  # s per verify round
     cost_ratio = verify_cost * results[0]  # vs one batch-1 decode step
-    return (results[0], results[1], per_step_b8, 1.0 / spec_slope,
-            cost_ratio, model, params)
+    return (results[0], results[1], results[2], per_step_b8,
+            1.0 / spec_slope, cost_ratio, model, params)
 
 
 def bench_serving_spec(model, params, requests=16):
@@ -514,8 +571,10 @@ ALL_METRICS = (
     "tokens_per_sec_decode",
     "tokens_per_sec_decode_speculative_ceiling",
     "tokens_per_sec_decode_batch8",
+    "tokens_per_sec_decode_batch16",
     "useful_tokens_per_sec_serving_speculative_ceiling",
     "useful_tokens_per_sec_serving_speculative_templated",
+    "ttft_p99_ms_at_knee",
     "reports_per_min_e2e",
 )
 
@@ -542,21 +601,27 @@ def _require_backend(timeout_s: float = 180.0) -> bool:
     t.join(timeout_s)
     if ok.is_set():
         return True
+    err = (
+        f"TPU backend unavailable: jax.devices() did not "
+        f"return within {timeout_s:.0f}s (relay down)"
+    )
     for m in ALL_METRICS:
-        print(
-            json.dumps({
-                "metric": m,
-                "error": (
-                    f"TPU backend unavailable: jax.devices() did not "
-                    f"return within {timeout_s:.0f}s (relay down)"
-                ),
-            }),
-            flush=True,
-        )
+        emit_error(m, err)
+    emit_summary()  # os._exit skips finally blocks — emit here
     os._exit(1)  # daemon/backend threads may be wedged; hard-exit
 
 
 def main():
+    try:
+        _main()
+    finally:
+        # ALWAYS the last stdout line, even on a mid-run crash: whatever
+        # metrics were measured before the failure still reach the
+        # driver's last-line parse.
+        emit_summary()
+
+
+def _main():
     _require_backend()
     best = bench_encode()
     emit(
@@ -575,8 +640,8 @@ def main():
         "tanh GELU (cosine >0.99 vs bf16, tests), headline stays bf16/erf",
     )
 
-    (tok_b1, tok_b8, per_step_b8, spec_ceiling, spec_cost, decode_model,
-     decode_params) = bench_decode()
+    (tok_b1, tok_b8, tok_b16, per_step_b8, spec_ceiling, spec_cost,
+     decode_model, decode_params) = bench_decode()
     emit(
         "tokens_per_sec_decode", tok_b1, "tokens/s (batch 1, 3.8B int8)",
         A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE,
@@ -601,6 +666,14 @@ def main():
         "analytic estimate (8x the batch-1 A100 figure; batched HF "
         "generate rarely scales linearly, so this denominator is generous)",
     )
+    emit(
+        "tokens_per_sec_decode_batch16", tok_b16,
+        "tokens/s aggregate (batch 16 — the measured serving knee, "
+        "BENCH.md 16-slot sweet spot)",
+        A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE * 16,
+        "analytic estimate (16x the batch-1 A100 figure; generous — "
+        "batched HF generate rarely scales linearly)",
+    )
 
     try:
         serving_tps, serving_accept = bench_serving_spec(
@@ -612,8 +685,7 @@ def main():
     except Exception as e:  # keep the other artifact lines on relay hiccups
         for m in ("useful_tokens_per_sec_serving_speculative_templated",
                   "useful_tokens_per_sec_serving_speculative_ceiling"):
-            print(json.dumps({"metric": m, "error": str(e)[:200]}),
-                  flush=True)
+            emit_error(m, e)
     else:
         # measured realistic point FIRST; the ceiling follows as the bound
         curve = ", ".join(f"{a:.2f}/round={r:.0f}" for a, r in points)
@@ -647,8 +719,7 @@ def main():
         # = 1 BOS + 256 image tokens + 63 text)
         rpm = 8 * 60.0 / (prefill_s + 512 * per_step_b8)
     except Exception as e:  # keep the other artifact lines on relay hiccups
-        print(json.dumps({"metric": "reports_per_min_e2e",
-                          "error": str(e)[:200]}), flush=True)
+        emit_error("reports_per_min_e2e", e)
     else:
         # reference-side denominator: batched bnb-int8 HF generate,
         # 512 tokens/report -> ~3.5 reports/min on one A100 (generous)

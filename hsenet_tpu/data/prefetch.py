@@ -33,7 +33,7 @@ def default_place(batch: Dict[str, np.ndarray], mesh=None) -> dict:
     }
     if mesh is None:
         return {k: jax.device_put(v) for k, v in arrays.items()}
-    from hsenet_tpu.parallel.sharding import shard_batch
+    from hsenet_tpu.parallel.mesh import shard_batch
 
     return shard_batch(arrays, mesh)
 
@@ -86,7 +86,12 @@ class DevicePrefetcher:
                 yield item
         finally:
             stop.set()
-            while t.is_alive():
+            # Bounded drain: if the producer is blocked inside the wrapped
+            # loader's __next__ (stalled upstream), give up after a few
+            # join attempts — the thread is a daemon, abandoning it is safe.
+            for _ in range(20):
+                if not t.is_alive():
+                    break
                 try:
                     q.get_nowait()
                 except queue.Empty:

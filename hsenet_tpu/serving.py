@@ -72,6 +72,9 @@ class _Request:
     tokens: List[int] = field(default_factory=list)
     done: bool = False
     submitted_at: float = 0.0  # perf_counter at submit (latency stats)
+    first_token_at: float = 0.0  # perf_counter when the first output
+    # token became host-visible (chunk-boundary granularity — tokens
+    # materialise at the np.asarray sync after each decode chunk)
 
 
 class ServingEngine:
@@ -230,6 +233,16 @@ class ServingEngine:
         self.steps_run = 0
         self.slot_steps_used = 0  # active-slot steps (utilization stat)
         self.latencies: List[float] = []  # submit->finish wall per request
+        # TTFT = submit -> first host-visible output token. The engine's
+        # central latency tradeoff lives here: admission happens at chunk
+        # boundaries, so TTFT is bounded below by the in-flight chunk's
+        # remaining steps (up to chunk_size * step_time) plus queueing +
+        # prefill. Observed at chunk granularity (see _Request).
+        self.ttfts: List[float] = []
+        # per-output-token latency (time-per-output-token, TPOT):
+        # (finish - first token) / (n_tokens - 1) per finished request.
+        # 0.0 when a request starts and finishes inside one chunk.
+        self.tpots: List[float] = []
 
         scale_spec = self._kv_scale_spec
 
@@ -650,12 +663,14 @@ class ServingEngine:
             self.params, self._cache, self._token, self._done, *sample_args
         )
         block = np.asarray(toks)  # (num_slots, chunk) — one host sync
+        now = time.perf_counter()  # when this chunk's tokens became visible
         self.steps_run += self.chunk
         finished: Dict[int, List[int]] = {}
         for s, req in enumerate(self._slots):
             if req is None:
                 continue
             self.slot_steps_used += self.chunk
+            fresh = not req.tokens
             for t in block[s]:
                 t = int(t)
                 if req.done:
@@ -663,11 +678,16 @@ class ServingEngine:
                 req.tokens.append(t)
                 if t == self.eos or len(req.tokens) >= req.max_new:
                     req.done = True
+            if fresh and req.tokens:
+                req.first_token_at = now
+                self.ttfts.append(now - req.submitted_at)
             if req.done:
                 finished[req.uid] = req.tokens
-                self.latencies.append(
-                    time.perf_counter() - req.submitted_at
-                )
+                self.latencies.append(now - req.submitted_at)
+                if len(req.tokens) > 1:
+                    self.tpots.append(
+                        (now - req.first_token_at) / (len(req.tokens) - 1)
+                    )
                 self._slots[s] = None
                 self._done = self._done.at[s].set(True)
         return finished
@@ -688,12 +708,14 @@ class ServingEngine:
         )
         blocks = np.asarray(toks)  # (chunk, slots, draft_len+1)
         cnts = np.asarray(counts)  # (chunk, slots)
+        now = time.perf_counter()  # when this chunk's tokens became visible
         self.steps_run += self.chunk
         finished: Dict[int, List[int]] = {}
         for s, req in enumerate(self._slots):
             if req is None:
                 continue
             self.slot_steps_used += self.chunk
+            fresh = not req.tokens
             for r in range(self.chunk):
                 n = int(cnts[r, s])
                 if n:
@@ -708,28 +730,48 @@ class ServingEngine:
                         req.done = True
                 if req.done:
                     break
+            if fresh and req.tokens:
+                req.first_token_at = now
+                self.ttfts.append(now - req.submitted_at)
             if req.done:
                 finished[req.uid] = req.tokens
-                self.latencies.append(
-                    time.perf_counter() - req.submitted_at
-                )
+                self.latencies.append(now - req.submitted_at)
+                if len(req.tokens) > 1:
+                    self.tpots.append(
+                        (now - req.first_token_at) / (len(req.tokens) - 1)
+                    )
                 self._slots[s] = None
                 self._done = self._done.at[s].set(True)
         return finished
 
     def latency_stats(self) -> Dict[str, float]:
         """Submit-to-finish wall-clock percentiles over finished requests
-        (includes queueing time — the production serving observable)."""
+        (includes queueing time — the production serving observable),
+        plus TTFT (submit -> first host-visible output token, which
+        includes queueing + prefill + the in-flight chunk's remaining
+        steps) and TPOT (per-output-token latency after the first)
+        percentiles when any request has recorded them."""
         if not self.latencies:
             return {}
-        lat = np.sort(np.asarray(self.latencies))
-        pick = lambda q: float(lat[min(int(q * len(lat)), len(lat) - 1)])
-        return {
-            "p50_s": pick(0.50),
-            "p95_s": pick(0.95),
-            "max_s": float(lat[-1]),
-            "mean_s": float(lat.mean()),
+
+        def pct(arr, q):
+            a = np.sort(np.asarray(arr))
+            return float(a[min(int(q * len(a)), len(a) - 1)])
+
+        out = {
+            "p50_s": pct(self.latencies, 0.50),
+            "p95_s": pct(self.latencies, 0.95),
+            "max_s": float(max(self.latencies)),
+            "mean_s": float(np.mean(self.latencies)),
         }
+        if self.ttfts:
+            out["ttft_p50_s"] = pct(self.ttfts, 0.50)
+            out["ttft_p99_s"] = pct(self.ttfts, 0.99)
+            out["ttft_max_s"] = float(max(self.ttfts))
+        if self.tpots:
+            out["tpot_p50_s"] = pct(self.tpots, 0.50)
+            out["tpot_p99_s"] = pct(self.tpots, 0.99)
+        return out
 
     @property
     def mean_accepted(self) -> float:
@@ -757,14 +799,16 @@ class ServingEngine:
         in GB for the engine's device (slot-count sizing needs this —
         BENCH.md's 64-slot bf16 KV cache is ~11 GB of a 16 GB chip).
         Returns {} where the backend exposes no memory_stats (CPU)."""
-        dev = None
-        if self._mesh is not None:
-            dev = list(self._mesh.devices.flat)[0]
-        else:
-            leaves = jax.tree.leaves(self.params)
-            if leaves:
-                dev = next(iter(leaves[0].devices()))
         try:
+            dev = None
+            if self._mesh is not None:
+                dev = list(self._mesh.devices.flat)[0]
+            else:
+                leaves = jax.tree.leaves(self.params)
+                # params may be host numpy arrays (stored as passed) —
+                # those have no .devices(); honor the return-{} contract.
+                if leaves and hasattr(leaves[0], "devices"):
+                    dev = next(iter(leaves[0].devices()))
             stats = dev.memory_stats() if dev is not None else None
         except Exception:
             stats = None
@@ -921,6 +965,52 @@ class ServingEngine:
             # decode chunk emits it as the request's first output (same
             # accounting as make_greedy_generate_llm_only)
             self._slots[s] = req
+
+
+def run_open_loop(engine: ServingEngine, requests, arrival_offsets):
+    """Drive the engine under an OPEN-LOOP arrival process.
+
+    Closed-loop drains (submit everything, run_until_drained) measure
+    throughput but hide latency: under real traffic requests arrive on
+    their own clock, queue, and observe TTFT that includes queueing, the
+    prefill, and the in-flight chunk's remaining steps. This driver
+    submits each request when its arrival offset (seconds from start)
+    comes due — independent of service progress, the definition of
+    open-loop — stepping the engine whenever work is in flight and
+    sleeping to the next arrival when idle.
+
+    `requests` is a list of kwargs dicts for `engine.submit` (at least
+    `prompt_ids`); `arrival_offsets` the matching offsets (any order).
+    Returns `({uid: tokens}, makespan_seconds)`; latency percentiles are
+    read from `engine.latency_stats()` afterwards.
+
+    The reference has no serving path at all — its eval pads a static
+    batch and decodes until the longest row finishes
+    (Bench/eval/eval_HSENet_CT_Rate_MRG.py:388-428), so under arrivals
+    its TTFT is unbounded queueing by design;
+    scripts/bench_serving_latency.py runs that arm for comparison.
+    """
+    if len(requests) != len(arrival_offsets):
+        raise ValueError("requests and arrival_offsets differ in length")
+    order = sorted(range(len(requests)), key=lambda i: arrival_offsets[i])
+    results: Dict[int, List[int]] = {}
+    n = len(requests)
+    i = 0
+    t0 = time.perf_counter()
+    while len(results) < n:
+        now = time.perf_counter() - t0
+        while i < n and arrival_offsets[order[i]] <= now:
+            engine.submit(**requests[order[i]])
+            i += 1
+        if engine.active == 0 and engine.pending == 0:
+            # nothing in flight: sleep to the next arrival instead of
+            # spinning (submission stays on the arrival clock)
+            wait = arrival_offsets[order[i]] - (time.perf_counter() - t0)
+            if wait > 0:
+                time.sleep(wait)
+            continue
+        results.update(engine.step())
+    return results, time.perf_counter() - t0
 
 
 def engine_generate_fn(engine: ServingEngine):

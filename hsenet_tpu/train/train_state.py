@@ -96,6 +96,11 @@ def jit_sharding_stable(fn, donate_argnums=(0,)):
             cache[key] = jitted
         return jitted(state, *args)
 
+    # the raw (unjitted) step, for AOT rehearsal: production-shape
+    # partitioning checks lower-and-compile it with abstract
+    # ShapeDtypeStruct inputs, which the lazy-jit wrapper above cannot
+    # accept (it calls the jit with concrete arguments)
+    wrapper.__wrapped__ = fn
     return wrapper
 
 

@@ -261,3 +261,35 @@ def test_export_encode_roundtrip(key, tmp_path):
     np.testing.assert_allclose(
         np.asarray(served), np.asarray(live), atol=1e-6
     )
+
+
+def test_bench_summary_contract(capsys):
+    """The driver keeps only the TAIL of bench.py stdout and parses the
+    LAST line; rounds 3-4 proved verbose per-metric lines grow until they
+    evict the north-star numbers (BENCH_r04.json lost encode_serving
+    entirely). Pin the fix: emit() registers every metric under a short
+    key and emit_summary() prints ONE compact JSON line carrying all of
+    them, with the encode_serving co-primary as its value/vs_baseline."""
+    import importlib
+    import json as _json
+
+    bench = importlib.import_module("bench")
+    bench.SUMMARY.clear()
+    bench.SUMMARY_VS.clear()
+    # every artifact metric has a short key, so the summary line stays
+    # compact no matter how much prose the per-metric lines grow
+    assert set(bench.ALL_METRICS) == set(bench.SHORT_KEYS)
+    bench.emit("ct_volumes_per_sec_per_chip_encode_serving",
+               107.1, "volumes/s/chip", 20.0, "estimate")
+    bench.emit("tokens_per_sec_decode", 162.0, "tok/s", 30.0, "estimate")
+    bench.emit_error("reports_per_min_e2e", RuntimeError("relay down"))
+    bench.emit_summary()
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = _json.loads(last)
+    assert parsed["metric"] == "summary_all"
+    assert parsed["value"] == 107.1  # the co-primary headline
+    assert parsed["vs_baseline"] == pytest.approx(107.1 / 20.0, abs=0.01)
+    assert parsed["summary"]["encode_serving"] == 107.1
+    assert parsed["summary"]["decode_b1"] == 162.0
+    assert parsed["summary"]["reports_per_min"] is None  # errored metric
+    assert parsed["summary_vs_baseline"]["decode_b1"] == 5.4

@@ -398,11 +398,17 @@ def test_async_checkpoint_roundtrip(key, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
-def test_device_prefetch_equality(key):
+@pytest.mark.parametrize("with_augment", [False, True])
+def test_device_prefetch_equality(key, with_augment):
     """device_prefetch=2 (background-thread H2D double buffering,
     data/prefetch.py) must produce bit-identical training to inline
-    copies — placement has no numeric effect, only overlap."""
-    import copy
+    copies — placement has no numeric effect, only overlap. The
+    augment=on arm proves the prefetch path's shard-then-augment
+    ordering matches the inline place-then-augment path bit-for-bit
+    (augment_batch runs on already-placed arrays in both)."""
+    from hsenet_tpu.configs import AugmentConfig
+
+    augment = AugmentConfig() if with_augment else None
 
     def run(depth):
         model, state, step, loader, cfg, mesh = _make_setup(key)
@@ -410,6 +416,7 @@ def test_device_prefetch_equality(key):
         trainer = Trainer(
             step, state, lambda: loader, cfg, mesh=mesh,
             hooks=TrainerHooks(on_log=lambda s, m: None),
+            augment=augment,
         )
         return trainer.fit()
 
@@ -419,6 +426,29 @@ def test_device_prefetch_equality(key):
         jax.tree.leaves(inline.params), jax.tree.leaves(prefetched.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_prefetch_with_mesh():
+    """The documented mesh= parameter of DevicePrefetcher must place
+    batches dp-sharded over the mesh (regression: default_place used to
+    import shard_batch from the wrong module and raised ImportError)."""
+    from hsenet_tpu.data.prefetch import DevicePrefetcher
+    from hsenet_tpu.configs import MeshConfig
+    from hsenet_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(MeshConfig(dp=4, tp=1))
+
+    def loader():
+        for i in range(3):
+            yield {"x": np.full((4, 2), i, np.float32)}
+
+    got = list(DevicePrefetcher(loader(), depth=2, mesh=mesh))
+    assert len(got) == 3
+    for i, b in enumerate(got):
+        x = b["x"]
+        assert isinstance(x, jax.Array)
+        assert x.sharding.shard_shape(x.shape) == (1, 2)
+        np.testing.assert_array_equal(np.asarray(x), np.full((4, 2), i))
 
 
 def test_device_prefetch_propagates_errors():
