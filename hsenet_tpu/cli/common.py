@@ -37,6 +37,12 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                    help="rematerialize transformer blocks (default: on for "
                         "production-size configs, off for --synthetic)")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--eval-every", type=int, default=500,
+                   help="run the entry point's held-out eval every N "
+                        "steps (retrieval accuracy for the CLIP "
+                        "stages, token accuracy for the VLM — the "
+                        "reference evaluates every 4%% of steps); 0 "
+                        "disables")
     p.add_argument("--checkpoint-every", type=int, default=1000)
     p.add_argument("--resume", default="",
                    help="checkpoint dir to resume; 'auto' resumes from "
@@ -60,6 +66,7 @@ def train_config_from_args(args) -> TrainConfig:
         dtype=args.dtype,
         seed=args.seed,
         log_every=args.log_every,
+        eval_every=getattr(args, "eval_every", 500),
         checkpoint_every=args.checkpoint_every,
         profile_dir=getattr(args, "profile", ""),
         profile_start=getattr(args, "profile_start", 2),

@@ -212,9 +212,47 @@ def main(argv=None):
         def loader_fn():
             return loader
 
+    # in-training retrieval eval over the validation split — the same
+    # retrieval-logit accuracy the reference logs during BOTH CLIP stages
+    # (train_CLIP_stage1.py:116-131; stage 2 uses the identical
+    # compute_metrics); --eval-every 0 disables
+    from hsenet_tpu.train.trainer import TensorBoardLogger, TrainerHooks
+
+    def on_eval(step, eval_state):
+        try:
+            from hsenet_tpu.eval.retrieval import clip_retrieval_eval
+
+            if args.synthetic:
+                val = loader
+            else:
+                from hsenet_tpu.data.datasets import (
+                    CTRateCLIPStage2Dataset,
+                    DataArgs,
+                )
+                from hsenet_tpu.data.datasets import DataLoader as DL
+
+                val_ds = CTRateCLIPStage2Dataset(
+                    DataArgs(
+                        data_root=args.data_root,
+                        max_text_len=student_cfg.max_text_len,
+                    ),
+                    tokenizer, args.manifest, "validation",
+                )
+                val = DL(val_ds, args.batch_size, shuffle=False)
+            return clip_retrieval_eval(
+                student, eval_state.params, val, ks=(5, 10)
+            )
+        except Exception as e:  # eval must never kill training
+            print(f"eval failed: {e}")
+            return {}
+
+    hooks = TrainerHooks(
+        on_log=TensorBoardLogger(f"{args.output_dir}/tb"),
+        on_eval=on_eval if train_cfg.eval_every else None,
+    )
     trainer = Trainer(
         step_fn, state, loader_fn, train_cfg, mesh=mesh,
-        checkpoint_manager=ckpt,
+        checkpoint_manager=ckpt, hooks=hooks,
     )
     state = trainer.fit()
 

@@ -311,9 +311,35 @@ def main(argv=None):
             model, tx, mesh, seg=args.task == "seg", trainable_mask=mask,
             grad_accum=args.grad_accum,
         )
+    # in-training held-out eval: token accuracy + loss over the validation
+    # split (the reference evaluates every 4% of steps with exactly this
+    # metric, train_VLM.py:177-191); --eval-every 0 disables
+    from hsenet_tpu.train.trainer import TensorBoardLogger, TrainerHooks
+    from hsenet_tpu.train.vlm import make_vlm_eval_fn
+
+    eval_fn = make_vlm_eval_fn(model, seg=args.task == "seg")
+
+    def on_eval(step, eval_state):
+        try:
+            if args.synthetic:
+                val = loader
+            else:
+                val_ds = type(dataset)(
+                    data_args, tokenizer, args.manifest, "validation"
+                )
+                val = DataLoader(val_ds, args.batch_size, shuffle=False)
+            return eval_fn(eval_state.params, val)
+        except Exception as e:  # eval must never kill training
+            print(f"eval failed: {e}")
+            return {}
+
+    hooks = TrainerHooks(
+        on_log=TensorBoardLogger(f"{args.output_dir}/tb"),
+        on_eval=on_eval if train_cfg.eval_every else None,
+    )
     trainer = Trainer(
         step_fn, state, lambda: loader, train_cfg, mesh=mesh,
-        checkpoint_manager=ckpt,
+        checkpoint_manager=ckpt, hooks=hooks,
     )
     state = trainer.fit()
 

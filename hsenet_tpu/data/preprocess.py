@@ -335,15 +335,61 @@ def _trilinear_resize_np(vol: np.ndarray, out_shape) -> np.ndarray:
     return out
 
 
+def _nearest_resize_np(vol: np.ndarray, out_shape) -> np.ndarray:
+    """Nearest-neighbor resize (F.interpolate mode='nearest' semantics:
+    src index = floor(dst * n_in / n_out))."""
+    out = vol
+    for axis in range(3):
+        n_in, n_out = out.shape[axis], out_shape[axis]
+        if n_in == n_out:
+            continue
+        idx = np.floor(np.arange(n_out) * n_in / n_out).astype(int)
+        out = np.take(out, np.clip(idx, 0, n_in - 1), axis=axis)
+    return out
+
+
+def _area_resize_np(vol: np.ndarray, out_shape) -> np.ndarray:
+    """'area' resize (F.interpolate mode='area' == adaptive average
+    pooling; separable per axis with floor/ceil window boundaries)."""
+    out = vol
+    for axis in range(3):
+        n_in, n_out = out.shape[axis], out_shape[axis]
+        if n_in == n_out:
+            continue
+        starts = np.floor(np.arange(n_out) * n_in / n_out).astype(int)
+        ends = np.ceil((np.arange(n_out) + 1) * n_in / n_out).astype(int)
+        moved = np.moveaxis(out, axis, 0)
+        pooled = np.stack(
+            [moved[s:e].mean(axis=0) for s, e in zip(starts, ends)]
+        )
+        out = np.moveaxis(pooled, 0, axis)
+    return out
+
+
 def reference_preprocess(
     raw: np.ndarray,
     slope: float,
     intercept: float,
     spacing_zyx: Tuple[float, float, float],
     config: PreprocessConfig = PreprocessConfig(),
+    final_resize_mode: str = "trilinear",
 ) -> np.ndarray:
     """The literal reference chain (two interpolations) on host, for parity
-    tests against the fused device path."""
+    tests against the fused device path.
+
+    `final_resize_mode` exists because the reference's own script cannot
+    run as written: its final resize is MONAI
+    `Resize(spatial_size=[32,256,256], mode="bilinear")`
+    (CT-RATE_nii_to_3D_volume_npy_file.py:121-124), and as pinned
+    (monai==1.3.0, torch 2.x) `F.interpolate` on 5-D input with
+    mode="bilinear" RAISES ("bilinear mode needs 4D input") — so whatever
+    the authors actually executed resolved "bilinear" some other way.
+    "trilinear" (the default, and what the device path implements) is the
+    natural resolution: linear interpolation is separable, so per-slice
+    bilinear + linear along depth IS trilinear. The realistic alternates
+    an author could have landed on are "area" (adaptive mean pooling) and
+    "nearest" — selectable here so the A100-day one-volume diff
+    (PARITY.md §2a) is a config flip, not a rewrite."""
     hu = np.clip(slope * raw.astype(np.float64) + intercept,
                  config.hu_min, config.hu_max)
     # resample to target spacing (nii_to_3D:24-38)
@@ -366,7 +412,17 @@ def reference_preprocess(
         else:
             slices.append(slice(int(nz[0]), int(nz[-1]) + 1))
     vol = vol[tuple(slices)]
-    vol = _trilinear_resize_np(vol, config.target_shape)
+    resize = {
+        "trilinear": _trilinear_resize_np,
+        "area": _area_resize_np,
+        "nearest": _nearest_resize_np,
+    }
+    if final_resize_mode not in resize:
+        raise ValueError(
+            f"final_resize_mode {final_resize_mode!r} not in "
+            f"{sorted(resize)}"
+        )
+    vol = resize[final_resize_mode](vol, config.target_shape)
     return np.clip(vol, 0.0, 1.0)[None].astype(np.float32)
 
 

@@ -60,14 +60,10 @@ def _pp_size(mesh: Mesh) -> int:
     return mesh.shape["pp"]
 
 
-def shard_params_pp(params, mesh: Mesh):
-    """Place params for the pipeline: the scanned DECODER stack's leading
-    layer axis over 'pp' (every leaf under decoder/layers is stacked —
-    kernels, norm scales, LoRA factors alike), everything else replicated.
-    Matches the "decoder"/"layers" path pair specifically so the vision
-    towers' own scanned `layers` (which run outside the ring) stay
-    replicated — works for both the bare causal LM ("decoder/layers")
-    and the VLM ("llm/decoder/layers")."""
+def make_pp_specs(params):
+    """Pytree of PartitionSpec for the pipeline placement (see
+    shard_params_pp); separated out so production-shape AOT rehearsals
+    can attach the specs to abstract leaves."""
 
     def spec_for(path) -> P:
         keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
@@ -78,11 +74,31 @@ def shard_params_pp(params, mesh: Mesh):
         return P("pp") if staged else P()
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    placed = [
-        jax.device_put(leaf, NamedSharding(mesh, spec_for(path)))
-        for path, leaf in flat
-    ]
-    return jax.tree_util.tree_unflatten(treedef, placed)
+    return jax.tree_util.tree_unflatten(
+        treedef, [spec_for(path) for path, _ in flat]
+    )
+
+
+def shard_params_pp(params, mesh: Mesh):
+    """Place params for the pipeline: the scanned DECODER stack's leading
+    layer axis over 'pp' (every leaf under decoder/layers is stacked —
+    kernels, norm scales, LoRA factors alike), everything else replicated.
+    Matches the "decoder"/"layers" path pair specifically so the vision
+    towers' own scanned `layers` (which run outside the ring) stay
+    replicated — works for both the bare causal LM ("decoder/layers")
+    and the VLM ("llm/decoder/layers"). Abstract-aware like
+    parallel.sharding.shard_params."""
+    specs = make_pp_specs(params)
+
+    def place(leaf, spec):
+        ns = NamedSharding(mesh, spec)
+        if isinstance(leaf, jax.ShapeDtypeStruct):
+            return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=ns)
+        return jax.device_put(leaf, ns)
+
+    return jax.tree.map(
+        place, params, specs, is_leaf=lambda x: isinstance(x, P)
+    )
 
 
 def _gpipe_hidden(

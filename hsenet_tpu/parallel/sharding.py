@@ -92,9 +92,20 @@ def make_param_shardings(params, mesh: Mesh):
 
 
 def shard_params(params, mesh: Mesh):
-    """Place (or re-place) a param tree according to the rules."""
+    """Place (or re-place) a param tree according to the rules.
+
+    Abstract-aware: `jax.ShapeDtypeStruct` leaves get the sharding
+    ATTACHED instead of device_put, so production-shape AOT rehearsals
+    (tests/test_sharding_production.py) can push a 4B-param tree through
+    the real placement path without materializing it."""
     shardings = make_param_shardings(params, mesh)
-    return jax.tree.map(jax.device_put, params, shardings)
+
+    def place(x, s):
+        if isinstance(x, jax.ShapeDtypeStruct):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+        return jax.device_put(x, s)
+
+    return jax.tree.map(place, params, shardings)
 
 
 FSDP_MIN_SIZE = 1 << 14  # leaves below 16k elements stay replicated

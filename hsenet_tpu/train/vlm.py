@@ -119,6 +119,44 @@ def vlm_seg_loss_fn(
     }
 
 
+def make_vlm_eval_fn(model: HSENetVLM, seg: bool = False):
+    """Held-out eval for the VLM finetune: mean token accuracy + loss over
+    a validation loader (the reference evaluates during training with
+    exactly this metric, train_VLM.py:177-191 compute_metrics). Returns
+    `evaluate(params, loader) -> {"val_loss": ..., "val_token_acc": ...}`
+    (plus val_lm_loss/val_seg_loss with seg=True). Deterministic — no
+    dropout rng."""
+    loss_fn = vlm_seg_loss_fn if seg else vlm_loss_fn
+    keys = (
+        "input_ids", "labels", "attention_mask", "image", "image_2d",
+    ) + (("seg",) if seg else ())
+
+    @jax.jit
+    def one(params, batch):
+        _, metrics = loss_fn(model, params, batch)
+        return metrics
+
+    def evaluate(params, loader):
+        import numpy as np
+
+        rows = []
+        for batch in loader:
+            dev = {
+                k: jnp.asarray(v) for k, v in batch.items() if k in keys
+            }
+            rows.append(
+                {k: float(v) for k, v in one(params, dev).items()}
+            )
+        if not rows:
+            return {}
+        return {
+            f"val_{k}": float(np.mean([r[k] for r in rows]))
+            for k in rows[0]
+        }
+
+    return evaluate
+
+
 def make_masked_train_step(
     loss_fn,
     tx: optax.GradientTransformation,

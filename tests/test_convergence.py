@@ -222,3 +222,213 @@ def test_vlm_overfit_two_qa_samples(key):
         ]
     )
     np.testing.assert_array_equal(q0, q1)
+
+
+def test_vlm_seg_overfit_blob(key):
+    """The [SEG]-routed dice+BCE gradient path actually learns: overfit a
+    synthetic blob through the full --task seg path (forward_with_seg ->
+    vlm_seg_loss_fn) until the dice score is far above chance and the
+    total loss halves. A sign flip in the dice loss or a [SEG]-pooling
+    bug passes the shape/CLI tests but not this one (reference analog:
+    lamed_phi3.py:87-135)."""
+    import dataclasses
+
+    from hsenet_tpu.models.mllm import HSENetVLM
+    from hsenet_tpu.train.vlm import make_vlm_train_step, vlm_trainable_mask
+
+    vis = ViT3DConfig(
+        image_size=(8, 16, 16), patch_size=(2, 8, 8), hidden_size=32,
+        mlp_dim=64, num_layers=1, num_heads=4, num_slices=2,
+        slice_feature_dim=16,
+    )
+    cfg = VLMConfig(
+        vision=vis,
+        packer=PackerConfig(
+            grid=(4, 2, 2), kernel=(2, 2, 2), in_dim=32, out_dim=32,
+            dropout_rate=0.0,
+        ),
+        llm=Phi3Config(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_layers=1, num_heads=4, num_kv_heads=2, head_dim=8,
+            tie_word_embeddings=True,
+            lora=LoRAConfig(rank=2, alpha=4, dropout_rate=0.0),
+        ),
+        seg_enable=True,
+        seg_token_id=9,
+    )
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    b, seq = 1, 16
+    n_img = cfg.num_image_tokens
+    ids = rng.integers(10, 64, (b, seq))
+    ids[:, 0] = 1
+    ids[0, -2] = 9  # [SEG]
+    labels = ids.astype(np.int64).copy()
+    labels[:, : n_img + 2] = -100
+    segs = np.zeros((b, 1, 8, 16, 16), np.float32)
+    segs[0, :, 2:6, 4:12, 4:12] = 1.0  # the blob to learn
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.ones((b, seq), jnp.int32),
+        "image": jnp.asarray(rng.random((b, 1, 8, 16, 16), np.float32)),
+        "image_2d": jnp.asarray(rng.random((b, 2, 16), np.float32)),
+        "seg": jnp.asarray(segs),
+    }
+    params = model.init(
+        key, batch["input_ids"], batch["image"], batch["image_2d"],
+        method=HSENetVLM.forward_with_seg,
+    )
+    q0 = np.asarray(
+        params["params"]["llm"]["decoder"]["layers"]["q_proj"]["kernel"]
+    )
+    mask = vlm_trainable_mask(params)
+    # the seg branch must be in the default trainable set (train_seg=True)
+    seg_leaves = [
+        m for p, m in jax.tree_util.tree_flatten_with_path(mask)[0]
+        if "seg" in "/".join(str(getattr(k, "key", k)) for k in p)
+    ]
+    assert seg_leaves and all(seg_leaves)
+    tx = make_optimizer(
+        TrainConfig(total_steps=300, learning_rate=5e-3, schedule="constant"),
+        trainable_mask=mask,
+    )
+    state = TrainState.create(params, tx)
+    step = make_vlm_train_step(model, tx, seg=True, trainable_mask=mask)
+    first = None
+    for i in range(300):
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        if first is None:
+            first = {k: float(v) for k, v in metrics.items()}
+        cur = {k: float(v) for k, v in metrics.items()}
+        # loss-halving happens long before the seg head converges (dice
+        # ~0.6 there); run to near-zero seg loss — reached by ~step 50
+        if (
+            cur["loss"] < 0.5 * first["loss"]
+            and cur["seg_loss"] < 0.05 * first["seg_loss"]
+        ):
+            break
+    assert cur["loss"] < 0.5 * first["loss"], (first, cur)
+    assert cur["seg_loss"] < 0.05 * first["seg_loss"], (first, cur)
+    # dice of the thresholded prediction against the blob: far above the
+    # ~2x-fraction chance level (~0.23 for this blob if predicting all-1)
+    _, seg_logits = model.apply(
+        state.params, batch["input_ids"], batch["image"], batch["image_2d"],
+        method=HSENetVLM.forward_with_seg,
+    )
+    pred = (np.asarray(jax.nn.sigmoid(seg_logits)) > 0.5).astype(np.float32)
+    tgt = np.asarray(segs)
+    dice = 2 * (pred * tgt).sum() / (pred.sum() + tgt.sum() + 1e-6)
+    assert dice > 0.8, (dice, first, cur)
+    # trainable moved, frozen stayed: LLM base bit-unchanged
+    q1 = np.asarray(
+        state.params["params"]["llm"]["decoder"]["layers"]["q_proj"]["kernel"]
+    )
+    np.testing.assert_array_equal(q0, q1)
+
+
+def test_vlm_rec_box_answer_overfit(key, tmp_path):
+    """A real PosRECDataset sample (image-placeholder block + template
+    question, '<bx_start>[z1,y1,...]<bx_end>' answer from mask2box,
+    multi_dataset.py:1105-1117) overfits until the box-coordinate answer
+    tokens are argmax-correct AND decode back to the exact box."""
+    import json
+    import os
+
+    from hsenet_tpu.data.datasets import (
+        DataArgs,
+        PosRECDataset,
+        SimpleTokenizer,
+    )
+    from hsenet_tpu.models.mllm import HSENetVLM
+    from hsenet_tpu.train.vlm import make_vlm_train_step, vlm_trainable_mask
+    from hsenet_tpu.utils.boxes import extract_box_from_text
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 4, 16, 16)).astype(np.float32)
+    seg = np.zeros((1, 4, 16, 16), np.float32)
+    seg[0, 1:3, 4:12, 4:12] = 1.0
+    np.save(os.path.join(root, "img.npy"), img)
+    np.save(os.path.join(root, "seg.npy"), seg)
+    with open(os.path.join(root, "m.json"), "w") as f:
+        json.dump({"train": [
+            {"image": "img.npy", "seg": "seg.npy", "target": "liver"}
+        ]}, f)
+
+    cfg = VLMConfig(
+        vision=ViT3DConfig(
+            image_size=(4, 16, 16), patch_size=(2, 8, 8), hidden_size=16,
+            mlp_dim=32, num_layers=1, num_heads=2, num_slices=2,
+            slice_feature_dim=16,
+        ),
+        packer=PackerConfig(
+            grid=(2, 2, 2), kernel=(1, 2, 2), in_dim=16, out_dim=32,
+            dropout_rate=0.0,
+        ),
+        llm=Phi3Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+            tie_word_embeddings=True,
+            lora=LoRAConfig(rank=4, alpha=8, dropout_rate=0.0),
+        ),
+    )
+    n_img = cfg.num_image_tokens
+    tok = SimpleTokenizer(vocab_size=96)
+    tok.add_token("<im_patch>")
+    tok.add_token("<bx_start>")
+    tok.add_token("<bx_end>")
+    args = DataArgs(data_root=root, max_length=32, proj_out_num=n_img)
+    sample = PosRECDataset(args, tok, os.path.join(root, "m.json"))[0]
+    assert "<bx_start>[" in sample["answer"]
+    assert len(tok._tokens) <= 96
+
+    model = HSENetVLM(cfg, dtype=jnp.float32)
+    batch = {
+        "input_ids": jnp.asarray(sample["input_ids"][None]),
+        "labels": jnp.asarray(sample["labels"][None]),
+        "attention_mask": jnp.asarray(sample["attention_mask"][None]),
+        "image": jnp.asarray(sample["image"][None]),
+        "image_2d": jnp.asarray(rng.random((1, 2, 16), np.float32)),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["input_ids"], batch["image"],
+        batch["image_2d"],
+    )
+    q0 = np.asarray(
+        params["params"]["llm"]["decoder"]["layers"]["q_proj"]["kernel"]
+    )
+    mask = vlm_trainable_mask(params)
+    tx = make_optimizer(
+        TrainConfig(total_steps=300, learning_rate=5e-3, schedule="constant"),
+        trainable_mask=mask,
+    )
+    state = TrainState.create(params, tx)
+    step = make_vlm_train_step(model, tx, trainable_mask=mask)
+    acc = 0.0
+    for i in range(300):
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        acc = float(metrics["token_acc"])
+        if acc == 1.0:
+            break
+    assert acc == 1.0, float(metrics["loss"])
+
+    # decode the argmax continuation at the answer positions and recover
+    # the exact box the dataset put in the answer
+    logits = model.apply(
+        state.params, batch["input_ids"], batch["image"], batch["image_2d"]
+    )
+    pred_ids = np.asarray(jnp.argmax(logits, -1))[0]
+    labels = np.asarray(batch["labels"][0])
+    answer_pos = np.where(labels != -100)[0]
+    # next-token alignment: position t predicts token t+1
+    pred_answer = tok.decode(
+        [int(pred_ids[t - 1]) for t in answer_pos], skip_special_tokens=False
+    )
+    box = extract_box_from_text(pred_answer)
+    assert box is not None, pred_answer
+    np.testing.assert_allclose(box, sample["box"], atol=1e-3)
+    q1 = np.asarray(
+        state.params["params"]["llm"]["decoder"]["layers"]["q_proj"]["kernel"]
+    )
+    np.testing.assert_array_equal(q0, q1)

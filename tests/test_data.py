@@ -937,3 +937,46 @@ def test_slices_jpeg_roundtrip_host():
     assert out.shape == faith.shape and np.isfinite(out).all()
     one_level = (1.0 / 255.0) / min(_CLIP_STD)
     assert np.abs(out - faith).mean() < 2 * one_level
+
+
+def test_reference_preprocess_final_resize_modes():
+    """The reference's own final resize cannot run as written (MONAI
+    Resize(mode="bilinear") on 5-D raises under the pinned monai/torch —
+    PARITY.md §2a), so the oracle's final-resize mode is a PARAMETER:
+    trilinear (default — separable linear, what "bilinear" most
+    plausibly resolved to), area, nearest. All three must run; the
+    non-default kernels are pinned against torch F.interpolate."""
+    import pytest
+    import torch
+    import torch.nn.functional as F
+
+    from hsenet_tpu.data.preprocess import (
+        _area_resize_np,
+        _nearest_resize_np,
+    )
+
+    raw = _synthetic_ct((20, 40, 36), smooth=True)
+    cfg = PreprocessConfig(target_shape=(16, 32, 32))
+    spacing = (2.5, 1.0, 1.2)
+    outs = {}
+    for mode in ("trilinear", "area", "nearest"):
+        outs[mode] = reference_preprocess(
+            raw, 1.0, 0.0, spacing, cfg, final_resize_mode=mode
+        )
+        assert outs[mode].shape == (1, 16, 32, 32)
+        assert np.isfinite(outs[mode]).all()
+    assert reference_preprocess(
+        raw, 1.0, 0.0, spacing, cfg
+    ) == pytest.approx(outs["trilinear"])  # default unchanged
+    with pytest.raises(ValueError, match="final_resize_mode"):
+        reference_preprocess(
+            raw, 1.0, 0.0, spacing, cfg, final_resize_mode="bicubic"
+        )
+
+    # torch-oracle the two alternate kernels
+    vol = np.random.default_rng(0).random((9, 17, 13)).astype(np.float32)
+    t = torch.from_numpy(vol)[None, None].double()
+    for mode, fn in (("area", _area_resize_np), ("nearest", _nearest_resize_np)):
+        want = F.interpolate(t, size=(5, 12, 8), mode=mode)[0, 0].numpy()
+        got = fn(vol.astype(np.float64), (5, 12, 8))
+        np.testing.assert_allclose(got, want, atol=1e-12)

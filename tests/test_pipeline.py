@@ -293,3 +293,55 @@ def test_cli_resume_auto(tmp_path):
     # saved step-2 checkpoint, runs only the remaining steps
     state2 = stage1(common + ["--total-steps", "4"])
     assert int(state2.step) == 4
+
+
+def test_cli_stage2_eval_hook_fires(tmp_path, capsys):
+    """--eval-every on the stage-2 CLI runs the in-training retrieval
+    eval (the reference evaluates during BOTH CLIP stages,
+    train_CLIP_stage1.py:116-131) and reports finite recall metrics."""
+    from hsenet_tpu.cli.train_clip_stage2 import main as stage2
+
+    state = stage2(
+        TINY_ARGS
+        + [
+            "--total-steps", "2",
+            "--eval-every", "2",
+            "--output-dir", str(tmp_path / "s2"),
+        ]
+    )
+    assert int(state.step) == 2
+    out = capsys.readouterr().out
+    assert "eval @ 2:" in out
+    assert "R@5" in out or "r@5" in out.lower()
+    assert "eval failed" not in out
+
+
+def test_cli_vlm_eval_hook_fires(tmp_path, capsys):
+    """--eval-every on the VLM finetune CLI reports held-out token
+    accuracy + loss (reference train_VLM.py:177-191 compute_metrics) and
+    the metrics are finite."""
+    import re
+
+    from hsenet_tpu.cli.train_vlm import main as vlm
+
+    state = vlm(
+        [
+            "--synthetic",
+            "--task", "mrg",
+            "--total-steps", "2",
+            "--eval-every", "2",
+            "--batch-size", "2",
+            "--log-every", "1",
+            "--checkpoint-every", "1000",
+            "--dtype", "float32",
+            "--dp", "1",
+            "--output-dir", str(tmp_path / "vlm"),
+        ]
+    )
+    assert int(state.step) == 2
+    out = capsys.readouterr().out
+    assert "eval @ 2:" in out
+    m = re.search(r"'val_token_acc': ([\d.]+)", out)
+    assert m and 0.0 <= float(m.group(1)) <= 1.0
+    assert re.search(r"'val_loss': ([\d.]+)", out)
+    assert "eval failed" not in out
