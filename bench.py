@@ -80,7 +80,10 @@ A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE = 30.0
 # model/weights/arrival rate — measured by the static arm of
 # scripts/bench_serving_latency.py (BENCH.md latency table). Same
 # hardware on both sides: this ratio isolates the SCHEDULING win.
-STATIC_BATCH_TTFT_P99_MS_MEASURED = 20000.0  # placeholder; see BENCH.md
+STATIC_BATCH_TTFT_P99_MS_MEASURED = 41483.3  # measured 2026-08-20 on this
+# chip: batch-16 static generate at 1.03 req/s offered (the engine's
+# 16-slot knee rate), 32 requests, mixed 64-512 budgets — BENCH.md
+# "Serving latency under open-loop arrivals"
 REPEATS = 3
 
 
@@ -408,6 +411,13 @@ def bench_serving_latency(model, params, requests=16):
         prompt_cap=prompt_len, max_new_tokens=512, chunk_size=16,
         cache_dtype=jnp.bfloat16,
     )
+    # warm all three programs first: an unwarmed drain would understate
+    # capacity and shift the "0.8x capacity" operating point
+    eng.submit(prompts[0], max_new=1)
+    eng.run_until_drained()
+    eng.ttfts.clear()
+    eng.tpots.clear()
+    eng.latencies.clear()
     t0 = time.perf_counter()
     for p, b in zip(prompts, budgets):
         eng.submit(p, max_new=b)
