@@ -107,6 +107,15 @@ def main(argv=None):
     p.add_argument("--n-micro", type=int, default=2,
                    help="microbatches per pipeline tick group (per dp "
                         "replica); bubble = (pp-1)/(n_micro+pp-1)")
+    p.add_argument("--int8-base", action="store_true",
+                   help="store the FROZEN LLM base projections int8 "
+                        "(per-output-channel scales) and train LoRA on "
+                        "top — the reference's load_in_4bit QLoRA analog "
+                        "(train_VLM.py:372). Halves frozen-weight HBM "
+                        "(7.6 -> 3.8 GB on the 3.8B base) and the "
+                        "fwd/bwd weight stream; int8 (not int4) because "
+                        "int4 storage is strictly slower on v5e/XLA "
+                        "(BENCH.md round-3 probe)")
     args = p.parse_args(argv)
     if args.pp > 1 and args.zero1:
         p.error("--zero1 with --pp is unsupported: ZeRO-1's dp placement "
@@ -246,6 +255,23 @@ def main(argv=None):
         params["params"] = load_vlm_deltas(
             args.resume_mllm, params["params"]
         )
+
+    if args.int8_base:
+        # QLoRA-style finetune: quantize the (frozen) LLM base projections
+        # int8 AFTER all checkpoint grafting, rebuild the model quantized
+        # (LoRADense dequantizes on the fly; LoRA adapters ride on top).
+        # Embeddings stay float — they are TRAINABLE here (new special
+        # tokens), unlike the projections. TP/FSDP/PP rules already cover
+        # kernel_q/kernel_scale (parallel/sharding.py:28-34).
+        from hsenet_tpu.models.lora import quantize_kernels_int8
+
+        params["params"]["llm"] = quantize_kernels_int8(
+            params["params"]["llm"]
+        )
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, quant_int8=True)
+        )
+        model = HSENetVLM(cfg, dtype=dtype, remat=remat)
 
     if args.pp > 1:
         # pipeline placement: LLM decoder stack staged over 'pp'

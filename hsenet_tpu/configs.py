@@ -308,7 +308,11 @@ class Phi3Config:
     attention_bias: bool = False
     lora: Optional[LoRAConfig] = None
     # int8 weight-only projections (the reference serves 8-bit via
-    # bitsandbytes); convert params with models.lora.quantize_kernels_int8
+    # bitsandbytes); convert params with models.lora.quantize_kernels_int8.
+    # Also the QLoRA-style FINETUNE base (train_vlm --int8-base, the
+    # reference's load_in_4bit analog): the frozen int8 base composes with
+    # `lora`, and the train step differentiates through the dequant to the
+    # trainable leaves only (allow_int grads, train/vlm.py).
     quant_int8: bool = False
     # int8 weight-only embedding/LM-head table (per-vocab-row scales). The
     # tied 200k x 3072 bf16 table is 1.23 GB of HBM read per decoded token —

@@ -22,6 +22,35 @@ from hsenet_tpu.train.losses import masked_lm_loss
 from hsenet_tpu.train.train_state import TrainState, jit_sharding_stable
 
 
+def _grad_zero_dtype(dtype):
+    """dtype for a frozen leaf's scalar-zero gradient placeholder.
+
+    float leaves keep their dtype; int leaves (the int8 frozen-base
+    kernels of a QLoRA-style finetune — the reference's load_in_4bit
+    analog, train_VLM.py:372) and float0 (what value_and_grad(allow_int=
+    True) returns for them) become f32 so every downstream consumer
+    (lax.scan carries, optax.set_to_zero, optax.apply_updates) sees an
+    arithmetic type.
+    """
+    if dtype == jax.dtypes.float0 or not jnp.issubdtype(dtype, jnp.floating):
+        return jnp.float32
+    return dtype
+
+
+def _definitize(grads):
+    """Replace float0 grads (int-dtype params under allow_int=True) with
+    scalar f32 zeros — float0 supports no arithmetic by design, and the
+    frozen-leaf update path only needs shape-free zeros."""
+    return jax.tree.map(
+        lambda g: (
+            jnp.zeros((), jnp.float32)
+            if getattr(g, "dtype", None) == jax.dtypes.float0
+            else g
+        ),
+        grads,
+    )
+
+
 def vlm_trainable_mask(
     params,
     *,
@@ -212,7 +241,10 @@ def make_masked_train_step(
             if mask is None:
                 return g
             return jax.tree.map(
-                lambda gg, m: gg if m else jnp.zeros((), gg.dtype), g, mask
+                lambda gg, m: (
+                    gg if m else jnp.zeros((), _grad_zero_dtype(gg.dtype))
+                ),
+                g, mask,
             )
 
         def body(g_sum, xs):
@@ -224,9 +256,9 @@ def make_masked_train_step(
                     else jax.random.fold_in(dropout_rng, i)
                 )
                 args = (micro, rng_i)
-            (_, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, *args
-            )
+            (_, metrics), g = jax.value_and_grad(
+                loss_fn, has_aux=True, allow_int=True
+            )(params, *args)
             return jax.tree.map(jnp.add, g_sum, prune(g)), metrics
 
         g0 = prune(jax.tree.map(jnp.zeros_like, params))
@@ -260,8 +292,9 @@ def make_masked_train_step(
         else:
             args = (batch, dropout_rng) if with_rng else (batch,)
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
+                loss_fn, has_aux=True, allow_int=True
             )(state.params, *args)
+            grads = _definitize(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if trainable_mask is not None:

@@ -34,6 +34,11 @@ def main():
                    choices=["full", "dots"],
                    help="dots = keep matmul outputs, recompute only "
                         "elementwise glue in the backward")
+    p.add_argument("--int8-base", action="store_true",
+                   help="QLoRA-style: frozen LLM base projections stored "
+                        "int8 (reference load_in_4bit analog, "
+                        "train_VLM.py:372) — halves frozen-weight HBM "
+                        "and the fwd/bwd weight stream")
     args = p.parse_args()
 
     from hsenet_tpu.configs import (
@@ -49,6 +54,7 @@ def main():
             num_layers=args.layers,
             lora=LoRAConfig(rank=16, alpha=32, dropout_rate=0.0),
             remat_policy=args.remat_policy,
+            quant_int8=args.int8_base,
         )
     )
     model = HSENetVLM(cfg, dtype=jnp.bfloat16, remat=not args.no_remat)
@@ -77,6 +83,9 @@ def main():
     @jax.jit
     def materialise():
         def fill(s):
+            if s.dtype == jnp.int8:
+                # int8 base kernels: 1 * 0.01 scale = the float fill value
+                return jnp.ones(s.shape, jnp.int8)
             if jnp.issubdtype(s.dtype, jnp.floating):
                 return jnp.full(s.shape, 0.01, jnp.bfloat16)
             return jnp.zeros(s.shape, s.dtype)
@@ -85,6 +94,8 @@ def main():
 
     params = materialise()
     n_params = sum(x.size for x in jax.tree.leaves(params))
+    n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    print(f"param bytes on device: {n_bytes/1e9:.2f} GB", flush=True)
     mask = vlm_trainable_mask(params)
     n_train = sum(
         x.size for x, m in zip(

@@ -247,6 +247,56 @@ def test_aot_vlm_train_step_sp(prod, capfd):
     _assert_no_partitioner_warnings(capfd)
 
 
+def test_aot_vlm_train_step_int8_base_dp2_tp4(capfd):
+    """The QLoRA-style finetune (--int8-base: frozen base projections
+    stored int8, LoRA on top — the reference's load_in_4bit analog,
+    train_VLM.py:372) partitions warning-free at production dims: int8
+    kernel_q keeps the Megatron tp placement (parallel/sharding.py:28),
+    the train step compiles through value_and_grad(allow_int=True), and
+    the trained lora_b still lands tp-sharded."""
+    cfg = VLMConfig(
+        llm=Phi3Config(
+            lora=LoRAConfig(rank=16, alpha=32, dropout_rate=0.0),
+            quant_int8=True,
+        )
+    )
+    model = HSENetVLM(cfg, dtype=jnp.bfloat16)
+    ids = jax.ShapeDtypeStruct((2, SEQ), jnp.int32)
+    vol = jax.ShapeDtypeStruct((2, 1, 32, 256, 256), jnp.float32)
+    sl = jax.ShapeDtypeStruct((2, 32, 768), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), ids, vol, sl)
+    shapes = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(
+            s.shape,
+            jnp.bfloat16
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else s.dtype,
+        ),
+        shapes,
+    )
+    n_int8 = sum(
+        int(np.prod(s.shape))
+        for s in jax.tree.leaves(shapes)
+        if s.dtype == jnp.int8
+    )
+    assert n_int8 > 3.0e9, f"int8 base should be ~3.7B, got {n_int8/1e9:.2f}B"
+    mesh = create_mesh(MeshConfig(dp=2, tp=4))
+    params_abs = _attach(shapes, make_param_shardings(shapes, mesh))
+    mask = vlm_trainable_mask(params_abs)
+    tx = make_optimizer(
+        TrainConfig(total_steps=100, learning_rate=1e-4),
+        trainable_mask=mask,
+    )
+    step = make_vlm_train_step(model, tx, mesh, trainable_mask=mask)
+    compiled = _lower_train_step(step, model, tx, mask, params_abs, mesh, 2)
+    q = compiled.output_shardings[0].params["params"]["llm"]["decoder"][
+        "layers"
+    ]["q_proj"]
+    assert "tp" in str(q["kernel_q"].spec)
+    assert "tp" in str(q["lora_b"].spec)
+    _assert_no_partitioner_warnings(capfd)
+
+
 def test_aot_serving_engine_tp8(prod, capfd):
     """The ServingEngine's OWN jitted programs (multimodal prefill,
     decode chunk, slot insert) lowered+compiled at production dims on a
