@@ -256,6 +256,16 @@ def main(argv=None):
             args.resume_mllm, params["params"]
         )
 
+    if args.int8_base and not remat:
+        # measured (BENCH.md round 5): without remat XLA keeps the
+        # DEQUANTIZED bf16 weight copies live for the backward — memory
+        # use goes UP vs bf16 (19.4 vs 16.4 GB at batch 2), inverting
+        # the quantization win
+        print(
+            "warning: --int8-base without --remat materializes dequantized "
+            "weight copies in the backward; pass --remat (policy full or "
+            "dots) to get the memory win"
+        )
     if args.int8_base:
         # QLoRA-style finetune: quantize the (frozen) LLM base projections
         # int8 AFTER all checkpoint grafting, rebuild the model quantized

@@ -247,13 +247,11 @@ def test_aot_vlm_train_step_sp(prod, capfd):
     _assert_no_partitioner_warnings(capfd)
 
 
-def test_aot_vlm_train_step_int8_base_dp2_tp4(capfd):
-    """The QLoRA-style finetune (--int8-base: frozen base projections
-    stored int8, LoRA on top — the reference's load_in_4bit analog,
-    train_VLM.py:372) partitions warning-free at production dims: int8
-    kernel_q keeps the Megatron tp placement (parallel/sharding.py:28),
-    the train step compiles through value_and_grad(allow_int=True), and
-    the trained lora_b still lands tp-sharded."""
+@pytest.fixture(scope="module")
+def prod_int8():
+    """Production VLM with the QLoRA-style int8 frozen base
+    (--int8-base: int8 projections + LoRA on top — the reference's
+    load_in_4bit analog, train_VLM.py:372)."""
     cfg = VLMConfig(
         llm=Phi3Config(
             lora=LoRAConfig(rank=16, alpha=32, dropout_rate=0.0),
@@ -280,6 +278,15 @@ def test_aot_vlm_train_step_int8_base_dp2_tp4(capfd):
         if s.dtype == jnp.int8
     )
     assert n_int8 > 3.0e9, f"int8 base should be ~3.7B, got {n_int8/1e9:.2f}B"
+    return model, shapes
+
+
+def test_aot_vlm_train_step_int8_base_dp2_tp4(prod_int8, capfd):
+    """int8 kernel_q keeps the Megatron tp placement
+    (parallel/sharding.py:28), the train step compiles through
+    value_and_grad(allow_int=True), and the trained lora_b still lands
+    tp-sharded."""
+    model, shapes = prod_int8
     mesh = create_mesh(MeshConfig(dp=2, tp=4))
     params_abs = _attach(shapes, make_param_shardings(shapes, mesh))
     mask = vlm_trainable_mask(params_abs)
@@ -294,6 +301,37 @@ def test_aot_vlm_train_step_int8_base_dp2_tp4(capfd):
     ]["q_proj"]
     assert "tp" in str(q["kernel_q"].spec)
     assert "tp" in str(q["lora_b"].spec)
+    _assert_no_partitioner_warnings(capfd)
+
+
+def test_aot_vlm_train_step_int8_base_fsdp8(prod_int8, capfd):
+    """QLoRA x FSDP — the fully memory-motivated composition (int8 base
+    + ZeRO-3 placement): the int8 kernel_q leaves shard over dp like any
+    large leaf (make_fsdp_specs is dtype-agnostic), the optimizer
+    moments inherit the trainable leaves' placement, and the production
+    program partitions warning-free."""
+    model, shapes = prod_int8
+    mesh = create_mesh(MeshConfig(dp=8, tp=1))
+    specs = make_fsdp_specs(shapes, mesh)
+    params_abs = _attach(
+        shapes,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            specs,
+            is_leaf=lambda x: isinstance(x, P),
+        ),
+    )
+    mask = vlm_trainable_mask(params_abs)
+    tx = make_optimizer(
+        TrainConfig(total_steps=100, learning_rate=1e-4),
+        trainable_mask=mask,
+    )
+    step = make_vlm_train_step(model, tx, mesh, trainable_mask=mask)
+    compiled = _lower_train_step(step, model, tx, mask, params_abs, mesh, 8)
+    q = compiled.output_shardings[0].params["params"]["llm"]["decoder"][
+        "layers"
+    ]["q_proj"]
+    assert "dp" in str(q["kernel_q"].spec)  # int8 base is FSDP-sharded
     _assert_no_partitioner_warnings(capfd)
 
 
