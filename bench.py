@@ -140,7 +140,9 @@ SUMMARY_VS: dict = {}
 def emit(metric, value, unit, baseline, source):
     short = SHORT_KEYS.get(metric, metric)
     SUMMARY[short] = round(value, 2)
-    SUMMARY_VS[short] = round(value / baseline, 2)
+    # 4 significant digits, NOT 2 decimals: lower-is-better ratios like
+    # ttft (0.0134) would round to 0.01 (a 34% error) or to 0.0 outright
+    SUMMARY_VS[short] = float(f"{value / baseline:.4g}")
     print(
         json.dumps(
             {
@@ -439,7 +441,7 @@ def bench_serving_latency(model, params, requests=16):
     results, makespan = run_open_loop(eng, reqs, offsets.tolist())
     stats = eng.latency_stats()
     goodput = sum(len(v) for v in results.values()) / makespan
-    return stats["ttft_p99_s"] * 1e3, goodput
+    return stats["ttft_p99_s"] * 1e3, goodput, rate
 
 
 def bench_serving_spec(model, params, requests=16):
@@ -774,7 +776,7 @@ def _main():
         )
 
     try:
-        ttft_p99_ms, lat_goodput = bench_serving_latency(
+        ttft_p99_ms, lat_goodput, lat_rate = bench_serving_latency(
             decode_model, decode_params
         )
     except Exception as e:  # keep the other artifact lines on relay hiccups
@@ -783,15 +785,20 @@ def _main():
         emit(
             "ttft_p99_ms_at_knee", ttft_p99_ms,
             f"ms, LOWER is better (TTFT p99 under open-loop Poisson "
-            f"arrivals at 0.8x this run's measured capacity, 16 slots / "
-            f"chunk 16, mixed 64-512 budgets; goodput {lat_goodput:.0f} "
-            f"tok/s at that point; vs_baseline <1 means lower latency "
-            f"than the reference-style arm)",
+            f"arrivals at 0.8x this run's measured capacity = "
+            f"{lat_rate:.2f} req/s offered, 16 slots / chunk 16, mixed "
+            f"64-512 budgets; goodput {lat_goodput:.0f} tok/s at that "
+            f"point; vs_baseline <1 means lower latency than the "
+            f"reference-style arm)",
             STATIC_BATCH_TTFT_P99_MS_MEASURED,
-            "MEASURED static-batch reference-style arm on this chip at "
-            "the same offered rate (scripts/bench_serving_latency.py: "
-            "batch-16 generate, emit at batch end - the reference's "
-            "serving pattern, eval_HSENet_CT_Rate_MRG.py:388-428)",
+            "MEASURED static-batch reference-style arm on this chip "
+            "(scripts/bench_serving_latency.py: batch-16 generate, emit "
+            "at batch end - the reference's serving pattern, "
+            "eval_HSENet_CT_Rate_MRG.py:388-428), pinned at its "
+            "2026-08-20 measurement: 41.48 s p99 at 1.03 req/s offered. "
+            "Both arms' TTFT grows with offered rate; this run's "
+            "offered rate is in `unit` - compare ratios only when the "
+            "rates are close",
         )
 
     try:

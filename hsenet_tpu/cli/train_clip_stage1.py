@@ -155,12 +155,19 @@ def main(argv=None):
     # evaluates every 4% of steps with retrieval-logit accuracy)
     from hsenet_tpu.train.trainer import TensorBoardLogger, TrainerHooks
 
+    from hsenet_tpu.eval.retrieval import make_clip_retrieval_eval_fn
+
+    # encoders jitted once, val loader built once: repeated evals reuse
+    # the compiled programs (fresh closures would recompile per eval)
+    retrieval_eval_fn = make_clip_retrieval_eval_fn(model, ks=(5, 10))
+    val_cache = {}
+
     def on_eval(step, state):
         try:
-            from hsenet_tpu.eval.retrieval import clip_retrieval_eval
-
             if args.synthetic:
                 val = loader
+            elif "val" in val_cache:
+                val = val_cache["val"]
             else:
                 from hsenet_tpu.data.datasets import CTRateCLIPDataset, DataArgs
 
@@ -173,8 +180,10 @@ def main(argv=None):
                 )
                 from hsenet_tpu.data.datasets import DataLoader as DL
 
-                val = DL(val_ds, args.batch_size, shuffle=False)
-            return clip_retrieval_eval(model, state.params, val, ks=(5, 10))
+                val = val_cache["val"] = DL(
+                    val_ds, args.batch_size, shuffle=False
+                )
+            return retrieval_eval_fn(state.params, val)
         except Exception as e:  # eval must never kill training
             print(f"eval failed: {e}")
             return {}

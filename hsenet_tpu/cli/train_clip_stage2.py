@@ -218,12 +218,19 @@ def main(argv=None):
     # compute_metrics); --eval-every 0 disables
     from hsenet_tpu.train.trainer import TensorBoardLogger, TrainerHooks
 
+    from hsenet_tpu.eval.retrieval import make_clip_retrieval_eval_fn
+
+    # encoders jitted once, val loader built once: repeated evals reuse
+    # the compiled programs (fresh closures would recompile per eval)
+    retrieval_eval_fn = make_clip_retrieval_eval_fn(student, ks=(5, 10))
+    val_cache = {}
+
     def on_eval(step, eval_state):
         try:
-            from hsenet_tpu.eval.retrieval import clip_retrieval_eval
-
             if args.synthetic:
                 val = loader
+            elif "val" in val_cache:
+                val = val_cache["val"]
             else:
                 from hsenet_tpu.data.datasets import (
                     CTRateCLIPStage2Dataset,
@@ -238,10 +245,10 @@ def main(argv=None):
                     ),
                     tokenizer, args.manifest, "validation",
                 )
-                val = DL(val_ds, args.batch_size, shuffle=False)
-            return clip_retrieval_eval(
-                student, eval_state.params, val, ks=(5, 10)
-            )
+                val = val_cache["val"] = DL(
+                    val_ds, args.batch_size, shuffle=False
+                )
+            return retrieval_eval_fn(eval_state.params, val)
         except Exception as e:  # eval must never kill training
             print(f"eval failed: {e}")
             return {}

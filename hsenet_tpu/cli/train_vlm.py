@@ -355,15 +355,21 @@ def main(argv=None):
 
     eval_fn = make_vlm_eval_fn(model, seg=args.task == "seg")
 
+    val_cache = {}  # build the validation loader ONCE, not per eval
+
     def on_eval(step, eval_state):
         try:
             if args.synthetic:
                 val = loader
+            elif "val" in val_cache:
+                val = val_cache["val"]
             else:
                 val_ds = type(dataset)(
                     data_args, tokenizer, args.manifest, "validation"
                 )
-                val = DataLoader(val_ds, args.batch_size, shuffle=False)
+                val = val_cache["val"] = DataLoader(
+                    val_ds, args.batch_size, shuffle=False
+                )
             return eval_fn(eval_state.params, val)
         except Exception as e:  # eval must never kill training
             print(f"eval failed: {e}")

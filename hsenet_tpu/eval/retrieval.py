@@ -87,30 +87,47 @@ def encode_corpus(
     return np.concatenate(img_feats), np.concatenate(txt_feats)
 
 
-def clip_retrieval_eval(model, params, loader, ks=(5, 10, 50, 100)):
-    """End-to-end retrieval eval for a `CLIPModel` + params over a loader."""
+def make_clip_retrieval_eval_fn(model, ks=(5, 10, 50, 100)):
+    """`eval_fn(params, loader) -> metrics` with the encoders jitted ONCE.
+
+    Params is a jit ARGUMENT (not a closure capture), so repeated
+    in-training evals (the trainer's `on_eval` hook, fired every
+    `--eval-every` steps like the reference's 4%-of-steps evaluate,
+    train_CLIP_stage1.py:116-131) reuse the compiled programs instead of
+    paying a fresh XLA compile per eval."""
     from hsenet_tpu.models.clip import CLIPModel
 
     @jax.jit
-    def enc_img(volume, slices=None):
+    def enc_img(params, volume, slices=None):
         return model.apply(
             params, volume, slices, method=CLIPModel.encode_image
         )
 
     @jax.jit
-    def enc_txt(ids, mask):
+    def enc_txt(params, ids, mask):
         feats, _ = model.apply(
             params, ids, mask, method=CLIPModel.encode_text
         )
         return feats
 
-    def enc_img_batch(volume, slices):
-        if model.config.vision.slice_guided:
-            return enc_img(jnp.asarray(volume), jnp.asarray(slices))
-        return enc_img(jnp.asarray(volume))
+    def eval_fn(params, loader):
+        def enc_img_batch(volume, slices):
+            if model.config.vision.slice_guided:
+                return enc_img(params, jnp.asarray(volume), jnp.asarray(slices))
+            return enc_img(params, jnp.asarray(volume))
 
-    def enc_txt_batch(ids, mask):
-        return enc_txt(jnp.asarray(ids), jnp.asarray(mask))
+        def enc_txt_batch(ids, mask):
+            return enc_txt(params, jnp.asarray(ids), jnp.asarray(mask))
 
-    img, txt = encode_corpus(enc_img_batch, enc_txt_batch, loader)
-    return recall_at_k(img, txt, ks)
+        img, txt = encode_corpus(enc_img_batch, enc_txt_batch, loader)
+        return recall_at_k(img, txt, ks)
+
+    return eval_fn
+
+
+def clip_retrieval_eval(model, params, loader, ks=(5, 10, 50, 100)):
+    """End-to-end retrieval eval for a `CLIPModel` + params over a loader.
+
+    One-shot convenience wrapper; repeated callers (in-training eval
+    hooks) should hold a `make_clip_retrieval_eval_fn` instead."""
+    return make_clip_retrieval_eval_fn(model, ks)(params, loader)

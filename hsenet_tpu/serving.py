@@ -603,7 +603,14 @@ class ServingEngine:
         *,
         volume=None,
         slice_features=None,
+        submitted_at: Optional[float] = None,
     ) -> int:
+        """`submitted_at` (perf_counter clock) backdates the latency
+        clock to the request's true ARRIVAL: an open-loop driver only
+        gets to call submit() between engine steps, so stamping at call
+        time would silently exclude up to one full decode chunk of
+        queueing from TTFT (run_open_loop passes the scheduled arrival
+        instant)."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         if len(prompt) > self.prompt_cap:
             raise ValueError(
@@ -634,7 +641,9 @@ class ServingEngine:
             else np.asarray(slice_features).reshape(
                 (1,) + np.shape(slice_features)[-2:]
             ),
-            submitted_at=time.perf_counter(),
+            submitted_at=(
+                time.perf_counter() if submitted_at is None else submitted_at
+            ),
         )
         self._queue.append(req)
         return req.uid
@@ -1000,7 +1009,15 @@ def run_open_loop(engine: ServingEngine, requests, arrival_offsets):
     while len(results) < n:
         now = time.perf_counter() - t0
         while i < n and arrival_offsets[order[i]] <= now:
-            engine.submit(**requests[order[i]])
+            # backdate the latency clock to the SCHEDULED arrival: this
+            # loop only regains control between engine steps, so a
+            # call-time stamp would shave up to one chunk of queueing
+            # off every TTFT (the static-arm comparison uses exact
+            # arrival times — both arms must)
+            engine.submit(
+                **requests[order[i]],
+                submitted_at=t0 + arrival_offsets[order[i]],
+            )
             i += 1
         if engine.active == 0 and engine.pending == 0:
             # nothing in flight: sleep to the next arrival instead of

@@ -276,6 +276,18 @@ def make_masked_train_step(
         return metrics["loss"], metrics, grads
 
     def train_step(state: TrainState, batch, rng=None):
+        if trainable_mask is None and any(
+            not jnp.issubdtype(p.dtype, jnp.floating)
+            for p in jax.tree.leaves(state.params)
+        ):
+            # without a mask the optimizer would try to update the int8
+            # base itself (and the accum scan carry would mix int8 zeros
+            # with float0 placeholders) — fail loudly at trace time
+            raise ValueError(
+                "params contain int-dtype leaves (quantized base); pass "
+                "trainable_mask= so the frozen int8 leaves are excluded "
+                "from the update (see vlm_trainable_mask)"
+            )
         if mesh is not None:
             from hsenet_tpu.parallel.mesh import constrain_batch
 

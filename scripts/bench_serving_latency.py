@@ -299,6 +299,7 @@ def main():
 
     # ---- rate sweep per slot count (chunk 16) ----
     knee = {}
+    cap_req_by_slots = {}
     for slots in args.slots:
         eng = make_engine(
             model, params, slots=slots, chunk=16, prompt_len=prompt_len,
@@ -306,12 +307,14 @@ def main():
         )
         cap = drain_capacity(eng, prompts, budgets)
         cap_req_s = cap / mean_budget
+        cap_req_by_slots[slots] = cap_req_s
         print(json.dumps({
             "arm": "drain_capacity", "slots": slots, "chunk": 16,
             "spec": args.spec, "tok_s": round(cap, 1),
             "req_s": round(cap_req_s, 3),
         }), flush=True)
-        for frac in args.fracs:
+        diverged = False
+        for frac in sorted(args.fracs):
             row = open_loop_run(
                 eng, prompts, budgets, frac * cap_req_s
             )
@@ -319,16 +322,21 @@ def main():
                        frac_of_capacity=frac, spec=args.spec)
             rows.append(row)
             print(json.dumps(row), flush=True)
-            # knee = highest stable rate: queue not diverging
-            if row["ttft_growth_2nd_half"] <= 1.5:
+            # knee = highest stable rate BELOW the first divergence:
+            # queue growth is monotone in offered rate, so a later row
+            # that happens to read stable after an unstable one is
+            # small-sample noise (16-vs-16 TTFT means), not recovery
+            if row["ttft_growth_2nd_half"] <= 1.5 and not diverged:
                 knee[slots] = row
+            elif row["ttft_growth_2nd_half"] > 1.5:
+                diverged = True
 
     # ---- chunk sweep at the largest slot count, fixed 0.7x rate ----
     if not args.skip_chunk_sweep:
         slots = max(args.slots)
         for chunk in args.chunks:
-            if chunk == 16:
-                continue  # already measured in the rate sweep
+            if chunk == 16 and any(abs(f - 0.7) < 1e-9 for f in args.fracs):
+                continue  # the rate sweep already has a 0.7x chunk-16 row
             eng = make_engine(
                 model, params, slots=slots, chunk=chunk,
                 prompt_len=prompt_len, max_new=max_new,
@@ -347,10 +355,19 @@ def main():
     if not args.skip_static:
         for slots in args.slots:
             base = knee.get(slots)
-            rate = (
-                base["offered_req_s"] if base
-                else 0.7 * rows[0]["goodput_tok_s"] / mean_budget
-            )
+            if base is None:
+                # no stable open-loop point for this slot count: fall
+                # back to 0.7x of ITS OWN drain capacity (matching the
+                # open-loop sweep's anchor), not some other config's row
+                if slots not in cap_req_by_slots:
+                    print(json.dumps({
+                        "arm": "static_batch", "slots": slots,
+                        "skipped": "no stable knee and no capacity row",
+                    }), flush=True)
+                    continue
+                rate = 0.7 * cap_req_by_slots[slots]
+            else:
+                rate = base["offered_req_s"]
             row = static_batch_arm(
                 model, params, prompts, budgets, rate, slots,
                 prompt_len, cache_dtype,
