@@ -783,6 +783,31 @@ def test_latency_stats_ttft_tpot(key, rng):
     assert stats["tpot_p50_s"] >= 0.0
 
 
+def test_submit_backdated_arrival_clock(key, rng):
+    """submit(submitted_at=...) backdates the latency clock to the true
+    ARRIVAL instant: an open-loop driver only regains control between
+    engine steps, so call-time stamping would shave up to one decode
+    chunk of queueing off every TTFT (the bias the round-5 review
+    caught — run_open_loop passes each request's scheduled arrival)."""
+    import time as _time
+
+    model = Phi3ForCausalLM(TINY, dtype=jnp.float32)
+    prompt = rng.integers(3, TINY.vocab_size, size=7)
+    params = model.init(key, jnp.asarray(prompt[None, :]))
+    eng = ServingEngine(
+        model, params, eos_token_id=EOS, pad_token_id=0, num_slots=2,
+        prompt_cap=16, max_new_tokens=MAX_NEW, chunk_size=4,
+        cache_dtype=jnp.float32,
+    )
+    backdate = 1.5  # pretend the request arrived 1.5 s before submit()
+    eng.submit(prompt, submitted_at=_time.perf_counter() - backdate)
+    eng.run_until_drained()
+    assert len(eng.ttfts) == 1
+    # TTFT must include the backdated queueing, not just service time
+    assert eng.ttfts[0] >= backdate
+    assert eng.latencies[0] >= eng.ttfts[0]
+
+
 def test_run_open_loop_matches_greedy(key, rng):
     """Open-loop Poisson-style driving (requests arrive on their own
     clock) must not change the generated tokens — only latency. Every
