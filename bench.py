@@ -80,10 +80,11 @@ A100_REFERENCE_DECODE_TOK_PER_SEC_ESTIMATE = 30.0
 # model/weights/arrival rate — measured by the static arm of
 # scripts/bench_serving_latency.py (BENCH.md latency table). Same
 # hardware on both sides: this ratio isolates the SCHEDULING win.
-STATIC_BATCH_TTFT_P99_MS_MEASURED = 41483.3  # measured 2026-08-20 on this
-# chip: batch-16 static generate at 1.03 req/s offered (the engine's
+STATIC_BATCH_TTFT_P99_MS_MEASURED = 41233.4  # measured 2026-08-21 on this
+# chip: batch-16 static generate at 1.04 req/s offered (the engine's
 # 16-slot knee rate), 32 requests, mixed 64-512 budgets — BENCH.md
-# "Serving latency under open-loop arrivals"
+# "Serving latency under open-loop arrivals" (arrival-clock-corrected
+# re-measurement; the static arm uses exact arrival times either way)
 REPEATS = 3
 
 
@@ -795,7 +796,7 @@ def _main():
             "(scripts/bench_serving_latency.py: batch-16 generate, emit "
             "at batch end - the reference's serving pattern, "
             "eval_HSENet_CT_Rate_MRG.py:388-428), pinned at its "
-            "2026-08-20 measurement: 41.48 s p99 at 1.03 req/s offered. "
+            "2026-08-21 measurement: 41.23 s p99 at 1.04 req/s offered. "
             "Both arms' TTFT grows with offered rate; this run's "
             "offered rate is in `unit` - compare ratios only when the "
             "rates are close",
