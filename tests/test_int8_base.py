@@ -226,6 +226,64 @@ def test_int8_base_grad_accum_matches_full_batch():
     np.testing.assert_allclose(outs[1][1], outs[2][1], rtol=1e-4, atol=1e-7)
 
 
+def test_cli_train_vlm_int8_base_pp(tmp_path):
+    """--int8-base composes with pipeline parallelism: the GPipe step
+    carries the frozen int8 stack through the ppermute ring (dp2 x pp2
+    on the CPU mesh; fsdp/tp covered by the production AOT rehearsals)."""
+    from hsenet_tpu.cli.train_vlm import main as vlm
+
+    out = str(tmp_path / "i8b_pp")
+    state = vlm(
+        [
+            "--synthetic", "--task", "mrg", "--total-steps", "2",
+            "--batch-size", "4", "--log-every", "1",
+            "--checkpoint-every", "1000", "--dtype", "float32",
+            "--dp", "2", "--pp", "2", "--int8-base", "--output-dir", out,
+        ]
+    )
+    assert int(state.step) == 2
+    layers = jax.device_get(state.params)["params"]["llm"]["decoder"][
+        "layers"
+    ]
+    assert layers["q_proj"]["kernel_q"].dtype == np.int8
+
+
+def test_checkpoint_roundtrip_int8_leaves(tmp_path):
+    """Orbax save/restore must round-trip the int8 base bit-exactly
+    (resume of an --int8-base run restores kernel_q/kernel_scale)."""
+    from hsenet_tpu.train.train_state import TrainState
+    from hsenet_tpu.utils.checkpoint import CheckpointManager
+
+    rng = np.random.default_rng(7)
+    batch = _batch(rng)
+    qparams, _ = _init_quantized(batch)
+    params = jax.tree.map(jnp.asarray, qparams)
+    mask = vlm_trainable_mask(params)
+    tx = make_optimizer(
+        TrainConfig(total_steps=5, learning_rate=1e-3,
+                    schedule="constant"),
+        trainable_mask=mask,
+    )
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    mgr.wait()
+    template = TrainState.create(jax.tree.map(jnp.asarray, qparams), tx)
+    restored = mgr.restore(template)
+    kq = restored.params["params"]["llm"]["decoder"]["layers"]["q_proj"][
+        "kernel_q"
+    ]
+    assert np.asarray(kq).dtype == np.int8
+    np.testing.assert_array_equal(
+        np.asarray(kq),
+        np.asarray(
+            qparams["params"]["llm"]["decoder"]["layers"]["q_proj"][
+                "kernel_q"
+            ]
+        ),
+    )
+
+
 def test_cli_train_vlm_int8_base(tmp_path):
     """--int8-base end to end: CLI builds, quantizes, trains, exports."""
     import os
