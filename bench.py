@@ -398,7 +398,8 @@ def bench_serving_latency(model, params, requests=16):
     a short closed-loop drain measures this run's capacity (and compiles
     every program outside the timed region), then one open-loop run at
     0.8x that capacity — the knee operating point — records TTFT/TPOT
-    through `serving.run_open_loop`. Returns (ttft_p99_ms, goodput).
+    through `serving.run_open_loop`. Returns (ttft_p99_ms, goodput,
+    offered_req_s).
     Full rate/chunk sweeps + the static-batch baseline arm live in
     scripts/bench_serving_latency.py."""
     from hsenet_tpu.serving import ServingEngine, run_open_loop

@@ -6,8 +6,11 @@ arrive on a Poisson clock (exponential inter-arrivals, seeded) at a
 swept fraction of the config's measured drain capacity and are driven
 through `hsenet_tpu.serving.run_open_loop`. Reported per run:
 
-  * TTFT p50/p99 (submit -> first host-visible token: queueing + prefill
-    + the in-flight chunk's remaining steps),
+  * TTFT p50/p99 (scheduled ARRIVAL -> first host-visible token:
+    queueing + prefill + the in-flight chunk's remaining steps;
+    run_open_loop backdates the clock via submit(submitted_at=...) —
+    the driver only regains control between engine steps, so call-time
+    stamping would understate TTFT by up to one chunk),
   * TPOT p50 (per-output-token latency after the first),
   * goodput tok/s over the makespan,
   * a queue-growth check: TTFT of the second half of arrivals vs the
