@@ -53,7 +53,12 @@ def main(argv=None):
                         "this many distinct volumes (0 = all distinct); "
                         ">0 makes --vol-cache / --kv-prefix-cache hit")
     p.add_argument("--slots", type=int, default=8)
-    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--chunk", type=int, default=16,
+                   help="decode steps per dispatch; admission happens at "
+                        "chunk boundaries. 16 = throughput default; 8 "
+                        "halves p99 TTFT for ~2%% drain throughput "
+                        "(measured, BENCH.md 'Serving latency'); 64 only "
+                        "for offline drains")
     p.add_argument("--prompt-cap", type=int, default=512)
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--eos-token-id", type=int, default=2)
